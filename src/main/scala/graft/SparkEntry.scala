@@ -1,13 +1,54 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory each
+  * entry corresponds to. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.starJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D. relational core
+    "q_filter_project" -> Relational.filterProject _,
+    "q1_agg"           -> Relational.q1Agg _,
+    "q_star_join"      -> Relational.starJoin _,
+    "q_big_join"       -> Relational.bigJoin _,
+    "q_semi_join"      -> Relational.semiJoin _,
+    "q_anti_join"      -> Relational.antiJoin _,
+    "q_window"         -> Relational.windowRank _,
+    "q_topk"           -> Relational.topK _,
+    "q_distinct"       -> Relational.distinctCounts _,
+    "q_cond_agg"       -> Relational.condAgg _,
+    "q_rollup"         -> Relational.rollupAgg _,
+    "q_event_window"   -> Relational.eventWindow _,
+    "q_approx_distinct" -> Relational.approxDistinct _,
+    "q_sessionize"     -> Relational.sessionize _,
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names/aliases — the
+    * driver's compare hashes values under name-sorted columns). Keys
+    * omitted here get a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)) * CAST(0.9 AS DECIMAL(18,6)), 2) AS DOUBLE) AS discounted
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 200000""".stripMargin,
+    "q1_agg"          -> Relational.q1AggSql,
+    "q_star_join"     -> Relational.starJoinSql,
+    "q_big_join"      -> Relational.bigJoinSql,
+    "q_semi_join"     -> Relational.semiJoinSql,
+    "q_anti_join"     -> Relational.antiJoinSql,
+    "q_window"        -> Relational.windowRankSql,
+    "q_topk"          -> Relational.topKSql,
+    "q_distinct"      -> Relational.distinctCountsSql,
+    "q_cond_agg"      -> Relational.condAggSql,
+    "q_rollup"        -> Relational.rollupAggSql,
+    "q_event_window"  -> Relational.eventWindowSql,
+    "q_sessionize"    -> Relational.sessionizeSql,
+  )
 }

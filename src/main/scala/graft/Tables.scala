@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated star schema
+  * (see TESTDATA.md). Reads are plain `spark.read.parquet` so Catalyst
+  * keeps full pushdown/pruning freedom — no caching, no collect.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = df(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = df(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = df(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = df(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = df(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = df(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = df(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 won't map to
+    * TimestampType; with `spark.sql.legacy.parquet.nanosAsLong=true` it
+    * arrives as epoch-nanos LongType — normalize to a µs TimestampType
+    * column (integer division: ns epochs exceed double's 2^53). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = df(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = df(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = df(s, d, "embeddings")
+}

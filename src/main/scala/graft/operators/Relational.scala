@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational query core (SURVEY.md §2 D1-D14) — the analytics the
+  * reference delegated to PostgreSQL after loading
+  * (reference: etl_pipeline.py:212-222 of README's monitoring SQL),
+  * re-expressed as Catalyst plans.
+  *
+  * Scale notes:
+  *  - every aggregate is algebraic → map-side partial aggregation;
+  *  - dim tables (region/nation/customer/supplier/part) join via
+  *    `broadcast()`; only fact-fact joins shuffle;
+  *  - money math goes through exact decimals (`dsum`) so results are
+  *    order- and partitioning-insensitive — bit-identical on 32 cores
+  *    or 1000 executors, and identical to the DuckDB oracle.
+  */
+object Relational {
+
+  /** Exact-decimal money type: doubles in the data carry ≤2 decimal
+    * places, so a scale-6 decimal cast is lossless. */
+  private val M = DecimalType(18, 6)
+  private def dec(c: Column): Column = c.cast(M)
+
+  /** Order-insensitive sum of a double column: exact decimal sum,
+    * round, back to double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(dec(c)), scale).cast("double")
+
+  /** Order-insensitive average (exact decimal sum / count). */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(dec(c)).cast("double") / count(lit(1)), scale)
+
+  // ---------------------------------------------------------------- D1
+  /** Filter + projection — both must reach the parquet scan
+    * (PushedFilters + 3-column ReadSchema). */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(dec(col("o_totalprice")) * lit(0.9).cast(M), 2)
+          .cast("double").as("discounted"))
+
+  // ---------------------------------------------------------------- D2
+  /** TPC-H Q1-style grouped multi-aggregate over lineitem. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val discPrice = dec(col("l_extendedprice")) * (lit(1).cast(M) - dec(col("l_discount")))
+    val charge = (dec(col("l_extendedprice")).cast(DecimalType(12, 4)) *
+      (lit(1).cast(DecimalType(12, 4)) - col("l_discount").cast(DecimalType(12, 4)))) *
+      (lit(1).cast(DecimalType(12, 4)) + col("l_tax").cast(DecimalType(12, 4)))
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum(charge), 2).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))), 2) AS DOUBLE) AS sum_charge,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- D3
+  /** Star join: revenue by region/nation. All dims broadcast; the only
+    * shuffle is lineitem⋈orders + the final aggregation. */
+  def starJoin(s: SparkSession, dir: String): DataFrame = {
+    val revenue = dec(col("l_extendedprice")) * (lit(1).cast(M) - dec(col("l_discount")))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(revenue), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val starJoinSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- D4
+  /** Fact-fact shuffle join (lineitem⋈orders) with aggregation —
+    * sort-merge/shuffled-hash territory at 100 TB; AQE handles skew. */
+  def bigJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dsum(col("l_quantity")).as("sum_qty"))
+
+  val bigJoinSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- D5
+  /** Semi join: customers having at least one 300k+ order. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+    Tables.customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
+
+  // ---------------------------------------------------------------- D6
+  /** Anti join: customers with no orders at all. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------- D7
+  /** Window: top-3 orders per customer by price (deterministic
+    * tie-break on orderkey). */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+      |  FROM orders) t WHERE rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- D8
+  /** Top-k: global top 10 orders by price. TakeOrderedAndProject —
+    * only k rows ever reach the driver. */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- D9
+  /** Distinct counts over the fact table. */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+
+  val distinctCountsSql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+      |FROM lineitem""".stripMargin
+
+  // --------------------------------------------------------------- D10
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def condAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        dsum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0)).as("returned_qty"),
+        sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("high_discount_lines"),
+        count(lit(1)).as("n"))
+
+  val condAggSql: String =
+    """SELECT l_linestatus,
+      |  CAST(ROUND(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS returned_qty,
+      |  SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS high_discount_lines,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------- D11
+  /** Rollup: hierarchical totals over (returnflag, linestatus). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // --------------------------------------------------------------- D12
+  /** Tumbling-window event aggregation (hour buckets as strings so the
+    * comparison is precision-agnostic). */
+  def eventWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  val eventWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- D13
+  /** Approximate distinct users per event type (HLL sketch) — the
+    * 100 TB substitute for exact countDistinct. Rows-only check: HLL
+    * estimates are engine-specific. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n"))
+
+  // --------------------------------------------------------------- D14
+  /** Gap-based sessionization (30-min inactivity) via window lag +
+    * running sum — one shuffle on user_id, no state on the driver. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+      |  SELECT user_id, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |          FROM events) a) b) c
+      |GROUP BY user_id""".stripMargin
+}
