@@ -28,6 +28,21 @@ object SparkEntry {
     "q_event_window"   -> Relational.eventWindow _,
     "q_approx_distinct" -> Relational.approxDistinct _,
     "q_sessionize"     -> Relational.sessionize _,
+    // A/B/C. ETL surface
+    "date_extract"     -> EtlQueries.dateExtract _,
+    "file_catalog"     -> EtlQueries.fileCatalog _,
+    "bucket_date_histogram" -> EtlQueries.bucketDateHistogram _,
+    "date_filter_read" -> EtlQueries.dateFilterRead _,
+    "csv_roundtrip"    -> EtlQueries.csvRoundtrip _,
+    "source_file_counts" -> EtlQueries.sourceFileCounts _,
+    "clean_columns"    -> EtlQueries.cleanColumns _,
+    "union_merge"      -> EtlQueries.unionMerge _,
+    "ts_coerce"        -> EtlQueries.tsCoerce _,
+    "enrich_meta"      -> EtlQueries.enrichMeta _,
+    "drop_empty_cols"  -> EtlQueries.dropEmptyCols _,
+    "dedup_rows"       -> EtlQueries.dedupRows _,
+    "etl_day_pipeline" -> EtlQueries.etlDayPipeline _,
+    "processing_log"   -> EtlQueries.processingLog _,
   )
 
   /** DuckDB-equivalent SQL per query (same column names/aliases — the
@@ -50,5 +65,19 @@ object SparkEntry {
     "q_rollup"        -> Relational.rollupAggSql,
     "q_event_window"  -> Relational.eventWindowSql,
     "q_sessionize"    -> Relational.sessionizeSql,
+    "date_extract"     -> EtlQueries.dateExtractSql,
+    "file_catalog"     -> EtlQueries.fileCatalogSql,
+    "bucket_date_histogram" -> EtlQueries.bucketDateHistogramSql,
+    "date_filter_read" -> EtlQueries.dateFilterReadSql,
+    "csv_roundtrip"    -> EtlQueries.csvRoundtripSql,
+    "source_file_counts" -> EtlQueries.sourceFileCountsSql,
+    "clean_columns"    -> EtlQueries.cleanColumnsSql,
+    "union_merge"      -> EtlQueries.unionMergeSql,
+    "ts_coerce"        -> EtlQueries.tsCoerceSql,
+    "enrich_meta"      -> EtlQueries.enrichMetaSql,
+    "drop_empty_cols"  -> EtlQueries.dropEmptyColsSql,
+    "dedup_rows"       -> EtlQueries.dedupRowsSql,
+    "etl_day_pipeline" -> EtlQueries.etlDayPipelineSql,
+    "processing_log"   -> EtlQueries.processingLogSql,
   )
 }

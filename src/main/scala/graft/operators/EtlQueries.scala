@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{EtlPipeline, EtlStage, Tables}
+import graft.sources.{DateExtract, FileCatalog, Readers}
+import graft.operators.Relational.dsum
+
+/** Driver-checkable queries for the ETL surface (SURVEY.md §2 A/B/C).
+  * Each exercises an engine operator against the testdata tables (the
+  * staged CSV drop stands in for the reference's S3 bucket) with a
+  * DuckDB oracle computed from the original parquet.
+  */
+object EtlQueries {
+
+  /** Fixed processing time so pipeline outputs stay deterministic:
+    * 2026-01-01T00:00:00Z. */
+  private val fixedProcessedAt = new java.sql.Timestamp(1767225600000L)
+
+  // ----------------------------------------------------------- A2
+  /** Build filenames in six reference naming conventions from
+    * o_orderdate, extract the date back, count exact recoveries.
+    * The oracle asserts 100% recovery per convention. */
+  def dateExtract(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val kind = pmod(col("o_orderkey"), lit(6))
+    val iso = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    val fname = when(kind === 0, concat(lit("data_"), iso, lit("T030000_export.csv.gz")))
+      .when(kind === 1, concat(lit("sales_"), iso, lit(".csv")))
+      .when(kind === 2, concat(lit("report_"), date_format(col("o_orderdate"), "yyyyMMdd"), lit(".xlsx")))
+      .when(kind === 3, concat(lit("logs_"), date_format(col("o_orderdate"), "yyyy_MM_dd"), lit(".txt")))
+      .when(kind === 4, concat(lit("backup_"), date_format(col("o_orderdate"), "MM-dd-yyyy"), lit("_120000.sql")))
+      .otherwise(concat(lit("analytics."), date_format(col("o_orderdate"), "yyyy.MM.dd"), lit(".json")))
+    o.select(kind.as("kind"), iso.as("truth"),
+        DateExtract.extractDate(fname).as("extracted"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("extracted") === col("truth"), 1L).otherwise(0L)).as("n_correct"))
+  }
+
+  val dateExtractSql: String =
+    "SELECT o_orderkey % 6 AS kind, COUNT(*) AS n, COUNT(*) AS n_correct FROM orders GROUP BY 1"
+
+  // ----------------------------------------------------------- A1
+  /** Catalog of the staged drop: every file named with its extracted
+    * date. Oracle reconstructs the expected drop from events. */
+  def fileCatalog(s: SparkSession, dir: String): DataFrame = {
+    val drop = EtlStage.stageEventsCsv(s, dir)
+    FileCatalog.catalog(s, drop).select(col("name"), col("extracted_date"))
+  }
+
+  val fileCatalogSql: String =
+    """SELECT DISTINCT
+      |  'events_' || strftime(ts, '%Y-%m-%d') ||
+      |    (CASE WHEN CAST(strftime(ts, '%d') AS INT) % 2 = 0 THEN '.csv.gz' ELSE '.csv' END) AS name,
+      |  strftime(ts, '%Y-%m-%d') AS extracted_date
+      |FROM events""".stripMargin
+
+  // ----------------------------------------------------------- C5
+  /** The reference's --analyze-dates histogram over the drop. */
+  def bucketDateHistogram(s: SparkSession, dir: String): DataFrame = {
+    val drop = EtlStage.stageEventsCsv(s, dir)
+    FileCatalog.dateHistogram(s, drop).select(col("extracted_date"), col("n_files"))
+  }
+
+  val bucketDateHistogramSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS extracted_date, CAST(1 AS BIGINT) AS n_files
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- A3
+  /** Date-filtered read of one (gzipped) day from the drop. */
+  def dateFilterRead(s: SparkSession, dir: String): DataFrame = {
+    val drop = EtlStage.stageEventsCsv(s, dir)
+    val files = FileCatalog.filesForDate(s, drop, "2024-01-16")
+      .select("path").collect().map(_.getString(0)).toSeq
+    Readers.csv(s, files)
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"),
+        lit(files.length.toLong).as("n_files"))
+  }
+
+  val dateFilterReadSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+      |  CAST(1 AS BIGINT) AS n_files
+      |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-16'""".stripMargin
+
+  // ----------------------------------------------------------- A4
+  /** Whole-drop CSV read (mixed .csv/.csv.gz): values must round-trip
+    * exactly vs the original parquet. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val drop = EtlStage.stageEventsCsv(s, dir)
+    Readers.csv(s, Seq(drop))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events""".stripMargin
+
+  // ----------------------------------------------------------- B3/B8
+  /** Per-source-file row accounting over the whole drop. */
+  def sourceFileCounts(s: SparkSession, dir: String): DataFrame = {
+    val drop = EtlStage.stageEventsCsv(s, dir)
+    Enrich.sourceFileCounts(Readers.withSourceFile(Readers.csv(s, Seq(drop))))
+  }
+
+  val sourceFileCountsSql: String =
+    """SELECT 'events_' || strftime(ts, '%Y-%m-%d') ||
+      |    (CASE WHEN CAST(strftime(ts, '%d') AS INT) % 2 = 0 THEN '.csv.gz' ELSE '.csv' END) AS source_file,
+      |  COUNT(*) AS n_rows
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- B1
+  /** Mangle documents' column names the way the reference's inputs
+    * arrive (braces + stray spaces), clean, and query through the
+    * cleaned names. */
+  def cleanColumns(s: SparkSession, dir: String): DataFrame = {
+    val mangled = Tables.documents(s, dir)
+      .toDF("{doc_id }", "{text}", " lang ", "{source}", "n_chars ")
+    Cleaning.cleanColumnNames(mangled)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val cleanColumnsSql: String =
+    "SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars FROM documents GROUP BY 1"
+
+  // ----------------------------------------------------------- B2
+  /** Union-by-name of frames with disjoint columns (the reference's
+    * pd.concat(sort=False) semantics). */
+  def unionMerge(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val b = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    Cleaning.unionMerge(Seq(a, b))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("n_price"),
+        count(col("o_orderpriority")).as("n_prio"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val unionMergeSql: String =
+    """SELECT COUNT(*) AS n, COUNT(o_totalprice) AS n_price,
+      |  COUNT(o_orderpriority) AS n_prio,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+      |FROM (SELECT o_orderkey, o_totalprice FROM orders
+      |      UNION ALL BY NAME
+      |      SELECT o_orderkey, o_orderpriority FROM orders)""".stripMargin
+
+  // ----------------------------------------------------------- B4
+  /** Unix-seconds → timestamp coercion, verified through an hour
+    * histogram. */
+  def tsCoerce(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("unix_s", col("ts").cast("long")).drop("ts")
+    Enrich.coerceUnixTimestamps(ev, Seq("unix_s", "not_a_column"), "s")
+      .groupBy(date_format(date_trunc("hour", col("unix_s_datetime")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val tsCoerceSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- B5
+  /** Metadata enrichment with a pinned processing time. */
+  def enrichMeta(s: SparkSession, dir: String): DataFrame =
+    Enrich.addMetadata(Tables.documents(s, dir), "2024-02-01", 3L,
+        Some(fixedProcessedAt))
+      .groupBy(
+        date_format(col("source_date"), "yyyy-MM-dd").as("source_date"),
+        col("files_merged_count"),
+        date_format(col("processed_date"), "yyyy-MM-dd HH:mm:ss").as("processed_at"))
+      .agg(count(lit(1)).as("n"))
+
+  val enrichMetaSql: String =
+    """SELECT '2024-02-01' AS source_date, CAST(3 AS BIGINT) AS files_merged_count,
+      |  '2026-01-01 00:00:00' AS processed_at, COUNT(*) AS n
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- B6
+  /** Add an all-null and a half-null column; only the all-null one
+    * must be dropped. Output is the surviving schema. */
+  def dropEmptyCols(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.documents(s, dir)
+      .withColumn("ghost", lit(null).cast("string"))
+      .withColumn("half", when(col("doc_id") % 2 === 0, col("doc_id")))
+    Cleaning.dropEmptyColumns(df).columns.toSeq.toDF("col_name")
+  }
+
+  val dropEmptyColsSql: String =
+    """SELECT * FROM (VALUES ('doc_id'), ('text'), ('lang'), ('source'),
+      |  ('n_chars'), ('half')) t(col_name)""".stripMargin
+
+  // ----------------------------------------------------------- B7
+  /** Triple the fact table, dedup back to distinct rows. */
+  def dedupRows(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    Cleaning.dedupRows(l.union(l).union(l)).agg(count(lit(1)).as("n"))
+  }
+
+  val dedupRowsSql: String =
+    "SELECT COUNT(*) AS n FROM (SELECT DISTINCT * FROM lineitem)"
+
+  // ----------------------------------------------------------- C4
+  /** Full day pipeline on the staged drop, aggregated per event type. */
+  def etlDayPipeline(s: SparkSession, dir: String): DataFrame = {
+    val drop = EtlStage.stageEventsCsv(s, dir)
+    val res = EtlPipeline.processDay(s, drop, "2024-01-15",
+      processedAt = Some(fixedProcessedAt)).get
+    res.data.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"),
+        max(date_format(col("ts_us_datetime"), "yyyy-MM-dd")).as("max_day"))
+  }
+
+  val etlDayPipelineSql: String =
+    """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+      |  '2024-01-15' AS max_day
+      |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+      |GROUP BY event_type""".stripMargin
+
+  // ----------------------------------------------------------- C3
+  /** Day-range run: one audit row per day, reference schema. */
+  def processingLog(s: SparkSession, dir: String): DataFrame = {
+    val drop = EtlStage.stageEventsCsv(s, dir)
+    val entries = EtlPipeline.processRange(s, drop,
+      Seq("2024-01-10", "2024-01-11", "2024-01-12"),
+      processedAt = Some(fixedProcessedAt))
+    graft.sinks.ProcessingLog.toDf(s, entries)
+      .select(
+        date_format(col("date_of_data"), "yyyy-MM-dd").as("date_of_data"),
+        col("files_processed"), col("files_merged"), col("table_name"),
+        col("total_row_count"), col("column_count"))
+  }
+
+  val processingLogSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS date_of_data,
+      |  CAST(1 AS BIGINT) AS files_processed, CAST(1 AS BIGINT) AS files_merged,
+      |  'table_name' AS table_name, COUNT(*) AS total_row_count,
+      |  CAST(11 AS BIGINT) AS column_count
+      |FROM events WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-10','2024-01-11','2024-01-12')
+      |GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,59 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** File + JDBC sinks (SURVEY.md §2 C1/C2).
+  *
+  * The reference loads pandas chunks into PostgreSQL with
+  * `to_sql(chunksize=1000, method='multi')`
+  * (reference: etl_pipeline.py:485-517). Spark's JDBC writer is the
+  * distributed equivalent: each of `numPartitions` tasks streams its
+  * partition as re-written batched INSERTs, so throughput scales with
+  * executors instead of a single driver connection.
+  */
+object Sinks {
+
+  final case class JdbcConfig(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      numPartitions: Int = 8,
+      batchSize: Int = 10000)
+
+  /** Option map for the Spark JDBC writer (testable without a DB). */
+  def jdbcWriteOptions(cfg: JdbcConfig): Map[String, String] = Map(
+    "url" -> cfg.url,
+    "dbtable" -> cfg.table,
+    "user" -> cfg.user,
+    "password" -> cfg.password,
+    "batchsize" -> cfg.batchSize.toString,
+    "isolationLevel" -> "READ_COMMITTED",
+    // PostgreSQL driver flag: collapse row-by-row INSERTs into real
+    // multi-row batches — the analogue of pandas method='multi'.
+    "reWriteBatchedInserts" -> "true")
+
+  /** Chunked create-or-append load (reference: etl_pipeline.py:500-515
+    * `if_exists='append'|'replace'`). */
+  def writeJdbc(df: DataFrame, cfg: JdbcConfig, overwrite: Boolean = false): Unit = {
+    val balanced =
+      if (df.rdd.getNumPartitions > cfg.numPartitions) df.coalesce(cfg.numPartitions)
+      else df
+    balanced.write.format("jdbc")
+      .options(jdbcWriteOptions(cfg))
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .save()
+  }
+
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   overwrite: Boolean = true): Unit = {
+    val w = df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .options(graft.sources.Readers.csvOptions)
+      .csv(path)
+}
