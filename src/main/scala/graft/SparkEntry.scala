@@ -43,6 +43,19 @@ object SparkEntry {
     "dedup_rows"       -> EtlQueries.dedupRows _,
     "etl_day_pipeline" -> EtlQueries.etlDayPipeline _,
     "processing_log"   -> EtlQueries.processingLog _,
+    // E. training-data operators
+    "dedup_exact_text" -> TrainingQueries.dedupExactText _,
+    "dedup_minhash"    -> TrainingQueries.dedupMinhash _,
+    "dedup_simhash"    -> TrainingQueries.dedupSimhash _,
+    "ngram_jaccard"    -> TrainingQueries.ngramJaccard _,
+    "doc_fingerprint"  -> TrainingQueries.docFingerprint _,
+    "lang_id"          -> TrainingQueries.langId _,
+    "quality_score"    -> TrainingQueries.qualityScore _,
+    "token_count"      -> TrainingQueries.tokenCount _,
+    "ann_bruteforce"   -> TrainingQueries.annBruteforce _,
+    "ann_lsh"          -> TrainingQueries.annLsh _,
+    "dedup_embedding"  -> TrainingQueries.dedupEmbedding _,
+    "multimodal_meta"  -> TrainingQueries.multimodalMeta _,
   )
 
   /** DuckDB-equivalent SQL per query (same column names/aliases — the
@@ -79,5 +92,15 @@ object SparkEntry {
     "dedup_rows"       -> EtlQueries.dedupRowsSql,
     "etl_day_pipeline" -> EtlQueries.etlDayPipelineSql,
     "processing_log"   -> EtlQueries.processingLogSql,
+    "dedup_exact_text" -> TrainingQueries.dedupExactTextSql,
+    "dedup_minhash"    -> TrainingQueries.dedupMinhashSql,
+    "ngram_jaccard"    -> TrainingQueries.ngramJaccardSql,
+    "doc_fingerprint"  -> TrainingQueries.docFingerprintSql,
+    "lang_id"          -> TrainingQueries.langIdSql,
+    "quality_score"    -> TrainingQueries.qualityScoreSql,
+    "token_count"      -> TrainingQueries.tokenCountSql,
+    "ann_bruteforce"   -> TrainingQueries.annBruteforceSql,
+    "dedup_embedding"  -> TrainingQueries.dedupEmbeddingSql,
+    "multimodal_meta"  -> TrainingQueries.multimodalMetaSql,
   )
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training corpora (SURVEY.md §2 B7 +
+  * E1-E4): exact text dedup, MinHash+LSH and SimHash near-dup
+  * candidate generation, and n-gram Jaccard verification.
+  *
+  * Scale design: nothing here is O(n²). Exact dedup shuffles a 32-byte
+  * digest, not the document. MinHash/SimHash emit `bands` (resp. 4)
+  * rows per doc and only documents sharing a band bucket ever meet in
+  * a shuffle; bucket fan-out is capped (`maxBucket`) so one degenerate
+  * key can't explode a task. Verification joins shingle sets only for
+  * surviving candidate pairs.
+  */
+object Dedup {
+
+  /** Exact text dedup: group by SHA-256 of the text, keep the lowest
+    * id (reference semantics: drop_duplicates keep-first,
+    * etl_pipeline.py:480-483 — "first" made deterministic as min id). */
+  def exactTextDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles (falls back to the whole text when
+    * shorter than n tokens). */
+  def wordShingles(textCol: String, n: Int): Column = expr(
+    s"""CASE WHEN size(split($textCol, ' ')) >= $n
+       |  THEN array_distinct(transform(
+       |    sequence(0, size(split($textCol, ' ')) - $n),
+       |    i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))))
+       |  ELSE array($textCol) END""".stripMargin)
+
+  /** MinHash signature: k independent hashes, each the min over the
+    * shingle set of xxhash64(shingle, j) — one projection, no shuffle. */
+  def minhashSignature(shinglesCol: String, k: Int): Column =
+    expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform($shinglesCol, s -> xxhash64(s, j))))")
+
+  /** LSH candidate pairs (id_a < id_b): band the signature, bucket by
+    * band hash, pair within buckets. Collisions across ≥1 of `bands`
+    * bands ⇒ candidate; P(candidate) ≈ 1-(1-J^rows)^bands. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                            maxBucket: Int = 64): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs
+      .select(col(idCol).as("id"), wordShingles(textCol, n).as("sh"))
+      .withColumn("sig", minhashSignature("sh", k))
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> named_struct('band', b, 'key', xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))""".stripMargin)).as("bk"))
+    sig.groupBy(col("bk.band"), col("bk.key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("ids", expr(s"slice(array_sort(ids), 1, $maxBucket)"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(0, i - 1),
+          |    j -> named_struct('id_a', ids[j], 'id_b', ids[i]))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Attach exact n-gram Jaccard to candidate pairs (E4): join the
+    * shingle sets back (only for candidates) and compute
+    * |∩| / |∪| as an integer-ratio double. */
+  def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                  textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), wordShingles(textCol, n).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Full MinHash near-dup pipeline: candidates → verify → threshold. */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, n: Int = 3,
+                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    withJaccard(minhashCandidatePairs(docs, idCol, textCol, n, bands, rowsPerBand),
+      docs, idCol, textCol, n)
+      .filter(col("jaccard") >= threshold)
+
+  /** 64-bit SimHash over the distinct token set (E3): per bit j, sum
+    * ±1 votes from each token's hash bit, take the sign. */
+  def simhash(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), j -> IF(
+       |    aggregate(array_distinct(split($textCol, ' ')), 0L,
+       |      (acc, t) -> acc + IF(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)) > 0,
+       |    shiftleft(1L, j), 0L)),
+       |  0L, (acc, b) -> acc | b)""".stripMargin)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Candidates via 4×16-bit chunk banding (pigeonhole: distance ≤ 3
+    * guarantees an identical chunk; larger distances are found with
+    * high probability), verified with bit_count(xor). */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(textCol).as("sim"))
+    val banded = sigs.select(col("id"), col("sim"), explode(expr(
+      "transform(sequence(0, 3), c -> named_struct('chunk', c, 'key', (sim >> (c * 16)) & 65535))")).as("ck"))
+    banded.groupBy(col("ck.chunk"), col("ck.key"))
+      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .withColumn("members", expr(s"slice(array_sort(members), 1, $maxBucket)"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(members) - 1),
+          |  i -> transform(sequence(0, i - 1),
+          |    j -> named_struct('id_a', members[j].id, 'id_b', members[i].id,
+          |                      'hamming', bit_count(members[j].sim ^ members[i].sim)))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.RollingHash
+
+/** Driver-checkable queries for the training-data operators
+  * (SURVEY.md §2 E1-E12). Near-dup inputs plant known duplicates
+  * deterministically: a copy of each document with the last token
+  * replaced (text), or a 1.5×-scaled copy of each embedding
+  * (vectors), shifted by +10000 in id.
+  */
+object TrainingQueries {
+
+  /** documents ∪ exact copies at doc_id+10000. */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.select(col("doc_id") + 10000, col("text")))
+  }
+
+  /** documents ∪ near-dup copies (last token → 'zzz') at doc_id+10000. */
+  private def docsWithMutations(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mutated = d.select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat_ws(" ", concat(
+        expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"),
+        array(lit("zzz")))).as("text"))
+    d.union(mutated)
+  }
+
+  /** embeddings ∪ 1.5×-scaled copies at vec_id+10000 (cosine ≈ 1). */
+  private def vecsWithScaledCopies(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    e.union(e.select(col("vec_id") + 10000,
+      expr("transform(embedding, x -> CAST(1.5 * x AS FLOAT))")))
+  }
+
+  // ----------------------------------------------------------- E1
+  def dedupExactText(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactTextDedup(docsWithCopies(s, dir), "doc_id", "text")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_kept"),
+        sum(col("n_copies")).as("sum_copies"))
+
+  val dedupExactTextSql: String =
+    """SELECT COUNT(*) AS n, SUM(doc_id) AS sum_kept,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS sum_copies
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- E2
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(docsWithMutations(s, dir), "doc_id", "text",
+        threshold = 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Ground truth: all pairs with 3-gram Jaccard ≥ 0.6 — the LSH
+    * pipeline must find them all (candidate miss probability at
+    * J≥0.9, 16 bands × 4 rows: <1e-7 per pair). */
+  val dedupMinhashSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |mut AS (SELECT doc_id + 10000 AS doc_id,
+      |  list_append(toks[1:len(toks)-1], 'zzz') AS toks FROM d),
+      |allv AS (SELECT * FROM d UNION ALL SELECT * FROM mut),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM allv)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6""".stripMargin
+
+  // ----------------------------------------------------------- E3
+  /** SimHash near-dups — hash-dependent, so rows-only for the driver;
+    * the ScalaTest invariant checks planted-pair recall. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(docsWithMutations(s, dir), "doc_id", "text",
+      maxHamming = 10)
+
+  // ----------------------------------------------------------- E4
+  /** Exact 3-gram Jaccard between consecutive documents. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = d.select(col("doc_id").as("id_a"))
+      .join(d.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+    Dedup.withJaccard(pairs, d, "doc_id", "text", n = 3)
+      .select(col("id_a"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM d)
+      |SELECT a.doc_id AS id_a,
+      |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin
+
+  // ----------------------------------------------------------- E11
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), RollingHash.rollingHash(col("text")).as("fp"))
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- E8
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val langIdSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh FROM documents),
+      |s AS (SELECT doc_id, zh,
+      |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS en,
+      |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un'], x))) AS es,
+      |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS de,
+      |  len(list_filter(toks, x -> list_contains(['le','les','et','une','est','du'], x))) AS fr
+      |FROM t)
+      |SELECT doc_id, CASE
+      |  WHEN zh > en AND zh > es AND zh > de AND zh > fr THEN 'zh'
+      |  WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+      |  WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+      |  WHEN de >= fr AND de > 0 THEN 'de'
+      |  WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+      |FROM s""".stripMargin
+
+  // ----------------------------------------------------------- E9
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  ROUND(
+      |    0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+      |    + 0.3 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+      |    + 0.2 * (CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS score
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- E10
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+      TextAnalysis.tokenCountRegex(col("text")).cast("int").as("n_re"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS INTEGER) AS n_re
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- E6
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
+  }
+
+  val annBruteforceSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |sc AS (SELECT q_id, vec_id,
+      |  ROUND(list_dot_product(qe, e) /
+      |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos
+      |  FROM q, c)
+      |SELECT q_id, vec_id, cos, rn FROM (
+      |  SELECT q_id, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+      |  FROM sc) WHERE rn <= 10""".stripMargin
+
+  // ----------------------------------------------------------- E5
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDuplicates(vecsWithScaledCopies(s, dir),
+      threshold = 0.99, exact = true)
+
+  val dedupEmbeddingSql: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      |scaled AS (SELECT vec_id + 10000 AS vec_id,
+      |  list_transform(embedding, x -> CAST(1.5 * x AS FLOAT)) AS embedding FROM base),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM scaled),
+      |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM allv)
+      |SELECT id_a, id_b, cos FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ROUND(list_dot_product(a.e, b.e) /
+      |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+      |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+      |WHERE cos >= 0.99""".stripMargin
+
+  // ----------------------------------------------------------- E7
+  /** LSH-bucketed variant — recall is probabilistic, so rows-only for
+    * the driver; ScalaTest checks planted-pair recall. */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDuplicates(vecsWithScaledCopies(s, dir),
+      threshold = 0.99, exact = false)
+
+  // ----------------------------------------------------------- E12
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.toMediaRows(s, Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.decodeFeatures(s, media)
+      .select(col("doc_id"), col("media_len"), col("frame_count"), col("feature_dim"))
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS media_len,
+      |  CAST(strlen(text) // 100 + 1 AS INTEGER) AS frame_count,
+      |  CAST(16 AS INTEGER) AS feature_dim
+      |FROM documents""".stripMargin
+}
