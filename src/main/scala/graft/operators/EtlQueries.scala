@@ -128,7 +128,7 @@ object EtlQueries {
   }
 
   val cleanColumnsSql: String =
-    "SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars FROM documents GROUP BY 1"
+    "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1"
 
   // ----------------------------------------------------------- B2
   /** Union-by-name of frames with disjoint columns (the reference's

@@ -208,7 +208,7 @@ object Relational {
   val condAggSql: String =
     """SELECT l_linestatus,
       |  CAST(ROUND(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS returned_qty,
-      |  SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS high_discount_lines,
+      |  CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount_lines,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 

@@ -44,7 +44,7 @@ object TrainingQueries {
         sum(col("n_copies")).as("sum_copies"))
 
   val dedupExactTextSql: String =
-    """SELECT COUNT(*) AS n, SUM(doc_id) AS sum_kept,
+    """SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_kept,
       |  CAST(2 * COUNT(*) AS BIGINT) AS sum_copies
       |FROM documents""".stripMargin
 

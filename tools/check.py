@@ -34,11 +34,27 @@ for d in sorted(glob.glob(f"{outdir}/*/")):
         fails.append((name, f"rowcount {len(got)} vs {len(exp)}")); continue
     gs = got.sort_values(by=list(got.columns), ignore_index=True)
     es = exp.sort_values(by=list(exp.columns), ignore_index=True)
-    # normalize dtypes for compare
-    for c in gs.columns:
-        if str(gs[c].dtype).startswith("datetime") or str(es[c].dtype).startswith("datetime"):
-            gs[c] = pd.to_datetime(gs[c]).astype("datetime64[us]")
-            es[c] = pd.to_datetime(es[c]).astype("datetime64[us]")
+    # Normalize widths only (int32->int64, float32->float64, datetime->us).
+    # The driver's hash compare is value-KIND sensitive: DuckDB HUGEINT
+    # arriving as float64 vs Spark BIGINT must FAIL here too, so after
+    # normalization the dtype kinds must match exactly.
+    def norm(df):
+        for c in df.columns:
+            k = df[c].dtype.kind
+            if k == "M":
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            elif k in "iu":
+                df[c] = df[c].astype("int64")
+            elif k == "f":
+                df[c] = df[c].astype("float64")
+        return df
+    gs, es = norm(gs), norm(es)
+    kinds_g = [gs[c].dtype.kind for c in gs.columns]
+    kinds_e = [es[c].dtype.kind for c in es.columns]
+    if kinds_g != kinds_e:
+        fails.append((name, f"dtype kinds differ (driver hash would mismatch): "
+                      f"spark={list(zip(gs.columns, kinds_g))} oracle={list(zip(es.columns, kinds_e))}"))
+        continue
     try:
         pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
         passes.append(name)
