@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Single-pass codegen hashing for the near-dup operators (SURVEY.md
+  * §2 E2/E3).
+  *
+  * The declarative minhash (`transform(sequence(0,k-1), j ->
+  * array_min(transform(sh, s -> xxhash64(s, j))))`) hashes every
+  * shingle string k times — and after projection collapse the shingle
+  * array itself may be re-evaluated per j, which is where the round-1
+  * bench spent ~110 s at sf0.1. These expressions hash each shingle
+  * ONCE (xxhash64, seed 42) and derive the k signature values with the
+  * standard double-hashing scheme gⱼ(x) = h₁(x) + j·h₂(x)
+  * (Kirsch–Mitzenmacher), then fold band keys in the same pass, so a
+  * document costs O(|shingles| + bands·rows) instead of
+  * O(k·|shingles|·cost(shingle)).
+  */
+object HashExprs {
+  /** Per-band LSH bucket keys: array<long> of length `numBands`, where
+    * entry b chains xxhash64 over that band's `rowsPerBand` minhash
+    * minima. Two documents collide on band b iff all minima of band b
+    * agree (up to hash collision ~2⁻⁶⁴). */
+  def minhashBandKeys(shingles: Column, numBands: Int, rowsPerBand: Int): Column =
+    VectorExprs.col(MinHashBandKeys(VectorExprs.expr(shingles), numBands, rowsPerBand))
+
+  /** 64-bit SimHash over a token array: bit j = sign of the Σ±1 votes
+    * from bit j of each token's xxhash64. */
+  def simHash64(tokens: Column): Column =
+    VectorExprs.col(SimHash64(VectorExprs.expr(tokens)))
+}
+
+case class MinHashBandKeys(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(numBands > 0 && rowsPerBand > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  private val k = numBands * rowsPerBand
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h1 = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val h2 = XXH64.hashLong(h1, 42L) | 1L
+        var j = 0
+        var g = h1
+        while (j < k) {
+          if (g < mins(j)) mins(j) = g
+          g += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val keys = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var key = 42L
+      var r = 0
+      while (r < rowsPerBand) {
+        key = XXH64.hashLong(mins(b * rowsPerBand + r), key)
+        r += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val uad = classOf[UnsafeArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |long[] mins$a = new long[$k];
+         |java.util.Arrays.fill(mins$a, Long.MAX_VALUE);
+         |int n$a = $a.numElements();
+         |for (int i = 0; i < n$a; i++) {
+         |  if ($a.isNullAt(i)) continue;
+         |  long h1 = $xxh.hashUTF8String($a.getUTF8String(i), 42L);
+         |  long h2 = $xxh.hashLong(h1, 42L) | 1L;
+         |  long g = h1;
+         |  for (int j = 0; j < $k; j++) {
+         |    if (g < mins$a[j]) mins$a[j] = g;
+         |    g += h2;
+         |  }
+         |}
+         |long[] keys$a = new long[$numBands];
+         |for (int b = 0; b < $numBands; b++) {
+         |  long key = 42L;
+         |  for (int r = 0; r < $rowsPerBand; r++) {
+         |    key = $xxh.hashLong(mins$a[b * $rowsPerBand + r], key);
+         |  }
+         |  keys$a[b] = key;
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray(keys$a);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (cnt(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |int[] cnt$a = new int[64];
+         |int n$a = $a.numElements();
+         |for (int i = 0; i < n$a; i++) {
+         |  if ($a.isNullAt(i)) continue;
+         |  long h = $xxh.hashUTF8String($a.getUTF8String(i), 42L);
+         |  for (int j = 0; j < 64; j++) {
+         |    if (((h >>> j) & 1L) == 1L) cnt$a[j]++; else cnt$a[j]--;
+         |  }
+         |}
+         |long sig$a = 0L;
+         |for (int j = 0; j < 64; j++) {
+         |  if (cnt$a[j] > 0) sig$a |= 1L << j;
+         |}
+         |${ev.value} = sig$a;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -32,28 +32,38 @@ object Dedup {
        |    i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))))
        |  ELSE array($textCol) END""".stripMargin)
 
-  /** MinHash signature: k independent hashes, each the min over the
-    * shingle set of xxhash64(shingle, j) — one projection, no shuffle. */
-  def minhashSignature(shinglesCol: String, k: Int): Column =
-    expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform($shinglesCol, s -> xxhash64(s, j))))")
-
-  /** LSH candidate pairs (id_a < id_b): band the signature, bucket by
-    * band hash, pair within buckets. Collisions across ≥1 of `bands`
-    * bands ⇒ candidate; P(candidate) ≈ 1-(1-J^rows)^bands. */
+  /** LSH candidate pairs (id_a < id_b): per-band minhash bucket keys
+    * (single-pass codegen, [[graft.functions.MinHashBandKeys]] — one
+    * string hash per shingle, k minima by double hashing), bucket by
+    * (band, key), pair within buckets. Collisions across ≥1 of `bands`
+    * bands ⇒ candidate; P(candidate) ≈ 1-(1-J^rows)^bands.
+    *
+    * `maxBucket` caps the quadratic per-bucket pair fan-out so one
+    * degenerate key can't explode a task. With `strict=true` an
+    * over-full bucket raises instead of silently truncating — required
+    * when downstream claims exact recall (the correctness-gate mode);
+    * the default truncates and is the permissive 100 TB mode. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                            maxBucket: Int = 64): DataFrame = {
-    val k = bands * rowsPerBand
+                            n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+                            maxBucket: Int = 64, strict: Boolean = false): DataFrame = {
     val sig = docs
       .select(col(idCol).as("id"), wordShingles(textCol, n).as("sh"))
-      .withColumn("sig", minhashSignature("sh", k))
-      .select(col("id"), explode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-           |  b -> named_struct('band', b, 'key', xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))""".stripMargin)).as("bk"))
-    sig.groupBy(col("bk.band"), col("bk.key"))
+      .select(col("id"),
+        posexplode(graft.functions.HashExprs.minhashBandKeys(col("sh"), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+    val guarded =
+      if (strict)
+        when(size(col("ids")) > maxBucket, expr(
+          s"""raise_error(concat('minhash LSH bucket exceeds maxBucket=$maxBucket (',
+             |  CAST(size(ids) AS STRING), ' ids) — pairs would be silently dropped'))"""
+            .stripMargin))
+          .otherwise(col("ids"))
+      else expr(s"slice(ids, 1, $maxBucket)")
+    sig.groupBy(col("band"), col("key"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .withColumn("ids", expr(s"slice(array_sort(ids), 1, $maxBucket)"))
+      .withColumn("ids", array_sort(col("ids")))
+      .withColumn("ids", guarded)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(0, i - 1),
@@ -77,23 +87,25 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
-  /** Full MinHash near-dup pipeline: candidates → verify → threshold. */
+  /** Full MinHash near-dup pipeline: candidates → verify → threshold.
+    * With bands=32 × rows=4, a pair at J=0.8 is missed with
+    * probability (1-0.8⁴)³² ≈ 5e-8 — thresholds ≥ 0.8 are safe to
+    * hold to exact recall; lower thresholds should be treated as
+    * probabilistic (use more bands or rows=3). */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, n: Int = 3,
-                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    withJaccard(minhashCandidatePairs(docs, idCol, textCol, n, bands, rowsPerBand),
+                            bands: Int = 32, rowsPerBand: Int = 4,
+                            maxBucket: Int = 64, strict: Boolean = false): DataFrame =
+    withJaccard(
+      minhashCandidatePairs(docs, idCol, textCol, n, bands, rowsPerBand, maxBucket, strict),
       docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
 
   /** 64-bit SimHash over the distinct token set (E3): per bit j, sum
-    * ±1 votes from each token's hash bit, take the sign. */
-  def simhash(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), j -> IF(
-       |    aggregate(array_distinct(split($textCol, ' ')), 0L,
-       |      (acc, t) -> acc + IF(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)) > 0,
-       |    shiftleft(1L, j), 0L)),
-       |  0L, (acc, b) -> acc | b)""".stripMargin)
+    * ±1 votes from each token's hash bit, take the sign. Single-pass
+    * codegen ([[graft.functions.SimHash64]]): one xxhash64 per token. */
+  def simhash(textCol: String): Column =
+    graft.functions.HashExprs.simHash64(array_distinct(split(col(textCol), " ")))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Candidates via 4×16-bit chunk banding (pigeonhole: distance ≤ 3

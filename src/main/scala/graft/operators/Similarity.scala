@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
 
 /** Embedding similarity operators (SURVEY.md §2 E5-E7): cosine
   * primitives over `array<float>` columns, brute-force top-k ANN, an
@@ -12,15 +13,19 @@ import org.apache.spark.sql.functions._
   * Arithmetic discipline: every product is float×float promoted to
   * double (exact in IEEE754) and summed in array order, so scores are
   * bit-reproducible — the DuckDB oracle computes the identical
-  * sequence. At 100 TB the brute-force path is per-query-partition
-  * top-k (window after a broadcast of the bounded query set); the LSH
-  * path turns the all-pairs problem into per-bucket pairs.
+  * sequence. The hot loops are codegen expressions
+  * ([[graft.functions.FloatVecDot]], [[graft.functions.HyperplaneBucket]]),
+  * not interpreted `zip_with`/`aggregate` lambdas, and pair-independent
+  * work (norms, buckets) is computed once per VECTOR before the join,
+  * never per pair. At 100 TB the brute-force path is per-query-
+  * partition top-k (window after a broadcast of the bounded query
+  * set); the LSH path turns the all-pairs problem into per-bucket
+  * pairs.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ with double accumulation in array order. */
-  def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Σ aᵢ·bᵢ with double accumulation in array order (codegen). */
+  def dot(a: String, b: String): Column = VectorExprs.floatDot(col(a), col(b))
 
   def norm(a: String): Column = sqrt(dot(a, a))
 
@@ -28,13 +33,17 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k (E6): broadcast the (bounded) query set
-    * against the corpus; rank per query on the rounded score so the
-    * ordering is reproducible. */
+    * against the corpus; corpus/query norms are computed once per
+    * vector, so each of the |Q|·|C| pairs costs one dot product. Rank
+    * per query on the rounded score so the ordering is reproducible. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_nrm", norm("q_emb"))
     val c = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("c_nrm", norm("embedding"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", round(cosine("q_emb", "embedding"), 6))
+      .withColumn("cos",
+        round(dot("q_emb", "embedding") / (col("q_nrm") * col("c_nrm")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -48,40 +57,38 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-pattern bucket id from `nPlanes` hyperplanes — scale path
-    * for near-dup/ANN (E7): cosine-close vectors collide with high
-    * probability; exact verification then runs within buckets only. */
-  def lshBucket(embCol: String, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = s"array(${p.mkString(",")})"
-      expr(s"IF(aggregate(zip_with($embCol, $planeArr, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0, shiftleft(1L, $i), 0L)")
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** Embedding dimensionality probed from the data (one 1-row job) so
+    * the LSH planes always match — a mismatch then fails fast inside
+    * [[graft.functions.HyperplaneBucket]] instead of silently hashing
+    * every vector to bucket 0. */
+  def embeddingDim(vecs: DataFrame, embCol: String = "embedding"): Int =
+    vecs.select(size(col(embCol))).head().getInt(0)
 
   /** Cosine near-duplicate pairs (E5). `exact=true` compares all pairs
     * (oracle-checkable, for bounded corpora); otherwise pairs are
-    * generated within LSH buckets only. */
+    * generated within LSH buckets only — the 100 TB path. */
   def cosineNearDuplicates(vecs: DataFrame, threshold: Double,
-                           exact: Boolean = false,
-                           nPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+                           exact: Boolean = false, nPlanes: Int = 16,
+                           seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
     val base = vecs.select(col("vec_id"), col("embedding"))
+    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .withColumn("nrm_a", norm("emb_a"))
+    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("nrm_b", norm("emb_b"))
     val pairs =
       if (exact) {
-        val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-        val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
-        val dim = 64
-        val bucketed = base.withColumn("bucket",
-          lshBucket("embedding", hyperplanes(nPlanes, dim, seed)))
-        val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-        val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-          .drop("bucket").distinct()
+        val d = dim.getOrElse(embeddingDim(base))
+        val ab = a.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_a"),
+          hyperplanes(nPlanes, d, seed)))
+        val bb = b.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_b"),
+          hyperplanes(nPlanes, d, seed)))
+        ab.join(bb, Seq("bucket")).filter(col("id_a") < col("id_b"))
+          .drop("bucket")
       }
     pairs
-      .withColumn("cos", round(cosine("emb_a", "emb_b"), 6))
+      .withColumn("cos", round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

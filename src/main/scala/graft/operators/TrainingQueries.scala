@@ -51,12 +51,14 @@ object TrainingQueries {
   // ----------------------------------------------------------- E2
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(docsWithMutations(s, dir), "doc_id", "text",
-        threshold = 0.6)
+        threshold = 0.8, maxBucket = 4096, strict = true)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
-  /** Ground truth: all pairs with 3-gram Jaccard ≥ 0.6 — the LSH
-    * pipeline must find them all (candidate miss probability at
-    * J≥0.9, 16 bands × 4 rows: <1e-7 per pair). */
+  /** Ground truth: all pairs with 3-gram Jaccard ≥ 0.8 — the LSH
+    * pipeline must find them all: candidate miss probability at the
+    * 0.8 boundary with 32 bands × 4 rows is (1-0.8⁴)³² ≈ 5e-8 per
+    * pair, and `strict=true` raises on bucket truncation rather than
+    * silently dropping candidates. */
   val dedupMinhashSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |mut AS (SELECT doc_id + 10000 AS doc_id,
@@ -70,7 +72,7 @@ object TrainingQueries {
       |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6""".stripMargin
+      |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""".stripMargin
 
   // ----------------------------------------------------------- E3
   /** SimHash near-dups — hash-dependent, so rows-only for the driver;
