@@ -34,6 +34,7 @@ object SparkEntry {
     "bucket_date_histogram" -> EtlQueries.bucketDateHistogram _,
     "date_filter_read" -> EtlQueries.dateFilterRead _,
     "csv_roundtrip"    -> EtlQueries.csvRoundtrip _,
+    "json_props_parse" -> EtlQueries.jsonPropsParse _,
     "source_file_counts" -> EtlQueries.sourceFileCounts _,
     "clean_columns"    -> EtlQueries.cleanColumns _,
     "union_merge"      -> EtlQueries.unionMerge _,
@@ -83,6 +84,7 @@ object SparkEntry {
     "bucket_date_histogram" -> EtlQueries.bucketDateHistogramSql,
     "date_filter_read" -> EtlQueries.dateFilterReadSql,
     "csv_roundtrip"    -> EtlQueries.csvRoundtripSql,
+    "json_props_parse" -> EtlQueries.jsonPropsParseSql,
     "source_file_counts" -> EtlQueries.sourceFileCountsSql,
     "clean_columns"    -> EtlQueries.cleanColumnsSql,
     "union_merge"      -> EtlQueries.unionMergeSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.graftfn.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Whole-stage-codegen vector primitives for the similarity operators
@@ -20,8 +20,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * across partitionings and engines.
   */
 object VectorExprs {
-  private[graft] def col(e: Expression): Column = Bridge.column(e)
-  private[graft] def expr(c: Column): Expression = Bridge.expression(c)
+  private[graft] def col(e: Expression): Column = ColumnBridge.column(e)
+  private[graft] def expr(c: Column): Expression = ColumnBridge.expression(c)
 
   /** Σ aᵢ·bᵢ over two `array<float>` columns, double accumulation in
     * array order. Null if either array is null, any element is null,

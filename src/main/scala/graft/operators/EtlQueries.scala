@@ -102,6 +102,24 @@ object EtlQueries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events""".stripMargin
 
+  // ----------------------------------------------------------- A6
+  /** JSON payload parsing: events.props is a JSON object; parse with
+    * an explicit schema (`from_json` — codegen, no UDF) and aggregate
+    * the typed field. */
+  def jsonPropsParse(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val jsonPropsParseSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ----------------------------------------------------------- B3/B8
   /** Per-source-file row accounting over the whole drop. */
   def sourceFileCounts(s: SparkSession, dir: String): DataFrame = {

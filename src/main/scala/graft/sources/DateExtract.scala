@@ -24,9 +24,14 @@ object DateExtract {
     when(m =!= "", m)
   }
 
-  /** Validate a yyyy-MM-dd candidate: null unless it parses. */
+  /** Validate a yyyy-MM-dd candidate: null unless it parses.
+    * `try_to_date`, not `to_date`: under ANSI mode (Spark 4 default) a
+    * plausible-looking but invalid candidate (e.g. the compact_date
+    * pattern grabbing the first 8 digits of a unix timestamp →
+    * "1705-27-68") must fall through like the reference's
+    * strptime try/except, not kill the scan. */
   private def validIso(c: Column): Column =
-    when(to_date(c, "yyyy-MM-dd").isNotNull, c)
+    when(call_function("try_to_date", c, lit("yyyy-MM-dd")).isNotNull, c)
 
   // The 11 reference patterns (etl_pipeline.py:43-76), same priority.
   private val isoDatetimeCompact = "(\\d{4}-\\d{2}-\\d{2})T(\\d{6})"
@@ -59,7 +64,8 @@ object DateExtract {
     validIso(translate(ext(filename, underscoreDate), "_", "-")),
     validIso(translate(ext(filename, dotDate), ".", "-")),
     // year_month: valid when it parses as yyyy-MM (month 01-12)
-    when(to_date(ext(filename, yearMonth), "yyyy-MM").isNotNull, ext(filename, yearMonth)),
+    when(call_function("try_to_date", ext(filename, yearMonth), lit("yyyy-MM")).isNotNull,
+      ext(filename, yearMonth)),
     date_format(to_timestamp(ext(filename, unixTimestamp).cast("long")), "yyyy-MM-dd"),
     validIso(ext(filename, dateRange)))
 
@@ -70,23 +76,23 @@ object DateExtract {
     val compactTime = ext(filename, isoDatetimeCompact, 2)
     val isoCompactTs = when(
       validIso(ext(filename, isoDatetimeCompact)).isNotNull && compactTime.isNotNull,
-      to_timestamp(concat(
+      try_to_timestamp(concat(
         ext(filename, isoDatetimeCompact), lit(" "),
         substring(compactTime, 1, 2), lit(":"),
         substring(compactTime, 3, 2), lit(":"),
         substring(compactTime, 5, 2))))
-    val isoFullTs = to_timestamp(
+    val isoFullTs = try_to_timestamp(
       concat(ext(filename, isoDatetimeFull), lit(" "), ext(filename, isoDatetimeFull, 2)))
     val usTime = ext(filename, usDatetime, 2)
     val usTs = when(
       validIso(usToIso(ext(filename, usDatetime))).isNotNull && usTime.isNotNull,
-      to_timestamp(concat(
+      try_to_timestamp(concat(
         usToIso(ext(filename, usDatetime)), lit(" "),
         substring(usTime, 1, 2), lit(":"),
         substring(usTime, 3, 2), lit(":"),
         substring(usTime, 5, 2))))
     val unixTs = to_timestamp(ext(filename, unixTimestamp).cast("long"))
     coalesce(isoCompactTs, isoFullTs, usTs, unixTs,
-      to_timestamp(extractDate(filename), "yyyy-MM-dd"))
+      try_to_timestamp(extractDate(filename), lit("yyyy-MM-dd")))
   }
 }

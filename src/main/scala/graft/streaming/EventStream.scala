@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2 F1-F3): the reference's
+  * daily batch loop (reference: etl_pipeline.py:708-727) re-expressed
+  * as continuous queries. Each builder takes/returns streaming
+  * DataFrames so the same transforms compose with `readStream` file
+  * sources in production and `MemoryStream` in tests.
+  *
+  * Scale notes: the watermark bounds window state; sessionization
+  * state is per-user and updated incrementally (no per-batch sort of
+  * history); the file-drop source paces itself with
+  * `maxFilesPerTrigger` so a backlogged 100M-object bucket is drained
+  * in bounded batches.
+  */
+object EventStream {
+
+  /** F1: watermarked tumbling-window aggregation over an event stream
+    * — the continuous version of `Relational.eventWindow`. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "30 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
+  final case class SessState(nSessions: Long, nEvents: Long, lastSec: Long)
+
+  /** F2: stateful gap-based sessionization (mapGroupsWithState) — the
+    * streaming analogue of `Relational.sessionize`. State per user is
+    * three longs; each micro-batch folds its events in timestamp
+    * order into the running session count. */
+  def sessionCounts(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessionAgg](GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state) =>
+          var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            val isNew = st.lastSec == Long.MinValue || sec - st.lastSec > gapSeconds
+            st = SessState(st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L, sec)
+          }
+          state.update(st)
+          SessionAgg(uid, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** F3: continuous file-drop ingest — the reference's daily CSV loop
+    * as a stream. New `events_<date>.csv[.gz]` files appearing in
+    * `dropDir` are read incrementally, column-cleaned, and tagged with
+    * their source file, exactly like the batch `EtlPipeline`. */
+  def fileDropStream(spark: SparkSession, dropDir: String,
+                     schema: StructType, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .options(graft.sources.Readers.csvOptions)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .csv(dropDir)
+      .transform(graft.operators.Cleaning.cleanColumnNames)
+      .withColumn("source_file", element_at(split(input_file_name(), "/"), -1))
+}

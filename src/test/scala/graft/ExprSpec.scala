@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExprs, VectorExprs}
+
+/** Unit tests for the custom codegen expressions: each is checked
+  * against an independent Scala (or declarative-SQL) reimplementation
+  * of the same math. */
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FloatVecDot matches order-preserving Scala accumulation") {
+    val a = Array(1.5f, -2.25f, 3.125f, 0.001f)
+    val b = Array(4.0f, 0.5f, -1.75f, 1000f)
+    val expected = (a, b).zipped.map((x, y) => x.toDouble * y.toDouble).sum
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorExprs.floatDot(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(got == expected)
+  }
+
+  test("FloatVecDot is null on length mismatch and null element") {
+    val df = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+    ).toDF("a", "b").select(VectorExprs.floatDot(col("a"), col("b")).as("d"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("FloatVecDot agrees with declarative zip_with/aggregate form") {
+    val vecs = Tables.embeddings(spark, sf).limit(50)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+    val both = vecs.select(
+      VectorExprs.floatDot(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("HyperplaneBucket fails fast on dim mismatch") {
+    val planes = operators.Similarity.hyperplanes(4, 8)
+    val df = Seq(Tuple1(Array(1f, 2f))).toDF("v")
+      .select(VectorExprs.hyperplaneBucket(col("v"), planes))
+    val e = intercept[Exception](df.head())
+    assert(e.getMessage.contains("dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("dim")))
+  }
+
+  test("HyperplaneBucket: identical vectors share a bucket, deterministic") {
+    val planes = operators.Similarity.hyperplanes(16, 4)
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(1f, 2f, 3f, 4f)),
+      (3L, Array(-1f, -2f, -3f, -4f))).toDF("id", "v")
+      .select(col("id"), VectorExprs.hyperplaneBucket(col("v"), planes).as("b"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L)) // antipodal vector flips every nonzero bit
+  }
+
+  test("MinHashBandKeys: equal sets → equal keys; near sets share ≥1 band; disjoint share none") {
+    val doc = (1 to 60).map(i => s"tok$i").toArray
+    val near = doc.dropRight(1) :+ "zzz" // high overlap
+    val far = (1 to 60).map(i => s"other$i").toArray
+    val df = Seq((1L, doc), (2L, doc), (3L, near), (4L, far)).toDF("id", "sh")
+      .select(col("id"), HashExprs.minhashBandKeys(col("sh"), 32, 4).as("keys"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L).zip(m(3L)).exists { case (x, y) => x == y })
+    assert(!m(1L).zip(m(4L)).exists { case (x, y) => x == y })
+  }
+
+  test("SimHash64 matches the declarative per-bit voting form") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val both = docs.select(
+      operators.Dedup.simhash("text").as("fast"),
+      expr(
+        """aggregate(
+          |  transform(sequence(0, 63), j -> IF(
+          |    aggregate(array_distinct(split(text, ' ')), 0L,
+          |      (acc, t) -> acc + IF(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)) > 0,
+          |    shiftleft(1L, j), 0L)),
+          |  0L, (acc, b) -> acc | b)""".stripMargin).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("RollingHash matches a direct Scala polynomial hash") {
+    val s = "hello world"
+    val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = Seq(s).toDF("t")
+      .select(graft.functions.RollingHash.rollingHash(col("t"))).head().getLong(0)
+    assert(got == expected)
+  }
+}

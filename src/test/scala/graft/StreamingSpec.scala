@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{StringType, StructType}
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Ev
+
+/** Structured Streaming coverage (SURVEY.md §2 F1-F3) driven through
+  * MemoryStream / a temp file drop — asserts the streaming results
+  * equal what the batch operators produce on the same data. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit private def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("F1: watermarked tumbling window aggregates per hour") {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(df, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("f1").outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        (ts("2024-01-15 10:05:00"), "click", 1.0),
+        (ts("2024-01-15 10:55:00"), "click", 2.0),
+        (ts("2024-01-15 11:05:00"), "click", 4.0),
+        (ts("2024-01-15 10:10:00"), "view", 8.0))
+      q.processAllAvailable()
+      val out = spark.table("f1")
+        .select(date_format(col("window_start"), "HH:mm").as("h"),
+          col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(out == Set(("10:00", "click", 2L, 3.0), ("11:00", "click", 1L, 4.0),
+        ("10:00", "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("F2: stateful sessionization accumulates across micro-batches") {
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionCounts(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("f2").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        Ev(1L, ts("2024-01-15 10:00:00"), 1.0),
+        Ev(1L, ts("2024-01-15 10:10:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1L, ts("2024-01-15 12:00:00"), 1.0)) // > 30 min gap
+      q.processAllAvailable()
+      val byBatch = spark.table("f2").as[EventStream.SessionAgg].collect()
+      assert(byBatch.last == EventStream.SessionAgg(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("F3: file-drop stream ingests newly arriving date-named CSVs") {
+    val drop = Files.createTempDirectory("graft_stream_drop").toString
+    val schema = new StructType().add("{user}", StringType).add("v", StringType)
+    def writeFile(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(drop, name),
+        ("{user},v" +: rows).mkString("\n").getBytes)
+
+    writeFile("events_2024-01-15.csv", Seq("a,1", "b,2"))
+    val q = EventStream.fileDropStream(spark, drop, schema)
+      .writeStream.format("memory").queryName("f3").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("f3").count() == 2)
+      // a new day's file arrives → picked up incrementally
+      writeFile("events_2024-01-16.csv", Seq("c,3"))
+      q.processAllAvailable()
+      val out = spark.table("f3")
+      assert(out.count() == 3)
+      // column names cleaned + provenance tagged, like the batch path
+      assert(out.columns.contains("user"))
+      assert(out.filter(col("source_file") === "events_2024-01-16.csv").count() == 1)
+    } finally q.stop()
+  }
+}
