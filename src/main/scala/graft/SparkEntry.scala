@@ -28,6 +28,11 @@ object SparkEntry {
     "q_event_window"   -> Relational.eventWindow _,
     "q_approx_distinct" -> Relational.approxDistinct _,
     "q_sessionize"     -> Relational.sessionize _,
+    "q_pivot"          -> Relational.pivotAgg _,
+    "q_cube"           -> Relational.cubeAgg _,
+    "q_set_ops"        -> Relational.setOps _,
+    "q_asof_join"      -> Relational.asofJoin _,
+    "q_quantile"       -> Relational.quantiles _,
     // A/B/C. ETL surface
     "date_extract"     -> EtlQueries.dateExtract _,
     "file_catalog"     -> EtlQueries.fileCatalog _,
@@ -44,7 +49,11 @@ object SparkEntry {
     "dedup_rows"       -> EtlQueries.dedupRows _,
     "etl_day_pipeline" -> EtlQueries.etlDayPipeline _,
     "processing_log"   -> EtlQueries.processingLog _,
+    "partitioned_sink" -> EtlQueries.partitionedSink _,
     // E. training-data operators
+    "clean_text"       -> TrainingQueries.cleanText _,
+    "pii_scrub"        -> TrainingQueries.piiScrub _,
+    "top_terms"        -> TrainingQueries.topTerms _,
     "dedup_exact_text" -> TrainingQueries.dedupExactText _,
     "dedup_minhash"    -> TrainingQueries.dedupMinhash _,
     "dedup_simhash"    -> TrainingQueries.dedupSimhash _,
@@ -79,6 +88,11 @@ object SparkEntry {
     "q_rollup"        -> Relational.rollupAggSql,
     "q_event_window"  -> Relational.eventWindowSql,
     "q_sessionize"    -> Relational.sessionizeSql,
+    "q_pivot"         -> Relational.pivotAggSql,
+    "q_cube"          -> Relational.cubeAggSql,
+    "q_set_ops"       -> Relational.setOpsSql,
+    "q_asof_join"     -> Relational.asofJoinSql,
+    "q_quantile"      -> Relational.quantilesSql,
     "date_extract"     -> EtlQueries.dateExtractSql,
     "file_catalog"     -> EtlQueries.fileCatalogSql,
     "bucket_date_histogram" -> EtlQueries.bucketDateHistogramSql,
@@ -94,6 +108,10 @@ object SparkEntry {
     "dedup_rows"       -> EtlQueries.dedupRowsSql,
     "etl_day_pipeline" -> EtlQueries.etlDayPipelineSql,
     "processing_log"   -> EtlQueries.processingLogSql,
+    "partitioned_sink" -> EtlQueries.partitionedSinkSql,
+    "clean_text"       -> TrainingQueries.cleanTextSql,
+    "pii_scrub"        -> TrainingQueries.piiScrubSql,
+    "top_terms"        -> TrainingQueries.topTermsSql,
     "dedup_exact_text" -> TrainingQueries.dedupExactTextSql,
     "dedup_minhash"    -> TrainingQueries.dedupMinhashSql,
     "ngram_jaccard"    -> TrainingQueries.ngramJaccardSql,

@@ -246,6 +246,25 @@ object EtlQueries {
       |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
       |GROUP BY event_type""".stripMargin
 
+  // ----------------------------------------------------------- C2
+  /** Partitioned parquet sink round-trip: write documents partitioned
+    * by lang, read back one partition — the filter must prune to a
+    * single partition directory, never scanning the rest. */
+  def partitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/docs_by_lang"
+    graft.sinks.Sinks.writeParquet(Tables.documents(s, dir), out,
+      partitionBy = Seq("lang"))
+    s.read.parquet(out)
+      .filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  val partitionedSinkSql: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents WHERE lang = 'en'""".stripMargin
+
   // ----------------------------------------------------------- C3
   /** Day-range run: one audit row per day, reference schema. */
   def processingLog(s: SparkSession, dir: String): DataFrame = {

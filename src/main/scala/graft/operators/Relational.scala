@@ -278,4 +278,121 @@ object Relational {
       |    FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
       |          FROM events) a) b) c
       |GROUP BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- D15
+  /** Pivot: line counts by returnflag × linestatus. Explicit pivot
+    * values, so no extra distinct-collection job runs at scale. */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .count()
+
+  val pivotAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- D16
+  /** Cube: totals over every subset of (returnflag, linestatus). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val cubeAggSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // --------------------------------------------------------------- D17
+  /** Set operations: customers with a 250k+ order vs customers with an
+    * urgent order — intersect / except / union cardinalities. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val high = o.filter(col("o_totalprice") > 250000.0).select(col("o_custkey")).distinct()
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")).distinct()
+    high.intersect(urgent).agg(count(lit(1)).as("n_both"))
+      .crossJoin(high.except(urgent).agg(count(lit(1)).as("n_high_only")))
+      .crossJoin(high.union(urgent).distinct().agg(count(lit(1)).as("n_either")))
+  }
+
+  val setOpsSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+      |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')) AS n_both,
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')) AS n_high_only,
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+      |    UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')) AS n_either""".stripMargin
+
+  // --------------------------------------------------------------- D18
+  /** As-of join: for every purchase event, the user's most recent
+    * click at-or-before it. Implemented the scalable way — one tagged
+    * union + an ignore-nulls running `last` over (user, time), so the
+    * cost is a single sort-shuffle on user_id instead of a per-row
+    * range join. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("last_click"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click"))).as("gap_us"))
+  }
+
+  val asofJoinSql: String =
+    """WITH ev AS (SELECT user_id, ts, event_type,
+      |    CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (SELECT user_id, ts, event_type,
+      |    LAST_VALUE(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, tag ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      |  FROM ev)
+      |SELECT user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  strftime(last_click, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  CAST(epoch_us(ts) - epoch_us(last_click) AS BIGINT) AS gap_us
+      |FROM w WHERE event_type = 'purchase'""".stripMargin
+
+  // --------------------------------------------------------------- D19
+  /** Exact quantiles by rank (p50/p90 of extended price per line
+    * status): the value at rank ⌈p·n⌉ — rank selection, not
+    * interpolation, so the result is a value from the data and is
+    * bit-identical in any engine (no float interpolation drift). */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_linestatus")).orderBy(col("l_extendedprice").asc)
+    val ranked = Tables.lineitem(s, dir)
+      .select(col("l_linestatus"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_linestatus"))))
+    def pick(p: Double): DataFrame = ranked
+      .filter(col("rn") === ceil(col("n") * p).cast("long"))
+      .select(col("l_linestatus"), lit(p).as("p"), col("l_extendedprice").as("value"))
+    pick(0.5).union(pick(0.9))
+  }
+
+  val quantilesSql: String =
+    """WITH w AS (SELECT l_linestatus, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY l_extendedprice ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+      |  FROM lineitem)
+      |SELECT l_linestatus, 0.5 AS p, l_extendedprice AS value FROM w
+      |  WHERE rn = CAST(CEIL(n * 0.5) AS BIGINT)
+      |UNION ALL
+      |SELECT l_linestatus, 0.9 AS p, l_extendedprice AS value FROM w
+      |  WHERE rn = CAST(CEIL(n * 0.9) AS BIGINT)""".stripMargin
 }

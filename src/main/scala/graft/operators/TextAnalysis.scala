@@ -66,4 +66,30 @@ object TextAnalysis {
     val stopRatio = stopwordHits(text, "en").cast("double") / nTok
     round(lit(0.5) * alphaRatio + lit(0.3) * lenCredit + lit(0.2) * stopRatio, 4)
   }
+
+  /** Text normalization (E13): lowercase, strip non-alphanumerics,
+    * collapse runs of spaces. One codegen projection. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Stopword-filtered token array of normalized text. */
+  def contentTokens(text: Column, lang: String = "en"): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    filter(split(normalizeText(text), " "), t => !array_contains(sw, t))
+  }
+
+  // PII patterns: kept RE2-compatible (no backrefs/lookarounds) so the
+  // same pattern runs in Spark (java.util.regex) and the oracle.
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+  /** PII scrubbing (E14): mask emails and phone-shaped numbers. Order
+    * matters (emails first — their local part can look phone-like). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
 }

@@ -162,6 +162,68 @@ object TrainingQueries {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS INTEGER) AS n_re
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- E13
+  /** Normalize + remove stopwords; verified through the cleaned string
+    * and surviving-token count. */
+  def cleanText(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.contentTokens(col("text"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat_ws(" ", toks).as("clean"),
+      size(toks).as("n_kept"))
+  }
+
+  val cleanTextSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+      |    x -> NOT list_contains(['the','a','and','of','to','in','is'], x)) AS toks
+      |  FROM documents)
+      |SELECT doc_id, array_to_string(toks, ' ') AS clean,
+      |  CAST(len(toks) AS INTEGER) AS n_kept FROM t""".stripMargin
+
+  // ----------------------------------------------------------- E14
+  /** PII scrub: deterministic synthetic emails/phones are planted per
+    * row, then masked; verified on the scrubbed text and match
+    * counts. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com or +1-555-123-4567"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.emailCount(withPii).as("n_emails"),
+      TextAnalysis.phoneCount(withPii).as("n_phones"),
+      TextAnalysis.scrubPii(withPii).as("scrubbed"))
+  }
+
+  val piiScrubSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  text || ' contact user' || doc_id || '@mail.example.com or +1-555-123-4567' AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(s, '\+?[0-9][0-9-]{7,}[0-9]')) AS INTEGER) AS n_phones,
+      |  regexp_replace(regexp_replace(s,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\+?[0-9][0-9-]{7,}[0-9]', '[PHONE]', 'g') AS scrubbed
+      |FROM t""".stripMargin
+
+  // ----------------------------------------------------------- E15
+  /** Corpus top-100 terms — TakeOrderedAndProject after a partial-agg
+    * term count, so only k rows cross to the driver. */
+  def topTerms(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(100)
+
+  val topTermsSql: String =
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      |SELECT term, COUNT(*) AS n FROM t WHERE len(term) > 0
+      |GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""".stripMargin
+
   // ----------------------------------------------------------- E6
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
