@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import graft.operators.{Relational, Similarity}
+
+/** Physical-plan audits: the properties that make these operators hold
+  * up at 100 TB are asserted here so a regression (a lost pushdown, a
+  * join that stops broadcasting, codegen falling off) fails CI, not a
+  * cluster run. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // materialize THIS plan so AQE finalizes stages
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan.toString
+  }
+
+  test("filter+projection reach the parquet scan (pushdown + pruning)") {
+    val p = plan(Relational.filterProject(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    // scan schema is only the referenced columns, not the whole table
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("o_comment") && !p.contains("o_orderdate"), p)
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan(Relational.starJoin(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // the fact-fact join may be sort-merge or shuffled-hash, never NL
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q1 aggregation is partial (map-side) + final") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    assert(p.contains("partial_sum"), p) // map-side combine before shuffle
+    assert(p.contains("*("), p)           // whole-stage codegen stages
+  }
+
+  test("partitioned sink read-back prunes to one lang partition") {
+    val out = s"/tmp/graft_sink/plan_spec/docs_by_lang"
+    graft.sinks.Sinks.writeParquet(Tables.documents(spark, sf), out,
+      partitionBy = Seq("lang"))
+    val read = spark.read.parquet(out).filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val p = plan(read)
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+  }
+
+  test("minhash candidate generation plans no cross join") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val p = plan(operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("brute-force ANN broadcasts the bounded query side") {
+    val vecs = Tables.embeddings(spark, sf)
+    val p = plan(Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, 10))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    val p = plan(Tables.documents(spark, sf)
+      .select(operators.Dedup.simhash("text").as("s"),
+        graft.functions.RollingHash.rollingHash(col("text")).as("f")))
+    assert(p.contains("*("), p) // codegen stage marker in executedPlan
+  }
+}
