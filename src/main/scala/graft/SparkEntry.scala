@@ -33,6 +33,7 @@ object SparkEntry {
     "q_set_ops"        -> Relational.setOps _,
     "q_asof_join"      -> Relational.asofJoin _,
     "q_quantile"       -> Relational.quantiles _,
+    "q_salted_join"    -> ((s, d) => Relational.saltedJoin(s, d)),
     // A/B/C. ETL surface
     "date_extract"     -> EtlQueries.dateExtract _,
     "file_catalog"     -> EtlQueries.fileCatalog _,
@@ -50,6 +51,8 @@ object SparkEntry {
     "etl_day_pipeline" -> EtlQueries.etlDayPipeline _,
     "processing_log"   -> EtlQueries.processingLog _,
     "partitioned_sink" -> EtlQueries.partitionedSink _,
+    "orc_roundtrip"    -> EtlQueries.orcRoundtrip _,
+    "jdbc_roundtrip"   -> EtlQueries.jdbcRoundtrip _,
     // E. training-data operators
     "clean_text"       -> TrainingQueries.cleanText _,
     "pii_scrub"        -> TrainingQueries.piiScrub _,
@@ -93,6 +96,7 @@ object SparkEntry {
     "q_set_ops"       -> Relational.setOpsSql,
     "q_asof_join"     -> Relational.asofJoinSql,
     "q_quantile"      -> Relational.quantilesSql,
+    "q_salted_join"   -> Relational.saltedJoinSql,
     "date_extract"     -> EtlQueries.dateExtractSql,
     "file_catalog"     -> EtlQueries.fileCatalogSql,
     "bucket_date_histogram" -> EtlQueries.bucketDateHistogramSql,
@@ -109,6 +113,8 @@ object SparkEntry {
     "etl_day_pipeline" -> EtlQueries.etlDayPipelineSql,
     "processing_log"   -> EtlQueries.processingLogSql,
     "partitioned_sink" -> EtlQueries.partitionedSinkSql,
+    "orc_roundtrip"    -> EtlQueries.orcRoundtripSql,
+    "jdbc_roundtrip"   -> EtlQueries.jdbcRoundtripSql,
     "clean_text"       -> TrainingQueries.cleanTextSql,
     "pii_scrub"        -> TrainingQueries.piiScrubSql,
     "top_terms"        -> TrainingQueries.topTermsSql,

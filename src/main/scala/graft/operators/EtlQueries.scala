@@ -246,6 +246,46 @@ object EtlQueries {
       |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
       |GROUP BY event_type""".stripMargin
 
+  // ----------------------------------------------------------- A5b
+  /** ORC round-trip: same contract as csv_roundtrip through the ORC
+    * source/sink (columnar, predicate-pushdown capable). */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_orc"
+    Tables.events(s, dir).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("event_type") =!= "error")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events WHERE event_type <> 'error'""".stripMargin
+
+  // ----------------------------------------------------------- A7/C1
+  /** End-to-end JDBC: write documents metadata through the batched
+    * JDBC sink into an embedded Derby database, read it back through
+    * the partitioned JDBC source (4 range partitions on doc_id), and
+    * aggregate. Exercises the real reader/writer codepaths the
+    * PostgreSQL deployment uses — only the JDBC URL differs. */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:memory:graftdb;create=true"
+    val cfg = graft.sinks.Sinks.JdbcConfig(url, "docs_meta", "app", "app",
+      numPartitions = 2, batchSize = 1000)
+    graft.sinks.Sinks.writeJdbc(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      cfg, overwrite = true)
+    Readers.jdbc(s, url, "docs_meta", "app", "app",
+        partitionColumn = Some(("doc_id", 0L, 1000L, 4)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val jdbcRoundtripSql: String =
+    "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1"
+
   // ----------------------------------------------------------- C2
   /** Partitioned parquet sink round-trip: write documents partitioned
     * by lang, read back one partition — the filter must prune to a

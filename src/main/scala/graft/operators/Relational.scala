@@ -367,6 +367,29 @@ object Relational {
       |  CAST(epoch_us(ts) - epoch_us(last_click) AS BIGINT) AS gap_us
       |FROM w WHERE event_type = 'purchase'""".stripMargin
 
+  // --------------------------------------------------------------- D20
+  /** Salted shuffle join — the manual skew-mitigation pattern for when
+    * AQE's runtime skew split isn't enough: the skewed (big) side gets
+    * a deterministic salt in [0, nSalts); the other side is exploded
+    * once per salt value, so the shuffle key (key, salt) spreads one
+    * hot key over nSalts reducers. Results are identical to the plain
+    * join — verified by the same oracle as a plain join. */
+  def saltedJoin(s: SparkSession, dir: String, nSalts: Int = 8): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_suppkey")), lit(nSalts)))
+    val o = Tables.orders(s, dir)
+      .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val saltedJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   // --------------------------------------------------------------- D19
   /** Exact quantiles by rank (p50/p90 of extended price per line
     * status): the value at rank ⌈p·n⌉ — rank selection, not

@@ -55,6 +55,14 @@ object EventStream {
       }
   }
 
+  /** F4: streaming exact dedup — duplicates arriving within the
+    * watermark horizon are dropped with bounded state (the streaming
+    * form of `Cleaning.dedupRows`). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** F3: continuous file-drop ingest — the reference's daily CSV loop
     * as a stream. New `events_<date>.csv[.gz]` files appearing in
     * `dropDir` are read incrementally, column-cleaned, and tagged with

@@ -60,6 +60,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("bucketed tables join with no shuffle on the join key") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the catalog is in-memory per JVM, but the managed locations are
+    // not — scrub leftovers from previous test runs
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    Tables.orders(spark, sf).write.bucketBy(8, "o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf).write.bucketBy(8, "l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // force the shuffle-join path (at real scale neither side
+    // broadcasts); the point is that bucketing replaces the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val p = plan(joined).split("== Initial Plan ==")(0)
+      // the only exchange is the one for the final groupBy — the join
+      // itself reuses the bucketing (the 100 TB co-location story)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),

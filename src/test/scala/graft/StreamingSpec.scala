@@ -56,6 +56,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F4: streaming dedup drops duplicates within the watermark") {
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "payload")
+    val q = graft.streaming.EventStream.dedupStream(df, Seq("event_id"))
+      .writeStream.format("memory").queryName("f4").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts("2024-01-15 10:00:00"), "a"), (1L, ts("2024-01-15 10:01:00"), "dup"))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-15 10:02:00"), "dup2"), (2L, ts("2024-01-15 10:03:00"), "b"))
+      q.processAllAvailable()
+      val ids = spark.table("f4").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("F3: file-drop stream ingests newly arriving date-named CSVs") {
     val drop = Files.createTempDirectory("graft_stream_drop").toString
     val schema = new StructType().add("{user}", StringType).add("v", StringType)
