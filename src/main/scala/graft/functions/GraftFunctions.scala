@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the engine's custom expressions, so
+  * `spark.sql("SELECT rolling_hash(text) ...")` works the same as the
+  * Column API.
+  *
+  * Two entry points:
+  *  - [[GraftFunctions.register]] — imperative, for an existing session;
+  *  - [[GraftExtensions]] — a `SparkSessionExtensions` hook for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`, the
+  *    deployment-config route (cluster-wide, no code change).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, builder) for every SQL-exposed function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> { args => RollingHash(args.head) },
+    "simhash64" -> { args => SimHash64(args.head) },
+    "float_vec_dot" -> { args => FloatVecDot(args(0), args(1)) },
+    "minhash_band_keys" -> { args =>
+      MinHashBandKeys(args(0),
+        intArg(args(1), "numBands"), intArg(args(2), "rowsPerBand"))
+    },
+  )
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, RollingHash}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq(("hello world", Array("hello", "world"), Array(1.0f, 2.0f)))
+      .toDF("t", "toks", "v").createOrReplaceTempView("fx")
+    val r = spark.sql(
+      """SELECT rolling_hash(t) AS rh, simhash64(toks) AS sh,
+        |  float_vec_dot(v, v) AS d,
+        |  size(minhash_band_keys(toks, 8, 4)) AS nb
+        |FROM fx""".stripMargin).head()
+    assert(r.getLong(0) == RollingHash.hash("hello world"))
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getInt(3) == 8)
+    // SQL result equals the Column-API result
+    val viaColumn = Seq(Array("hello", "world")).toDF("toks")
+      .select(graft.functions.HashExprs.simHash64(col("toks"))).head().getLong(0)
+    assert(r.getLong(1) == viaColumn)
+  }
+}
