@@ -34,6 +34,9 @@ object SparkEntry {
     "q_asof_join"      -> Relational.asofJoin _,
     "q_quantile"       -> Relational.quantiles _,
     "q_salted_join"    -> ((s, d) => Relational.saltedJoin(s, d)),
+    "q_cumsum"         -> Relational.cumulativeSum _,
+    "q_above_cust_avg" -> Relational.aboveCustomerAvg _,
+    "q_approx_quantile" -> Relational.approxQuantiles _,
     // A/B/C. ETL surface
     "date_extract"     -> EtlQueries.dateExtract _,
     "file_catalog"     -> EtlQueries.fileCatalog _,
@@ -97,6 +100,8 @@ object SparkEntry {
     "q_asof_join"     -> Relational.asofJoinSql,
     "q_quantile"      -> Relational.quantilesSql,
     "q_salted_join"   -> Relational.saltedJoinSql,
+    "q_cumsum"        -> Relational.cumulativeSumSql,
+    "q_above_cust_avg" -> Relational.aboveCustomerAvgSql,
     "date_extract"     -> EtlQueries.dateExtractSql,
     "file_catalog"     -> EtlQueries.fileCatalogSql,
     "bucket_date_histogram" -> EtlQueries.bucketDateHistogramSql,

@@ -390,6 +390,66 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- D22
+  /** Cumulative aggregation with a RANGE frame: running revenue per
+    * customer by order date. RANGE (not ROWS) so all same-date peers
+    * aggregate together — the result is deterministic under any
+    * intra-date row order, hence safe for exact comparison. */
+  def cumulativeSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("cum_spend", round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("cum_spend"))
+  }
+
+  val cumulativeSumSql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_spend
+      |FROM orders""".stripMargin
+
+  // --------------------------------------------------------------- D23
+  /** Correlated-scalar-subquery shape: orders priced above their own
+    * customer's average — expressed as a window average (one shuffle)
+    * rather than a per-row subquery. The average is an exact decimal
+    * sum divided by the count, so the comparison boundary is
+    * bit-identical in any engine. */
+  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+    val avgP = sum(dec(col("o_totalprice"))).over(w).cast("double") /
+      count(lit(1)).over(w)
+    Tables.orders(s, dir)
+      .withColumn("avg_p", avgP)
+      .filter(col("o_totalprice") > col("avg_p"))
+      .agg(count(lit(1)).as("n_above"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+  }
+
+  val aboveCustomerAvgSql: String =
+    """SELECT COUNT(*) AS n_above, COUNT(DISTINCT o_custkey) AS n_custs FROM (
+      |  SELECT o_custkey, o_totalprice,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY o_custkey) AS avg_p
+      |  FROM orders) t
+      |WHERE o_totalprice > avg_p""".stripMargin
+
+  // --------------------------------------------------------------- D24
+  /** Approximate quantiles (GK sketch) — the 100 TB path next to the
+    * exact rank-selection of `quantiles`: one pass, mergeable partial
+    * sketches, no per-group sort. Rows-only check (sketch results are
+    * engine-specific). */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("approx_p"))
+
   // --------------------------------------------------------------- D19
   /** Exact quantiles by rank (p50/p90 of extended price per line
     * status): the value at rank ⌈p·n⌉ — rank selection, not
