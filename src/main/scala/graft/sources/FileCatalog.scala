@@ -63,9 +63,24 @@ object FileCatalog {
     catalog(spark, root).filter(col("extracted_date") === date)
 
   /** The reference's `--analyze-dates` histogram
-    * (etl_pipeline.py:599-658): file count + size per extracted date. */
+    * (etl_pipeline.py:599-658): file count + size + modification-time
+    * range per extracted date. */
   def dateHistogram(spark: SparkSession, root: String): DataFrame =
     catalog(spark, root)
       .groupBy(col("extracted_date"))
-      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"),
+        min(col("mtime_ms")).as("min_mtime_ms"),
+        max(col("mtime_ms")).as("max_mtime_ms"))
+
+  /** Whole-bucket summary (the reference's analyze header): object
+    * count, bytes, distinct dates, date + modification-time ranges. */
+  def bucketSummary(spark: SparkSession, root: String): DataFrame =
+    catalog(spark, root).agg(
+      count(lit(1)).as("n_files"),
+      sum(col("size")).as("total_bytes"),
+      countDistinct(col("extracted_date")).as("n_dates"),
+      min(col("extracted_date")).as("min_date"),
+      max(col("extracted_date")).as("max_date"),
+      min(col("mtime_ms")).as("min_mtime_ms"),
+      max(col("mtime_ms")).as("max_mtime_ms"))
 }
