@@ -12,9 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up so the first timed query doesn't absorb JVM/JIT,
-    // codegen-cache, and parquet-footer costs.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Untimed warm-up against the BENCHMARKED dataset so the first
+    // timed query doesn't absorb JVM/JIT, codegen-cache, file-listing,
+    // or parquet-footer costs for sfDir.
+    Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

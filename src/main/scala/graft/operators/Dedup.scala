@@ -110,16 +110,29 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Candidates via 4×16-bit chunk banding (pigeonhole: distance ≤ 3
     * guarantees an identical chunk; larger distances are found with
-    * high probability), verified with bit_count(xor). */
+    * high probability), verified with bit_count(xor). The pigeonhole
+    * guarantee only holds while no bucket truncates — as with minhash,
+    * `strict=true` raises on an over-full bucket instead of silently
+    * dropping pairs. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+                            maxHamming: Int = 3, maxBucket: Int = 64,
+                            strict: Boolean = false): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhash(textCol).as("sim"))
     val banded = sigs.select(col("id"), col("sim"), explode(expr(
       "transform(sequence(0, 3), c -> named_struct('chunk', c, 'key', (sim >> (c * 16)) & 65535))")).as("ck"))
+    val guarded =
+      if (strict)
+        when(size(col("members")) > maxBucket, expr(
+          s"""raise_error(concat('simhash bucket exceeds maxBucket=$maxBucket (',
+             |  CAST(size(members) AS STRING), ' ids) — pairs would be silently dropped'))"""
+            .stripMargin))
+          .otherwise(col("members"))
+      else expr(s"slice(members, 1, $maxBucket)")
     banded.groupBy(col("ck.chunk"), col("ck.key"))
       .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
       .filter(size(col("members")) > 1)
-      .withColumn("members", expr(s"slice(array_sort(members), 1, $maxBucket)"))
+      .withColumn("members", array_sort(col("members")))
+      .withColumn("members", guarded)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(members) - 1),
           |  i -> transform(sequence(0, i - 1),

@@ -287,6 +287,9 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
       .count()
+      // a combination absent from the data pivots to NULL; the
+      // SUM(CASE...) oracle (and the useful semantics) is 0
+      .na.fill(0L, Seq("F", "O"))
 
   val pivotAggSql: String =
     """SELECT l_returnflag,
@@ -462,10 +465,16 @@ object Relational {
       .select(col("l_linestatus"), col("l_extendedprice"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_linestatus"))))
-    def pick(p: Double): DataFrame = ranked
-      .filter(col("rn") === ceil(col("n") * p).cast("long"))
-      .select(col("l_linestatus"), lit(p).as("p"), col("l_extendedprice").as("value"))
-    pick(0.5).union(pick(0.9))
+    // single window pass for all percentiles: each row carries the set
+    // of percentile ranks it realizes (usually 0 or 1; both for a tiny
+    // group) and explodes into one output row per match
+    val ps = Seq(0.5, 0.9)
+    val matched = array(ps.map(p =>
+      when(col("rn") === ceil(col("n") * p).cast("long"), lit(p))): _*)
+    ranked
+      .select(col("l_linestatus"),
+        explode(filter(matched, x => x.isNotNull)).as("p"),
+        col("l_extendedprice").as("value"))
   }
 
   val quantilesSql: String =

@@ -60,9 +60,10 @@ object Similarity {
   /** Embedding dimensionality probed from the data (one 1-row job) so
     * the LSH planes always match — a mismatch then fails fast inside
     * [[graft.functions.HyperplaneBucket]] instead of silently hashing
-    * every vector to bucket 0. */
-  def embeddingDim(vecs: DataFrame, embCol: String = "embedding"): Int =
-    vecs.select(size(col(embCol))).head().getInt(0)
+    * every vector to bucket 0. None on an empty/all-null corpus. */
+  def embeddingDim(vecs: DataFrame, embCol: String = "embedding"): Option[Int] =
+    vecs.select(size(col(embCol)).as("d")).filter(col("d") >= 0)
+      .limit(1).collect().headOption.map(_.getInt(0))
 
   /** Cosine near-duplicate pairs (E5). `exact=true` compares all pairs
     * (oracle-checkable, for bounded corpora); otherwise pairs are
@@ -79,13 +80,17 @@ object Similarity {
       if (exact) {
         a.join(b, col("id_a") < col("id_b"))
       } else {
-        val d = dim.getOrElse(embeddingDim(base))
-        val ab = a.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_a"),
-          hyperplanes(nPlanes, d, seed)))
-        val bb = b.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_b"),
-          hyperplanes(nPlanes, d, seed)))
-        ab.join(bb, Seq("bucket")).filter(col("id_a") < col("id_b"))
-          .drop("bucket")
+        dim.orElse(embeddingDim(base)) match {
+          case None => // empty corpus → empty pairs, like the exact path
+            a.limit(0).join(b.limit(0), col("id_a") < col("id_b"))
+          case Some(d) =>
+            val ab = a.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_a"),
+              hyperplanes(nPlanes, d, seed)))
+            val bb = b.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_b"),
+              hyperplanes(nPlanes, d, seed)))
+            ab.join(bb, Seq("bucket")).filter(col("id_a") < col("id_b"))
+              .drop("bucket")
+        }
       }
     pairs
       .withColumn("cos", round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))

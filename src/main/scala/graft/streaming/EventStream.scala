@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY.md §2 F1-F3): the reference's
@@ -38,20 +38,49 @@ object EventStream {
   /** F2: stateful gap-based sessionization (mapGroupsWithState) — the
     * streaming analogue of `Relational.sessionize`. State per user is
     * three longs; each micro-batch folds its events in timestamp
-    * order into the running session count. */
-  def sessionCounts(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[SessionAgg] = {
+    * order into the running session count.
+    *
+    * Bounded state: a user's state is evicted once the event-time
+    * watermark passes their last activity + gap (the session is
+    * closed and can never reopen) — without eviction, per-user state
+    * grows monotonically with user cardinality. Event-time timeout is
+    * used deliberately: `ProcessingTimeTimeout` makes
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` return true
+    * unconditionally, so the micro-batch engine spins no-data batches
+    * back-to-back and `processAllAvailable()` never returns. Late
+    * events are folded without rewinding `lastSec`, so an
+    * out-of-order arrival can't make the next in-order event look
+    * like a session break. */
+  def sessionCounts(events: Dataset[Ev], gapSeconds: Long = 1800,
+                    watermarkDelay: String = "1 hour"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessState, SessionAgg](GroupStateTimeout.NoTimeout) {
-        case (uid, evs, state) =>
-          var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
-          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val sec = e.ts.getTime / 1000
-            val isNew = st.lastSec == Long.MinValue || sec - st.lastSec > gapSeconds
-            st = SessState(st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L, sec)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessionAgg](GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSec + gap: session closed for good —
+            // emit the final totals and release the state
+            val st = state.get
+            state.remove()
+            SessionAgg(uid, st.nSessions, st.nEvents)
+          } else {
+            var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val sec = e.ts.getTime / 1000
+              val isNew = st.lastSec == Long.MinValue || sec - st.lastSec > gapSeconds
+              st = SessState(st.nSessions + (if (isNew) 1L else 0L),
+                st.nEvents + 1L, math.max(st.lastSec, sec))
+            }
+            state.update(st)
+            // a timeout timestamp must stay ahead of the watermark; the
+            // max() guards users whose whole batch arrived late
+            state.setTimeoutTimestamp(math.max(
+              (st.lastSec + gapSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            SessionAgg(uid, st.nSessions, st.nEvents)
           }
-          state.update(st)
-          SessionAgg(uid, st.nSessions, st.nEvents)
       }
   }
 

@@ -65,7 +65,8 @@ class DedupSpec extends SparkSpec {
       (col("doc_id") + 10000).as("doc_id"),
       concat(col("text"), lit(" zzz")).as("text"))
     val all = docs.limit(50).union(mutated)
-    val found = Dedup.simhashNearDuplicates(all, "doc_id", "text", maxHamming = 10)
+    val found = Dedup.simhashNearDuplicates(all, "doc_id", "text", maxHamming = 10,
+        maxBucket = 4096, strict = true)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
     // every reported pair respects the hamming budget
     assert(found.forall(_._3 <= 10))

@@ -39,6 +39,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("embeddingDim probes the data") {
-    assert(Similarity.embeddingDim(vecs) == 64)
+    assert(Similarity.embeddingDim(vecs).contains(64))
+    assert(Similarity.embeddingDim(vecs.limit(0)).isEmpty)
   }
 }
