@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines
+  * (SURVEY.md §2 E16-E19): deterministic train/valid/test assignment,
+  * stratified sampling, fixed-budget sequence packing, and
+  * sliding-window chunking. These are the steps between "deduped
+  * documents" and "batches a trainer can consume".
+  *
+  * Scale notes: split assignment and chunking are pure per-row
+  * projections (no shuffle, whole-stage codegen). Packing windows by
+  * `source`, never globally, so the sort-shuffle parallelizes across
+  * sources. Stratified sampling pushes the per-stratum Bernoulli draw
+  * into the scan (`sampleBy` = one filter, no shuffle).
+  */
+object Corpus {
+
+  /** Deterministic train/valid/test assignment from the document id —
+    * the standard "hash mod 10" split, written with a bounded
+    * multiplicative hash so the arithmetic can't overflow in ANY
+    * engine (ids are first reduced mod 1e6+3, so the product stays
+    * < 2^52): reproducible across runs, engines, and repartitions,
+    * unlike `rand()`-based splits. 8/1/1 by default. */
+  def splitColumn(idCol: Column, trainBuckets: Int = 8, validBuckets: Int = 1): Column = {
+    val bucket = pmod((idCol % 1000003L) * 2654435761L, lit(10L))
+    when(bucket < trainBuckets, "train")
+      .when(bucket < trainBuckets + validBuckets, "valid")
+      .otherwise("test")
+  }
+
+  /** Per-split corpus accounting: documents and characters per
+    * (split, lang) — the sanity check every corpus build runs after
+    * assignment. */
+  def splitSummary(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("split", splitColumn(col(idCol)))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Stratified sample: per-stratum Bernoulli fractions with a fixed
+    * seed (`sampleBy`). Hash-based and reproducible for a given seed,
+    * but the hash is engine-specific — verify proportions, not exact
+    * membership. */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    docs.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Fixed-budget contiguous sequence packing: per `source` (in
+    * doc_id order), a document joins the pack its starting token
+    * offset falls in — pack k covers offsets [k·budget, (k+1)·budget).
+    * One sort-shuffle per source partition; no driver state. A pack
+    * can overhang its budget by at most one document (the trainer-side
+    * convention: the overhanging tail is truncated or wrapped). */
+  def packSequences(docs: DataFrame, budget: Int = 256,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    byCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
+    docs
+      .select(col(byCol), col(idCol), size(split(col(textCol), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)))
+      .groupBy(col(byCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+  }
+
+  /** Sliding-window token chunking: split each document into chunks of
+    * `chunkTokens` tokens advancing by `stride` (overlap =
+    * chunkTokens - stride), the context-window preparation step for
+    * LLM training. Pure projection + explode — no shuffle; chunk
+    * count per doc is ⌈(n-C)/S⌉+1 so every token is covered and the
+    * last chunk may be short. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in (0, chunkTokens]; got stride=$stride chunkTokens=$chunkTokens")
+    val withToks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") <= chunkTokens, lit(1L))
+          .otherwise(ceil((col("n") - chunkTokens) / lit(stride.toDouble)) + 1L))
+    withToks
+      .select(col(idCol), col("toks"), col("n"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1L)).as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("n") - col("chunk_idx") * stride)
+          .cast("int").as("chunk_tokens"))
+  }
+}

@@ -487,4 +487,85 @@ object Relational {
       |UNION ALL
       |SELECT l_linestatus, 0.9 AS p, l_extendedprice AS value FROM w
       |  WHERE rn = CAST(CEIL(n * 0.9) AS BIGINT)""".stripMargin
+
+  // --------------------------------------------------------------- D25
+  /** Offset/ranking window family beyond rank: prev/next order per
+    * customer (lag/lead), spend quartile (ntile), percentile position
+    * (percent_rank) — one window pass, deterministic order. */
+  def lagLead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+      lead(col("o_orderkey"), 1).over(w).as("next_order"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pr"))
+  }
+
+  val lagLeadSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_orderkey, 1) OVER w AS prev_order,
+      |  LEAD(o_orderkey, 1) OVER w AS next_order,
+      |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
+  // --------------------------------------------------------------- D26
+  /** GROUPING SETS: per-flag totals, per-status totals, and the grand
+    * total in one pass (a single Expand + aggregation — each input row
+    * is replicated once per set, not re-scanned per set). */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  // --------------------------------------------------------------- D27
+  /** Range (non-equi interval) join: events bucketed against a value-
+    * band dimension. The band table is tiny and broadcast, so the
+    * non-equi predicate runs as a broadcast nested-loop against 10
+    * rows — no shuffle of the fact side, which is the only sane plan
+    * for interval joins at 100 TB (never sort-merge on a non-equi
+    * key). */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(10).select(
+      (col("id") * 50.0).as("lo"), ((col("id") + 1) * 50.0).as("hi"))
+    Tables.events(s, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  val rangeJoinSql: String =
+    """SELECT lo, hi, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |JOIN (SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi FROM range(10) t(i)) bands
+      |  ON value >= lo AND value < hi
+      |GROUP BY lo, hi""".stripMargin
+
+  // --------------------------------------------------------------- D28
+  /** Aggregate + HAVING: repeat customers (≥ 8 orders) with exact-
+    * decimal lifetime spend. The HAVING filter runs post-aggregation
+    * on the reduced relation, never on the fact rows. */
+  def havingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") >= 8)
+
+  val havingAggSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8""".stripMargin
 }

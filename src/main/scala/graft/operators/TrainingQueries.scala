@@ -280,4 +280,72 @@ object TrainingQueries {
       |  CAST(strlen(text) // 100 + 1 AS INTEGER) AS frame_count,
       |  CAST(16 AS INTEGER) AS feature_dim
       |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- E16
+  /** Deterministic 8/1/1 train/valid/test split + per-split corpus
+    * accounting. The assignment is a pure function of doc_id, so the
+    * oracle reproduces it exactly. */
+  def trainTestSplit(s: SparkSession, dir: String): DataFrame =
+    Corpus.splitSummary(Tables.documents(s, dir))
+
+  val trainTestSplitSql: String =
+    """SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'valid' ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM (SELECT lang, n_chars, ((doc_id % 1000003) * 2654435761) % 10 AS b
+      |      FROM documents) t
+      |GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- E17
+  /** Stratified sample by language (reproducible for a fixed seed but
+    * engine-specific hashing — rows-only for the driver; the spec
+    * asserts per-stratum proportions). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(Tables.documents(s, dir), "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
+        seed = 42L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+
+  // ----------------------------------------------------------- E18
+  /** Fixed-budget (256-token) sequence packing per source. */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(Tables.documents(s, dir), budget = 256)
+
+  val packSequencesSql: String =
+    """WITH t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens,
+      |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+      |SELECT source, CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- E19
+  /** Sliding-window chunking: 64-token chunks, stride 48 (16-token
+    * overlap). */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunkDocuments(Tables.documents(s, dir), chunkTokens = 64, stride = 48)
+
+  val chunkDocumentsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |k AS (SELECT doc_id, toks, n,
+      |        CASE WHEN n <= 64 THEN 1
+      |             ELSE CAST(CEIL((n - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks FROM n),
+      |e AS (SELECT doc_id, toks, n, UNNEST(range(n_chunks)) AS chunk_idx FROM k)
+      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+      |  CAST(LEAST(64, n - chunk_idx * 48) AS INTEGER) AS chunk_tokens
+      |FROM e""".stripMargin
+
+  // ----------------------------------------------------------- E20
+  /** Approximate heavy hitters over corpus terms (`freqItems`, a
+    * single-pass mergeable sketch — the 100 TB path where exact
+    * `top_terms` would need a full term shuffle). Sketch contents are
+    * engine-specific → rows-only; the spec asserts every truly
+    * frequent term is present. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .stat.freqItems(Seq("term"), 0.01)
 }

@@ -92,6 +92,29 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** F5: stream-static enrichment join — each micro-batch joins
+    * against a (small, broadcast) dimension snapshot, the streaming
+    * form of the star join's dim lookup. The static side is re-read
+    * per batch by Spark, so a refreshed dim table is picked up without
+    * restarting the query. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** F6: micro-batch JDBC/warehouse load via foreachBatch — the
+    * reference's chunked PostgreSQL insert (etl_pipeline.py:485-517)
+    * as a continuous sink. Each batch is appended transactionally by
+    * the writer lambda; `batchId` gives exactly-once bookkeeping if
+    * the writer dedups on it (the JDBC sink writes batchId into the
+    * audit column for that). */
+  def foreachBatchSink(events: DataFrame, queryName: String)(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .queryName(queryName)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        write(batch.withColumn("batch_id", lit(batchId)), batchId)
+      }
+
   /** F3: continuous file-drop ingest — the reference's daily CSV loop
     * as a stream. New `events_<date>.csv[.gz]` files appearing in
     * `dropDir` are read incrementally, column-cleaned, and tagged with

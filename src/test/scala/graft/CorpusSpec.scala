@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Corpus-preparation invariants (SURVEY.md §2 E16-E20). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("E16: split assignment is deterministic, total, and ~8/1/1") {
+    val counts = docs.withColumn("split", Corpus.splitColumn(col("doc_id")))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = docs.count()
+    assert(counts.values.sum == n) // total: every doc lands somewhere
+    assert(counts.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(counts("train") > counts("valid") && counts("train") > counts("test"))
+    // deterministic: same assignment on re-evaluation
+    val again = docs.withColumn("split", Corpus.splitColumn(col("doc_id")))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("E17: stratified sample respects per-stratum fractions") {
+    val base = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = Corpus.stratifiedSample(docs, "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0), seed = 42L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // fraction-1.0 strata come through whole
+    for (l <- Seq("de", "fr", "es", "zh"))
+      assert(sampled.getOrElse(l, 0L) == base(l), s"stratum $l must be complete")
+    // the 0.5 stratum is a strict, non-empty subset
+    assert(sampled("en") > 0 && sampled("en") < base("en"))
+  }
+
+  test("E18: packs partition the corpus and respect contiguity") {
+    val packed = Corpus.packSequences(docs, budget = 256)
+    val total = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val packedTotal = packed.select(sum("pack_tokens")).head().getLong(0)
+    assert(packedTotal == total) // token-conserving
+    // each pack's token count stays under budget + one max doc length
+    val maxDoc = docs.select(max(size(split(col("text"), " ")))).head().getInt(0)
+    val maxPack = packed.select(max("pack_tokens")).head().getLong(0)
+    assert(maxPack <= 256L + maxDoc)
+  }
+
+  test("E19: chunks cover every token with the configured overlap") {
+    val chunked = Corpus.chunkDocuments(docs, chunkTokens = 64, stride = 48)
+    val one = chunked.filter(col("doc_id") === docs.select(min("doc_id")).head().getLong(0))
+      .orderBy("chunk_idx").collect()
+    val nTokens = docs.orderBy("doc_id").select(size(split(col("text"), " ")))
+      .head().getInt(0)
+    // coverage: last chunk reaches the end of the document
+    val last = one.last
+    assert(last.getAs[Int]("chunk_idx") * 48 + last.getAs[Int]("chunk_tokens") == nTokens)
+    // every non-final chunk is full-size
+    assert(one.init.forall(_.getAs[Int]("chunk_tokens") == 64))
+    // overlap: consecutive chunks share chunkTokens - stride tokens
+    if (one.length >= 2) {
+      val a = one(0).getAs[String]("chunk_text").split(" ")
+      val b = one(1).getAs[String]("chunk_text").split(" ")
+      assert(a.drop(48).sameElements(b.take(16)))
+    }
+  }
+
+  test("E20: heavy hitters include every truly frequent term") {
+    val terms = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val n = terms.count()
+    val truly = terms.groupBy("term").count()
+      .filter(col("count") > n * 0.01)
+      .select("term").as[String].collect().toSet
+    val hh = terms.stat.freqItems(Seq("term"), 0.01)
+      .head().getSeq[String](0).toSet
+    // freqItems guarantees no false negatives at the support level
+    assert(truly.subsetOf(hh))
+  }
+}
