@@ -88,29 +88,37 @@ case class MinHashBandKeys(child: Expression, numBands: Int, rowsPerBand: Int)
     val xxh = classOf[XXH64].getName
     val uad = classOf[UnsafeArrayData].getName
     nullSafeCodeGen(ctx, ev, a => {
+      // freshName everything: fixed locals collide if the expression is
+      // inlined twice into one generated scope
+      val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2"); val g = ctx.freshName("g")
+      val j = ctx.freshName("j"); val keys = ctx.freshName("keys")
+      val b = ctx.freshName("b"); val key = ctx.freshName("key")
+      val r = ctx.freshName("r")
       s"""
-         |long[] mins$a = new long[$k];
-         |java.util.Arrays.fill(mins$a, Long.MAX_VALUE);
-         |int n$a = $a.numElements();
-         |for (int i = 0; i < n$a; i++) {
-         |  if ($a.isNullAt(i)) continue;
-         |  long h1 = $xxh.hashUTF8String($a.getUTF8String(i), 42L);
-         |  long h2 = $xxh.hashLong(h1, 42L) | 1L;
-         |  long g = h1;
-         |  for (int j = 0; j < $k; j++) {
-         |    if (g < mins$a[j]) mins$a[j] = g;
-         |    g += h2;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  long $h1 = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  long $h2 = $xxh.hashLong($h1, 42L) | 1L;
+         |  long $g = $h1;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if ($g < $mins[$j]) $mins[$j] = $g;
+         |    $g += $h2;
          |  }
          |}
-         |long[] keys$a = new long[$numBands];
-         |for (int b = 0; b < $numBands; b++) {
-         |  long key = 42L;
-         |  for (int r = 0; r < $rowsPerBand; r++) {
-         |    key = $xxh.hashLong(mins$a[b * $rowsPerBand + r], key);
+         |long[] $keys = new long[$numBands];
+         |for (int $b = 0; $b < $numBands; $b++) {
+         |  long $key = 42L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    $key = $xxh.hashLong($mins[$b * $rowsPerBand + $r], $key);
          |  }
-         |  keys$a[b] = key;
+         |  $keys[$b] = $key;
          |}
-         |${ev.value} = $uad.fromPrimitiveArray(keys$a);
+         |${ev.value} = $uad.fromPrimitiveArray($keys);
        """.stripMargin
     })
   }
@@ -159,21 +167,25 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val xxh = classOf[XXH64].getName
     nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.freshName("cnt"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j"); val j2 = ctx.freshName("j2")
+      val sig = ctx.freshName("sig")
       s"""
-         |int[] cnt$a = new int[64];
-         |int n$a = $a.numElements();
-         |for (int i = 0; i < n$a; i++) {
-         |  if ($a.isNullAt(i)) continue;
-         |  long h = $xxh.hashUTF8String($a.getUTF8String(i), 42L);
-         |  for (int j = 0; j < 64; j++) {
-         |    if (((h >>> j) & 1L) == 1L) cnt$a[j]++; else cnt$a[j]--;
+         |int[] $cnt = new int[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $cnt[$j]++; else $cnt[$j]--;
          |  }
          |}
-         |long sig$a = 0L;
-         |for (int j = 0; j < 64; j++) {
-         |  if (cnt$a[j] > 0) sig$a |= 1L << j;
+         |long $sig = 0L;
+         |for (int $j2 = 0; $j2 < 64; $j2++) {
+         |  if ($cnt[$j2] > 0) $sig |= 1L << $j2;
          |}
-         |${ev.value} = sig$a;
+         |${ev.value} = $sig;
        """.stripMargin
     })
   }

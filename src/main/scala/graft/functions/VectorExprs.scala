@@ -68,17 +68,24 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local via freshName: the same expression may be inlined
+      // several times into ONE generated scope (filter + projection),
+      // and fixed names make janino reject the whole stage → silent
+      // interpreter fallback
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n$a = $a.numElements();
-         |if (n$a != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc$a = 0.0;
-         |  for (int i = 0; i < n$a; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    acc$a += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = acc$a; }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -135,22 +142,27 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     val flatRef = ctx.addReferenceObj("planes", flat, "double[]")
     val nPlanes = planes.length
     nullSafeCodeGen(ctx, ev, v => {
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val sawNull = ctx.freshName("sawNull")
+      val i = ctx.freshName("i")
       s"""
          |if ($v.numElements() != $dim) {
          |  throw new IllegalArgumentException(
          |    "hyperplane_bucket: embedding dim " + $v.numElements() + " != plane dim " + $dim);
          |}
-         |long bucket$v = 0L;
-         |for (int p = 0; p < $nPlanes; p++) {
-         |  double acc = 0.0;
-         |  boolean sawNull = false;
-         |  for (int i = 0; i < $dim && !sawNull; i++) {
-         |    if ($v.isNullAt(i)) { sawNull = true; }
-         |    else { acc += ((double) $v.getFloat(i)) * $flatRef[p * $dim + i]; }
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double $acc = 0.0;
+         |  boolean $sawNull = false;
+         |  for (int $i = 0; $i < $dim && !$sawNull; $i++) {
+         |    if ($v.isNullAt($i)) { $sawNull = true; }
+         |    else { $acc += ((double) $v.getFloat($i)) * $flatRef[$p * $dim + $i]; }
          |  }
-         |  if (!sawNull && acc > 0) { bucket$v |= 1L << p; }
+         |  if (!$sawNull && $acc > 0) { $bucket |= 1L << $p; }
          |}
-         |${ev.value} = bucket$v;
+         |${ev.value} = $bucket;
        """.stripMargin
     })
   }
