@@ -68,4 +68,24 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(expr(s"slice(sequence(0, frame_count - 1, $stride), 1, $maxFrames)")))
       .select(col("doc_id"), col("frame_idx"), col("media_len"))
+
+  /** Real media ingestion path: a directory of opaque media files →
+    * MediaRow, via Spark's distributed `binaryFile` source (the
+    * listing and the reads are executed on executors, so a
+    * 100M-object media bucket never touches the driver). doc_id is a
+    * deterministic hash of the file path; the extension becomes the
+    * media type. */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+                      glob: String = "*"): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("media"),
+        concat(lit("media/"),
+          element_at(split(col("path"), "\\."), -1)).as("media_type"))
+      .as[MediaRow]
+  }
 }

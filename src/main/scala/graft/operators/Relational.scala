@@ -568,4 +568,34 @@ object Relational {
     """SELECT o_custkey, COUNT(*) AS n_orders,
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8""".stripMargin
+
+  // --------------------------------------------------------------- D29
+  /** Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL over
+    * order priorities — duplicates preserved, unlike D17's distinct
+    * variants. Spark plans both as aggregate+generate (sum/min of
+    * per-side counts), never a join per duplicate. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val high = o.filter(col("o_totalprice") > 250000.0).select(col("o_orderpriority"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderpriority"))
+    high.exceptAll(urgent).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_except_all"))
+      .join(
+        high.intersectAll(urgent).groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_intersect_all")),
+        Seq("o_orderpriority"), "full_outer")
+      .na.fill(0L, Seq("n_except_all", "n_intersect_all"))
+  }
+
+  val setOpsAllSql: String =
+    """WITH high AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 250000),
+      |urgent AS (SELECT o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |ea AS (SELECT o_orderpriority, COUNT(*) AS n_except_all
+      |       FROM (SELECT * FROM high EXCEPT ALL SELECT * FROM urgent) GROUP BY 1),
+      |ia AS (SELECT o_orderpriority, COUNT(*) AS n_intersect_all
+      |       FROM (SELECT * FROM high INTERSECT ALL SELECT * FROM urgent) GROUP BY 1)
+      |SELECT COALESCE(ea.o_orderpriority, ia.o_orderpriority) AS o_orderpriority,
+      |  COALESCE(n_except_all, 0) AS n_except_all,
+      |  COALESCE(n_intersect_all, 0) AS n_intersect_all
+      |FROM ea FULL OUTER JOIN ia ON ea.o_orderpriority = ia.o_orderpriority""".stripMargin
 }

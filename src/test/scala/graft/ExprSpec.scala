@@ -82,6 +82,31 @@ class ExprSpec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("each custom expression compiles when inlined twice in one scope") {
+    // regression: fixed codegen locals made janino reject any stage
+    // that inlined the same expression twice (filter + projection),
+    // silently falling back to interpreted eval. GeneratePredicate
+    // throws on compile failure instead of falling back.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.types._
+    val fvec = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val toks = BoundReference(1, ArrayType(StringType), nullable = true)
+    val dot = graft.functions.FloatVecDot(fvec, fvec)
+    GeneratePredicate.generate(And(
+      GreaterThan(dot, Literal(0.0)), LessThan(dot, Literal(1.0))))
+    val sh = graft.functions.SimHash64(toks)
+    GeneratePredicate.generate(And(
+      GreaterThan(sh, Literal(0L)), LessThan(sh, Literal(Long.MaxValue))))
+    val planes = operators.Similarity.hyperplanes(4, 8)
+    val hb = graft.functions.HyperplaneBucket(fvec, planes)
+    GeneratePredicate.generate(And(
+      GreaterThanOrEqual(hb, Literal(0L)), LessThan(hb, Literal(16L))))
+    val mk = graft.functions.MinHashBandKeys(toks, 4, 2)
+    GeneratePredicate.generate(And(
+      GreaterThan(Size(mk), Literal(0)), LessThan(Size(mk), Literal(100))))
+  }
+
   test("RollingHash matches a direct Scala polynomial hash") {
     val s = "hello world"
     val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)

@@ -90,6 +90,38 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range join broadcasts the band dim; fact side never shuffles for the join") {
+    val p = plan(Relational.rangeJoin(spark, sf))
+    // non-equi join against 10 rows → broadcast nested loop, the only
+    // sane interval-join plan at scale
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the single exchange is the final aggregation, not the join
+    assert("Exchange hashpartitioning".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).size <= 1, p)
+  }
+
+  test("chunking is shuffle-free (pure projection + explode)") {
+    val p = plan(operators.Corpus.chunkDocuments(
+      Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("grouping sets runs as one Expand pass, not per-set rescans") {
+    val p = plan(Relational.groupingSetsAgg(spark, sf)).split("== Initial Plan ==")(0)
+    assert(p.contains("Expand"), p)
+    // one scan of lineitem feeds all three grouping sets
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sequence packing reuses the window partitioning for the final agg") {
+    val p = plan(operators.Corpus.packSequences(
+      Tables.documents(spark, sf)).filter(col("pack_id") >= 0))
+    // hash partitioning on `source` satisfies the (source, pack_id)
+    // clustering, so the groupBy adds no second shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).size == 1, p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
