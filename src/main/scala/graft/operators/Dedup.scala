@@ -101,6 +101,53 @@ object Dedup {
       docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
 
+  /** Connected components over a near-dup pair graph (E21) — the
+    * clustering step after candidate verification: every document in a
+    * component is a rewrite of the same underlying text, and the keep
+    * policy ("retain min id per component") needs the component id.
+    *
+    * Iterative min-label propagation on DataFrames: each round every
+    * node adopts the smallest label among itself and its neighbors, so
+    * labels converge in O(component diameter) rounds — near-dup
+    * components are shallow (a hub document and its variants), so
+    * convergence is a handful of rounds even at corpus scale. Each
+    * round is one join + one groupBy (two shuffles) and the lineage is
+    * cut with `localCheckpoint` so the plan doesn't grow per round.
+    * Throws if `maxIter` rounds don't converge rather than returning
+    * partial clusters.
+    *
+    * Output: (id, component) for every id in `pairs`, component = min
+    * id in the connected component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("component").as("src_comp")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_comp")).as("nbr_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter")
+    labels
+  }
+
   /** 64-bit SimHash over the distinct token set (E3): per bit j, sum
     * ±1 votes from each token's hash bit, take the sign. Single-pass
     * codegen ([[graft.functions.SimHash64]]): one xxhash64 per token. */

@@ -74,6 +74,39 @@ object TrainingQueries {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""".stripMargin
 
+  // ----------------------------------------------------------- E21
+  /** Near-dup cluster assignment: minhash pairs at J ≥ 0.8 (the
+    * oracle-proven edge set) → connected components → (doc_id,
+    * component = min id in cluster). The oracle replays the closure
+    * with a recursive CTE. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashNearDuplicates(docsWithMutations(s, dir), "doc_id", "text",
+        threshold = 0.8, maxBucket = 4096, strict = true)
+        .select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("component"))
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |mut AS (SELECT doc_id + 10000 AS doc_id,
+      |  list_append(toks[1:len(toks)-1], 'zzz') AS toks FROM d),
+      |allv AS (SELECT * FROM d UNION ALL SELECT * FROM mut),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM allv),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+      |reach AS (SELECT src, dst FROM e
+      |          UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+      |                 WHERE e.dst <> r.src)
+      |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      |FROM reach GROUP BY src""".stripMargin
+
   // ----------------------------------------------------------- E3
   /** SimHash near-dups — hash-dependent, so rows-only for the driver;
     * the ScalaTest invariant checks planted-pair recall. */

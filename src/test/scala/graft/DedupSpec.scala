@@ -60,6 +60,29 @@ class DedupSpec extends SparkSpec {
     assert(n == 45) // C(10,2) pairs from the truncated bucket
   }
 
+  test("connected components merge chains and leave islands alone") {
+    import spark.implicits._
+    // two chains (1-2-3, 10-11) and a triangle with a bridge (20-21-22-20, 22-23)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connected components raise instead of returning partial clusters") {
+    import spark.implicits._
+    // a path graph of length 9 has diameter 9 → cannot converge in 2 rounds
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 2).collect())
+  }
+
   test("simhash finds planted near-dups within hamming budget") {
     val mutated = docs.limit(50).select(
       (col("doc_id") + 10000).as("doc_id"),
