@@ -257,6 +257,73 @@ object TrainingQueries {
       |SELECT term, COUNT(*) AS n FROM t WHERE len(term) > 0
       |GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""".stripMargin
 
+  // ----------------------------------------------------------- E22
+  /** TF-IDF top-3 terms per document. tf and df are exact integers;
+    * only the final score multiplies through ln() — ranked by
+    * (tf·idf, term) with the rounded score exposed for the oracle.
+    * One term explode → two aggregations + a window; the corpus size
+    * joins in as a broadcast scalar, never a driver constant. */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"),
+        col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  val tfidfTopSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |t AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      |      WHERE len(term) > 0 GROUP BY 1, 2),
+      |d AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+      |      WHERE len(term) > 0 GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, term, tf, df,
+      |    ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      |  FROM t JOIN d USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df, tfidf FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
+      |WHERE rk <= 3""".stripMargin
+
+  // ----------------------------------------------------------- E23
+  /** Bigram language-model counts (all occurrences, not distinct
+    * shingles) — the n-gram statistics table an LM data pipeline
+    * materializes. Thresholded at ≥ 20 occurrences (the usual
+    * min-count cut). */
+  def bigramCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(split(lower(col("text")), " ").as("toks"))
+      // guard: sequence(0, -1) DESCENDS in Spark (step defaults to -1),
+      // so a 1-token doc must map to an empty array, as in the oracle
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |                 i -> concat_ws(' ', toks[i], toks[i+1]))
+          |  ELSE array() END""".stripMargin))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20)
+
+  val bigramCountsSql: String =
+    """WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
+      |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram HAVING COUNT(*) >= 20""".stripMargin
+
   // ----------------------------------------------------------- E6
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
