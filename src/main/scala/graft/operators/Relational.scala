@@ -569,6 +569,23 @@ object Relational {
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8""".stripMargin
 
+  // --------------------------------------------------------------- D30
+  /** Per-key top-k via the bounded custom aggregate
+    * ([[graft.functions.BoundedTopK]]): identical rows to D7's window
+    * rank, but the shuffle carries ≤ k rows per key per partition and
+    * nothing ever sorts the full table — the 100 TB formulation.
+    * Ordering is struct-natural: (-price, orderkey) ascending ≡ price
+    * desc, orderkey asc. */
+  def topKPerKey(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("o_totalprice")).as("np"), col("o_orderkey")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), col("t.o_orderkey").as("o_orderkey"),
+        (-col("t.np")).as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+
   // --------------------------------------------------------------- D29
   /** Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL over
     * order priorities — duplicates preserved, unlike D17's distinct

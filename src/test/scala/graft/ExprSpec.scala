@@ -107,6 +107,22 @@ class ExprSpec extends SparkSpec {
       GreaterThan(Size(mk), Literal(0)), LessThan(Size(mk), Literal(100))))
   }
 
+  test("BoundedTopK keeps the k smallest under struct order, survives merge splits") {
+    import graft.functions.TopKAgg
+    // many partitions force real partial/merge/serialize round-trips
+    val df = spark.range(0, 1000).repartition(13)
+      .selectExpr("id % 7 AS key", "CAST((id * 37) % 1000 AS DOUBLE) AS v", "id")
+    val got = df.groupBy(col("key"))
+      .agg(TopKAgg.boundedTopK(struct(col("v"), col("id")), 5).as("top"))
+      .select(col("key"), explode(col("top")).as("t"))
+      .select(col("key"), col("t.v"), col("t.id"))
+      .as[(Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toList).toMap
+    val expected = (0L until 1000L).map(id => (id % 7, ((id * 37) % 1000).toDouble, id))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sorted.take(5).toList).toMap
+    assert(got == expected)
+  }
+
   test("RollingHash matches a direct Scala polynomial hash") {
     val s = "hello world"
     val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)

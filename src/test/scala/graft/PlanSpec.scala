@@ -122,6 +122,15 @@ class PlanSpec extends SparkSpec {
       p.split("== Initial Plan ==")(0)).size == 1, p)
   }
 
+  test("bounded top-k per key aggregates partially, never window-sorts the table") {
+    val p = plan(Relational.topKPerKey(spark, sf)).split("== Initial Plan ==")(0)
+    // map-side partial pruning to <= k per key before the shuffle
+    assert(p.contains("partial_bounded_top_k"), p)
+    // no window operator, no full-table sort
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
