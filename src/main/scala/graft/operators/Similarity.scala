@@ -97,4 +97,85 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  // ------------------------------------------------------------- IVF
+
+  /** Deterministic k-means centroids (Lloyd, fixed iterations, seeded
+    * by the k lowest-id vectors). The assignment step is a per-row
+    * argmax over k broadcast centroids — `greatest` over
+    * (score, cell) structs, each score one codegen dot product; the
+    * update step averages per (cell, dimension) and collects k·dim
+    * doubles to the driver, never vectors. */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int = 3,
+                      embCol: String = "embedding"): Array[Array[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Float]] = vecs
+      .select(col("vec_id"), col(embCol)).orderBy(col("vec_id")).limit(k)
+      .select(col(embCol)).as[Array[Float]].collect()
+    require(centroids.length == k, s"corpus smaller than k=$k")
+    for (_ <- 1 to iters) {
+      val assigned = vecs.select(col(embCol).as("emb"))
+        .withColumn("cell", assignCell(col("emb"), centroids))
+      val dims = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      dims.foreach(r => next(r.getAs[Long]("cell").toInt)(r.getAs[Int]("pos")) =
+        r.getAs[Double]("m").toFloat)
+      centroids = next // cells that lost every member keep their old centroid
+    }
+    centroids
+  }
+
+  /** Nearest-centroid id by max (v·c − |c|²/2), i.e. min L2 distance;
+    * ties broken to the lower cell id. */
+  def assignCell(emb: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      struct(
+        (VectorExprs.floatDot(emb, typedLit(c)) - lit(halfNorm)).as("s"),
+        lit(-i).as("neg_cell"))
+    }
+    (-greatest(scored: _*).getField("neg_cell")).cast("long")
+  }
+
+  /** IVF ANN (E7 scale path): coarse-quantize the corpus into k-means
+    * cells, then answer each query by brute-forcing only the `nProbe`
+    * closest cells — the shuffle carries corpus rows once (cell
+    * assignment is a projection) and the candidate join fans each
+    * query out to nProbe cells instead of the whole corpus. Final
+    * per-query top-k via the bounded aggregate (no window sort).
+    * Approximate: recall depends on nProbe/nCells (spec-checked, so
+    * rows-only at the driver). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nCells, iters)
+    val indexed = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assignCell(col("embedding"), centroids))
+      .withColumn("c_nrm", norm("embedding"))
+    // per-query probe list: nProbe best cells by the same score
+    val probeScores = centroids.zipWithIndex.map { case (c, i) =>
+      val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
+      struct(
+        (VectorExprs.floatDot(col("q_emb"), typedLit(c)) - lit(halfNorm)).as("s"),
+        lit(i.toLong).as("cell"))
+    }
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_nrm", norm("q_emb"))
+      .withColumn("probe", slice(reverse(array_sort(array(probeScores: _*))), 1, nProbe))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(col("probe").getField("cell")).as("cell"))
+    indexed.join(broadcast(q), "cell")
+      .withColumn("cos",
+        round(dot("q_emb", "embedding") / (col("q_nrm") * col("c_nrm")), 6))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("cos")).as("neg_cos"), col("vec_id")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.vec_id").as("vec_id"),
+        (-col("t.neg_cos")).as("cos"), (col("pos") + 1).cast("int").as("rn"))
+  }
 }

@@ -368,6 +368,14 @@ object TrainingQueries {
     Similarity.cosineNearDuplicates(vecsWithScaledCopies(s, dir),
       threshold = 0.99, exact = false)
 
+  // ----------------------------------------------------------- E7b
+  /** IVF ANN over the embeddings table: 16 k-means cells, probe 4.
+    * Approximate (recall spec-checked) → rows-only. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
+  }
+
   // ----------------------------------------------------------- E12
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.toMediaRows(s, Tables.documents(s, dir), "doc_id", "text")

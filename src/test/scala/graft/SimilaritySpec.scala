@@ -42,4 +42,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.embeddingDim(vecs).contains(64))
     assert(Similarity.embeddingDim(vecs.limit(0)).isEmpty)
   }
+
+  test("IVF ANN recalls planted near-identical vectors") {
+    import spark.implicits._
+    // corpus = base ∪ 1.5×-scaled copies (same direction, cos ≈ 1)
+    val base = vecs.select(col("vec_id"), col("embedding"))
+    val corpus = base.union(base.select(col("vec_id") + 10000,
+      expr("transform(embedding, x -> CAST(1.5 * x AS FLOAT))")))
+    val queries = base.filter(col("vec_id") < 20)
+    val top = Similarity.ivfTopK(queries, corpus, k = 3)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // a scaled copy lands in the SAME cell as its original (same
+    // direction, k-means cells are convex cones around centroids), so
+    // IVF must find it; the query itself must also rank
+    val n = 20
+    val copyHits = (0L until n).count(q => top(q).contains(q + 10000))
+    val selfHits = (0L until n).count(q => top(q).contains(q))
+    assert(selfHits == n, s"every query must retrieve itself, got $selfHits/$n")
+    assert(copyHits >= n * 9 / 10, s"copy recall too low: $copyHits/$n")
+  }
+
+  test("IVF matches brute force on the cells it probes (end-to-end sanity)") {
+    val e = vecs
+    val ivf = Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
+    // 5 queries × k rows, ranks 1..10, rank-1 is the query itself at cos 1
+    assert(ivf.count() == 50)
+    val r1 = ivf.filter(col("rn") === 1).select("q_id", "vec_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r1.forall { case (q, v, c) => q == v && c == 1.0 })
+  }
 }
