@@ -56,4 +56,25 @@ object Sinks {
     df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .options(graft.sources.Readers.csvOptions)
       .csv(path)
+
+  /** Small-files compaction (C6): rewrite a parquet dataset into
+    * ~`targetFileBytes` files, clustered and sorted by `sortCols` so
+    * min/max footer stats make later range/equality filters skip whole
+    * files (poor man's clustering — the layout optimization every
+    * long-lived 100 TB table needs after streaming/daily appends).
+    * `repartitionByRange` samples the sort keys for balanced output
+    * files; `sortWithinPartitions` orders rows inside each file so
+    * page-level stats stay tight. */
+  def compact(df: DataFrame, outPath: String, sortCols: Seq[String],
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / BigInt(targetFileBytes)).toInt +
+      (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0))
+    val keys = sortCols.map(col)
+    df.repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
 }

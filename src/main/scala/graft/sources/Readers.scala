@@ -42,6 +42,15 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolved parquet read: union the schemas of all footers
+    * (columns added over time come back null-padded for old files) —
+    * the parquet-level form of the reference's disjoint-column merge
+    * (etl_pipeline.py:413-418). Off by default in Spark because footer
+    * merging costs a distributed job, which is exactly why it's an
+    * explicit reader here. */
+  def parquetMergedSchema(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   def json(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.json(paths: _*)
 

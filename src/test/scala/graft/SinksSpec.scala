@@ -1,0 +1,54 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.sources.Readers
+
+/** Sink-side data-management operators (SURVEY.md §2 C6 + A5c). */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Array[File] =
+    new File(dir).listFiles((_, n) => n.startsWith("part-") && n.endsWith(".parquet"))
+
+  test("compact rewrites a fragmented dataset into few range-clustered files") {
+    val frag = "/tmp/graft_sink/compact_in"
+    val out = "/tmp/graft_sink/compact_out"
+    val ev = Tables.events(spark, sf)
+    // simulate a streaming/daily append mess: many tiny files
+    ev.repartition(50).write.mode("overwrite").parquet(frag)
+    assert(parquetFiles(frag).length == 50)
+
+    Sinks.compact(spark.read.parquet(frag), out, sortCols = Seq("event_id"),
+      targetFileBytes = 256L * 1024)
+    val files = parquetFiles(out)
+    assert(files.length < 50, s"expected fewer files, got ${files.length}")
+    // nothing lost
+    assert(spark.read.parquet(out).count() == ev.count())
+    // range clustering: per-file event_id ranges don't overlap, so
+    // footer min/max stats can eliminate whole files for id filters
+    if (files.length > 1) {
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("event_id"), max("event_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: $hi > $lo")
+      }
+    }
+  }
+
+  test("mergeSchema read null-pads columns added over time") {
+    val v1 = "/tmp/graft_sink/evolve/day=1"
+    val v2 = "/tmp/graft_sink/evolve/day=2"
+    Seq((1L, "a")).toDF("id", "payload").write.mode("overwrite").parquet(v1)
+    Seq((2L, "b", 0.5)).toDF("id", "payload", "score").write.mode("overwrite").parquet(v2)
+    val merged = Readers.parquetMergedSchema(spark, v1, v2)
+    assert(merged.columns.toSet == Set("id", "payload", "score"))
+    val rows = merged.orderBy("id")
+      .select("id", "score").as[(Long, Option[Double])].collect()
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(0.5))))
+  }
+}
