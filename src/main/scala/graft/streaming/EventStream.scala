@@ -115,6 +115,27 @@ object EventStream {
         write(batch.withColumn("batch_id", lit(batchId)), batchId)
       }
 
+  /** F7: stream-stream interval join — click→purchase attribution with
+    * bounded state: both sides are watermarked and the join condition
+    * bounds purchase time to [click, click + `horizonSeconds`], so
+    * Spark can expire click state once the watermark passes the
+    * horizon. Without BOTH the watermarks and the time bound, a
+    * stream-stream join would buffer one side forever. */
+  def attributeWithin(clicks: DataFrame, purchases: DataFrame,
+                      horizonSeconds: Long = 1800,
+                      watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** F3: continuous file-drop ingest — the reference's daily CSV loop
     * as a stream. New `events_<date>.csv[.gz]` files appearing in
     * `dropDir` are read incrementally, column-cleaned, and tagged with

@@ -106,6 +106,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F7: stream-stream interval join attributes purchases to clicks in-horizon") {
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStream.attributeWithin(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      horizonSeconds = 1800)
+    val q = joined.writeStream.format("memory").queryName("f7")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, ts("2024-01-15 10:00:00")), (2L, ts("2024-01-15 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-15 10:20:00"), 5.0),  // in horizon → attributed
+        (2L, ts("2024-01-15 11:30:00"), 7.0),  // past horizon → dropped
+        (3L, ts("2024-01-15 10:10:00"), 9.0))  // no click → dropped
+      q.processAllAvailable()
+      val out = spark.table("f7")
+        .select("user_id", "purchase_value").as[(Long, Double)].collect().toSet
+      assert(out == Set((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("F3: file-drop stream ingests newly arriving date-named CSVs") {
     val drop = Files.createTempDirectory("graft_stream_drop").toString
     val schema = new StructType().add("{user}", StringType).add("v", StringType)
