@@ -70,6 +70,57 @@ object EtlPipeline {
     Some(DayResult(cleaned, entry))
   }
 
+  /** Single-pass day pipeline: like [[processDay]], but the row count
+    * for the audit entry is collected as an `observe` metric DURING
+    * the sink action instead of a separate `count()` job — at 100 TB
+    * the standalone count is a second full pass over the cleaned data.
+    * The sink callback runs exactly one action on the frame it's
+    * given. */
+  def processDayTo(
+      spark: SparkSession,
+      dropDir: String,
+      date: String,
+      sink: DataFrame => Unit,
+      tableName: String = "table_name",
+      tsColumns: Seq[String] = Seq("ts_us"),
+      tsUnit: String = "us",
+      heterogeneous: Boolean = false,
+      processedAt: Option[java.sql.Timestamp] = None): Option[ProcessingLog.Entry] = {
+
+    val files = FileCatalog.filesForDate(spark, dropDir, date)
+      .select("path", "name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._2)
+    if (files.isEmpty) return None
+
+    val paths = files.map(_._1).toSeq
+    val merged =
+      if (!heterogeneous) Cleaning.cleanColumnNames(Readers.csv(spark, paths))
+      else Cleaning.unionMerge(
+        paths.map(p => Cleaning.cleanColumnNames(Readers.csv(spark, Seq(p)))))
+    val enriched = Enrich.addMetadata(
+      Enrich.coerceUnixTimestamps(
+        Readers.withSourceFile(merged), tsColumns, tsUnit),
+      sourceDate = date, filesMergedCount = files.length.toLong,
+      processedAt = processedAt)
+    val cleaned = Cleaning.dedupRows(Cleaning.dropEmptyColumns(enriched))
+
+    val obs = org.apache.spark.sql.Observation(s"etl_day_$date")
+    sink(cleaned.observe(obs, count(lit(1)).as("rows")))
+    val totalRows = obs.get("rows").asInstanceOf[Long]
+
+    Some(ProcessingLog.entry(
+      dateOfData = date,
+      filesProcessed = files.length.toLong,
+      filesMerged = files.length.toLong,
+      tableName = tableName,
+      totalRows = totalRows,
+      columnCount = cleaned.columns.length.toLong,
+      sourceFiles = files.map(_._2).toSeq,
+      processedAt = processedAt.getOrElse(
+        new java.sql.Timestamp(System.currentTimeMillis()))))
+  }
+
   /** The reference's day-range driver loop (etl_pipeline.py:708-727). */
   def processRange(
       spark: SparkSession,

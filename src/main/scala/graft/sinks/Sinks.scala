@@ -57,6 +57,22 @@ object Sinks {
       .options(graft.sources.Readers.csvOptions)
       .csv(path)
 
+  /** Idempotent daily load (C7): dynamic partition overwrite — a rerun
+    * of one day replaces ONLY that day's partition and leaves every
+    * other day untouched, which is what the reference's
+    * `if_exists='append'` could not give it (reprocessing a day
+    * duplicated rows; reference: etl_pipeline.py:500-515). Static
+    * overwrite mode would instead truncate the whole table. */
+  def writeParquetIdempotent(df: DataFrame, path: String,
+                             partitionBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionBy: _*).parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   /** Small-files compaction (C6): rewrite a parquet dataset into
     * ~`targetFileBytes` files, clustered and sorted by `sortCols` so
     * min/max footer stats make later range/equality filters skip whole

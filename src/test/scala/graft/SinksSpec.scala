@@ -40,6 +40,34 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("idempotent daily load: rerunning one day touches only that partition") {
+    val path = "/tmp/graft_sink/idempotent"
+    val day1 = Seq((1L, "2024-01-15"), (2L, "2024-01-15")).toDF("id", "day")
+    val day2 = Seq((3L, "2024-01-16")).toDF("id", "day")
+    Sinks.writeParquetIdempotent(day1.union(day2), path, Seq("day"))
+    assert(spark.read.parquet(path).count() == 3)
+    // reprocess day 2 with corrected data → day 1 untouched, no dupes
+    val day2fix = Seq((30L, "2024-01-16"), (31L, "2024-01-16")).toDF("id", "day")
+    Sinks.writeParquetIdempotent(day2fix, path, Seq("day"))
+    val after = spark.read.parquet(path).select("id").as[Long].collect().sorted
+    assert(after.toSeq == Seq(1L, 2L, 30L, 31L))
+  }
+
+  test("processDayTo audits the row count from the sink pass (observe, no extra scan)") {
+    val drop = EtlStage.stageEventsCsv(spark, sf)
+    val out = "/tmp/graft_sink/day_observed"
+    // any staged date works; take one from the drop dir
+    val date = new File(drop).list().filter(_.startsWith("events_"))
+      .map(_.stripPrefix("events_").take(10)).sorted.head
+    val entry = EtlPipeline.processDayTo(spark, drop, date,
+      sink = df => df.write.mode("overwrite").parquet(out)).get
+    val written = spark.read.parquet(out).count()
+    assert(entry.total_row_count == written && written > 0)
+    // matches the two-pass variant's accounting
+    val twoPass = EtlPipeline.processDay(spark, drop, date).get.log
+    assert(twoPass.total_row_count == entry.total_row_count)
+  }
+
   test("mergeSchema read null-pads columns added over time") {
     val v1 = "/tmp/graft_sink/evolve/day=1"
     val v2 = "/tmp/graft_sink/evolve/day=2"
