@@ -48,8 +48,11 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the top-k
+  * window rewrite ([[graft.plans.TopKRewrite]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
 }

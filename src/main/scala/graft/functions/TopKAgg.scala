@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.graftfn.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** Bounded per-group top-k aggregate (SURVEY.md §2 D30).
   *
@@ -30,6 +30,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
 case class BoundedTopK(
     child: Expression,
     k: Int,
+    sortSpec: Option[BoundedTopK.SortSpec] = None,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]]
@@ -42,10 +43,50 @@ case class BoundedTopK(
   override def prettyName: String = "bounded_top_k"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+    sortSpec match {
+      case None => TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+      case Some(s) => child.dataType match {
+        case st: StructType if st.length >= s.numFields =>
+          st.take(s.numFields).zipWithIndex.map { case (f, i) =>
+            TypeUtils.checkForOrderingExpr(f.dataType, s"$prettyName sort field $i")
+          }.find(_.isFailure).getOrElse(
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess)
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName with a sort spec needs a STRUCT child with >= ${s.numFields} fields, got ${other.simpleString}")
+      }
+    }
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  @transient private lazy val ordering: Ordering[Any] = sortSpec match {
+    case None => TypeUtils.getInterpretedOrdering(child.dataType)
+    case Some(spec) =>
+      val st = child.dataType.asInstanceOf[StructType]
+      val fieldOrds = st.take(spec.numFields).map(f =>
+        TypeUtils.getInterpretedOrdering(f.dataType))
+      val types = st.take(spec.numFields).map(_.dataType)
+      new Ordering[Any] {
+        override def compare(xa: Any, ya: Any): Int = {
+          val x = xa.asInstanceOf[InternalRow]
+          val y = ya.asInstanceOf[InternalRow]
+          var i = 0
+          while (i < spec.numFields) {
+            val xv = if (x.isNullAt(i)) null else x.get(i, types(i))
+            val yv = if (y.isNullAt(i)) null else y.get(i, types(i))
+            val c = (xv, yv) match {
+              case (null, null) => 0
+              // SortOrder semantics: asc defaults NULLS FIRST, desc NULLS LAST
+              case (null, _) => if (spec.nullsFirst(i)) -1 else 1
+              case (_, null) => if (spec.nullsFirst(i)) 1 else -1
+              case (a, b) =>
+                val base = fieldOrds(i).compare(a, b)
+                if (spec.ascending(i)) base else -base
+            }
+            if (c != 0) return c
+            i += 1
+          }
+          0 // ties beyond the sort prefix: keep first-inserted (stable)
+        }
+      }
+  }
 
   override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
     mutable.ArrayBuffer.empty[Any]
@@ -119,6 +160,18 @@ case class BoundedTopK(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BoundedTopK =
     copy(child = newChild)
+}
+
+object BoundedTopK {
+  /** Ordering directives for the first `numFields` struct fields:
+    * per-field ascending flag and null placement (mirrors
+    * `SortOrder`). Fields past the prefix never affect comparisons —
+    * ties keep the first-inserted row, which matches the (already
+    * nondeterministic) tie behavior of `row_number`. */
+  final case class SortSpec(ascending: Seq[Boolean], nullsFirst: Seq[Boolean]) {
+    require(ascending.length == nullsFirst.length && ascending.nonEmpty)
+    def numFields: Int = ascending.length
+  }
 }
 
 object TopKAgg {
