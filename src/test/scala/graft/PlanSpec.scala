@@ -131,6 +131,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one hot key carrying ~100k rows vs 1k cold keys
+    val hot = spark.range(0, 100000).select(lit(0L).as("k"), col("id").as("v"))
+    val cold = spark.range(1, 1000).select(col("id").as("k"), col("id").as("v"))
+    val left = hot.union(cold)
+    val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(key => key -> spark.conf.getOption(key)).toMap
+    try {
+      // thresholds tiny so the local[4] fixture actually qualifies as skew
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // note: no aggregation on the join key downstream — AQE declines
+      // to split a skewed partition when the join's output partitioning
+      // is still required above it
+      val p = plan(left.join(right, "k").select(col("v"), col("w")))
+      assert(p.contains("isSkew=true") || p.contains("skew=true"), p)
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
