@@ -569,6 +569,83 @@ object Relational {
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8""".stripMargin
 
+  // --------------------------------------------------------------- D32
+  /** Moving aggregate over a ROWS frame: per-customer trailing-3-order
+    * spend. The ordering key is made unique (date, orderkey) so the
+    * frame contents — and the exact-decimal sum — are deterministic
+    * under any partitioning. */
+  def movingSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("trailing3",
+        round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing3"))
+  }
+
+  val movingSumSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing3
+      |FROM orders""".stripMargin
+
+  // --------------------------------------------------------------- D33
+  /** first_value / last_value / nth_value over the full partition
+    * frame: each customer's first, latest, and second order. One
+    * window pass, unique ordering key. */
+  def firstLast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .distinct()
+  }
+
+  val firstLastSql: String =
+    """SELECT DISTINCT o_custkey,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+      |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  // --------------------------------------------------------------- D34
+  /** Hopping (sliding) time windows: 1-hour windows advancing every 30
+    * minutes, so each event lands in exactly two windows — the batch
+    * analogue of a sliding streaming aggregation. Spark's `window()`
+    * generates the window set per row (an explode, no self-join); the
+    * oracle reproduces it as a two-way union of shifted tumbling
+    * windows. */
+  def hoppingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val hoppingWindowSql: String =
+    """WITH slotted AS (
+      |  SELECT to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS slot, event_type, value
+      |  FROM events),
+      |assigned AS (
+      |  SELECT slot AS win_start, event_type, value FROM slotted
+      |  UNION ALL
+      |  SELECT slot - INTERVAL 30 MINUTE AS win_start, event_type, value FROM slotted)
+      |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      |FROM assigned GROUP BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- D30
   /** Per-key top-k via the bounded custom aggregate
     * ([[graft.functions.BoundedTopK]]): identical rows to D7's window
