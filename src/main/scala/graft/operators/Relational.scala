@@ -569,6 +569,45 @@ object Relational {
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8""".stripMargin
 
+  // --------------------------------------------------------------- D35
+  /** Outer join with null-side accounting: every customer with their
+    * order count and spend, zero-filled for the orderless (left outer
+    * — the dim side broadcasts, the fact side aggregates FIRST so the
+    * join is keys-vs-keys, not keys-vs-rows). */
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+    Tables.customer(s, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+  }
+
+  val outerJoinSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  COALESCE(n_orders, 0) AS n_orders, COALESCE(spend, 0.0) AS spend
+      |FROM customer LEFT OUTER JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin
+
+  // --------------------------------------------------------------- D36
+  /** Cross join of bounded dimensions (the calendar×dim scaffold shape)
+    * — legitimate only when both sides are tiny; Spark broadcasts the
+    * smaller side into a nested loop. */
+  def crossDim(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_name"))
+      .crossJoin(Tables.nation(s, dir).select(col("n_name")))
+      .agg(count(lit(1)).as("n_combos"),
+        countDistinct(col("r_name")).as("n_regions"),
+        countDistinct(col("n_name")).as("n_nations"))
+
+  val crossDimSql: String =
+    """SELECT COUNT(*) AS n_combos, COUNT(DISTINCT r_name) AS n_regions,
+      |  COUNT(DISTINCT n_name) AS n_nations
+      |FROM region CROSS JOIN nation""".stripMargin
+
   // --------------------------------------------------------------- D32
   /** Moving aggregate over a ROWS frame: per-customer trailing-3-order
     * spend. The ordering key is made unique (date, orderkey) so the

@@ -324,6 +324,32 @@ object TrainingQueries {
       |        i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram HAVING COUNT(*) >= 20""".stripMargin
 
+  // ----------------------------------------------------------- E24
+  /** Edit-distance verification between candidate pairs (consecutive
+    * docs as the bounded pair set): Levenshtein on a fixed prefix —
+    * the fuzzy-match verifier used when token-set Jaccard is too
+    * coarse (e.g. short strings, OCR noise). Never run all-pairs;
+    * here the pair set is O(n) by construction. */
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    // ASCII-only prefix: engines disagree on the "unit" (bytes vs
+    // UTF-16 vs codepoints) for multi-byte text, so pin the domain
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 80).as("prefix"))
+    val a = d.select(col("doc_id").as("id_a"), col("prefix").as("pref_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("prefix").as("pref_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"),
+        levenshtein(col("pref_a"), col("pref_b")).as("edit_dist"))
+  }
+
+  val editDistanceSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 80) AS prefix
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a,
+      |  CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+      |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin
+
   // ----------------------------------------------------------- E6
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
