@@ -132,14 +132,15 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("component").as("src_comp")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_comp")).as("nbr_comp"))
+      val newComp = least(col("component"), coalesce(col("nbr_comp"), col("component")))
+      // carry the changed flag through the checkpoint so convergence
+      // detection is a cheap agg over materialized data, not a re-join
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_comp"), col("component")))
-            .as("component"))
+        .select(col("id"), newComp.as("component"),
+          (newComp =!= col("component")).cast("int").as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).isEmpty
-      labels = next
+      converged = next.agg(coalesce(max(col("changed")), lit(0))).head().getInt(0) == 0
+      labels = next.select(col("id"), col("component"))
       round += 1
     }
     if (!converged) throw new IllegalStateException(
