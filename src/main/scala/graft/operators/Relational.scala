@@ -608,6 +608,30 @@ object Relational {
       |  COUNT(DISTINCT n_name) AS n_nations
       |FROM region CROSS JOIN nation""".stripMargin
 
+  // --------------------------------------------------------------- D37
+  /** Unpivot (melt): wide measures → long (measure, value) rows — a
+    * per-row Expand projection (no shuffle until the aggregation),
+    * summarized per measure with exact decimals. */
+  def unpivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  val unpivotAggSql: String =
+    """WITH u AS (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+      |SELECT measure, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      |FROM u GROUP BY measure""".stripMargin
+
   // --------------------------------------------------------------- D32
   /** Moving aggregate over a ROWS frame: per-customer trailing-3-order
     * spend. The ordering key is made unique (date, orderkey) so the
