@@ -326,4 +326,27 @@ object EtlQueries {
       |  CAST(11 AS BIGINT) AS column_count
       |FROM events WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-10','2024-01-11','2024-01-12')
       |GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- C10
+  /** Load-time data-quality gate over orders: null / range / domain /
+    * key-uniqueness expectations in one aggregation pass. */
+  def qualityChecks(s: SparkSession, dir: String): DataFrame =
+    DataQuality.report(graft.Tables.orders(s, dir),
+      Seq(
+        DataQuality.expectNonNull("o_orderdate"),
+        DataQuality.expectBetween("o_totalprice", 0.0, 1000000.0),
+        DataQuality.expectIn("o_orderstatus", Seq("F", "O", "P"))),
+      uniqueKey = Some("o_orderkey"))
+
+  val qualityChecksSql: String =
+    """WITH w AS (SELECT
+      |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_null_o_orderdate,
+      |  CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS range_o_totalprice,
+      |  CAST(SUM(CASE WHEN NOT o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS domain_o_orderstatus,
+      |  CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS unique_o_orderkey
+      |  FROM orders)
+      |SELECT 'non_null_o_orderdate' AS rule, non_null_o_orderdate AS n_violations FROM w
+      |UNION ALL SELECT 'range_o_totalprice', range_o_totalprice FROM w
+      |UNION ALL SELECT 'domain_o_orderstatus', domain_o_orderstatus FROM w
+      |UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey FROM w""".stripMargin
 }

@@ -73,6 +73,34 @@ object Sinks {
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  /** Upsert / merge into a parquet dataset (C9): keep every existing
+    * row whose key is absent from `updates` (one anti join), union the
+    * updates, and atomically swap directories — SCD-1 semantics
+    * without a table format. The anti join broadcasts `updates` when
+    * it's small (the common case: a daily delta against a big base).
+    * The rewrite cost is the whole dataset — on a real deployment
+    * partition the base and merge only affected partitions (see
+    * [[writeParquetIdempotent]]). */
+  def upsertParquet(updates: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = updates.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new Path(path))) updates
+      else spark.read.parquet(path)
+        .join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+          keyCols, "left_anti")
+        .unionByName(updates)
+    // the source is part of the write's lineage — stage to a sibling
+    // dir, then swap (rename is atomic per directory on HDFS-likes)
+    val tmp = new Path(path + "_graft_upsert_tmp")
+    val dst = new Path(path)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"upsert swap failed: $tmp -> $dst")
+  }
+
   /** Small-files compaction (C6): rewrite a parquet dataset into
     * ~`targetFileBytes` files, clustered and sorted by `sortCols` so
     * min/max footer stats make later range/equality filters skip whole

@@ -68,6 +68,38 @@ class SinksSpec extends SparkSpec {
     assert(twoPass.total_row_count == entry.total_row_count)
   }
 
+  test("upsertParquet merges on key: updates win, new keys append, others survive") {
+    val path = "/tmp/graft_sink/upsert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(path))
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "name", "v")
+    Sinks.upsertParquet(base, path, Seq("k"))
+    // update key 2, insert key 4
+    val delta = Seq((2L, "b2", 21), (4L, "d", 40)).toDF("k", "name", "v")
+    Sinks.upsertParquet(delta, path, Seq("k"))
+    val rows = spark.read.parquet(path).orderBy("k")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10), (2L, "b2", 21), (3L, "c", 30), (4L, "d", 40)))
+  }
+
+  test("data-quality gate counts violations in one pass") {
+    import graft.operators.DataQuality
+    val df = Seq(
+      (1L, Some(5.0), "F"), (2L, Some(-1.0), "O"),
+      (2L, None, "X"), (3L, Some(2.0), "F")
+    ).toDF("k", "price", "status")
+    val rep = DataQuality.report(df, Seq(
+        DataQuality.expectNonNull("price"),
+        DataQuality.expectBetween("price", 0.0, 100.0),
+        DataQuality.expectIn("status", Seq("F", "O"))),
+      uniqueKey = Some("k"))
+      .as[(String, Long)].collect().toMap
+    assert(rep == Map(
+      "non_null_price" -> 1L,   // the None
+      "range_price" -> 2L,      // -1.0 and the null
+      "domain_status" -> 1L,    // X
+      "unique_k" -> 1L))        // k=2 twice
+  }
+
   test("mergeSchema read null-pads columns added over time") {
     val v1 = "/tmp/graft_sink/evolve/day=1"
     val v2 = "/tmp/graft_sink/evolve/day=2"
