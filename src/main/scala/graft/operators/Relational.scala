@@ -608,6 +608,52 @@ object Relational {
       |  COUNT(DISTINCT n_name) AS n_nations
       |FROM region CROSS JOIN nation""".stripMargin
 
+  // --------------------------------------------------------------- D38
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a generated calendar
+    * scaffold left-joined to facts so empty days surface as zeros —
+    * the gap-filling shape reporting queries need. The recursion depth
+    * is the calendar length (bounded), not data-dependent. */
+  def recursiveCalendar(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rc")
+    s.sql("""
+      |WITH RECURSIVE cal AS (
+      |  SELECT DATE'1995-01-01' AS d
+      |  UNION ALL SELECT date_add(d, 1) FROM cal WHERE d < DATE'1995-01-31')
+      |SELECT date_format(d, 'yyyy-MM-dd') AS day, COUNT(o_orderkey) AS n_orders
+      |FROM cal LEFT JOIN orders_rc
+      |  ON date_format(o_orderdate, 'yyyy-MM-dd') = date_format(d, 'yyyy-MM-dd')
+      |GROUP BY date_format(d, 'yyyy-MM-dd')""".stripMargin)
+  }
+
+  val recursiveCalendarSql: String =
+    """WITH RECURSIVE cal(d) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT d + INTERVAL 1 DAY FROM cal WHERE d < DATE '1995-01-31')
+      |SELECT strftime(d, '%Y-%m-%d') AS day, COUNT(o_orderkey) AS n_orders
+      |FROM cal LEFT JOIN orders
+      |  ON strftime(o_orderdate, '%Y-%m-%d') = strftime(d, '%Y-%m-%d')
+      |GROUP BY strftime(d, '%Y-%m-%d')""".stripMargin
+
+  // --------------------------------------------------------------- D39
+  /** Correlated LATERAL subquery: per-customer aggregate computed in a
+    * lateral derived table (decorrelated by Catalyst into a join, not
+    * executed per row). */
+  def lateralAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lt")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_lt")
+    s.sql("""
+      |SELECT c_custkey, t.n AS n_orders
+      |FROM customer_lt c, LATERAL (
+      |  SELECT COUNT(*) AS n FROM orders_lt o WHERE o.o_custkey = c.c_custkey) t
+      |WHERE t.n >= 8""".stripMargin)
+  }
+
+  val lateralAggSql: String =
+    """SELECT c_custkey, t.n AS n_orders
+      |FROM customer c, LATERAL (
+      |  SELECT COUNT(*) AS n FROM orders o WHERE o.o_custkey = c.c_custkey) t
+      |WHERE t.n >= 8""".stripMargin
+
   // --------------------------------------------------------------- D37
   /** Unpivot (melt): wide measures → long (measure, value) rows — a
     * per-row Expand projection (no shuffle until the aggregation),
