@@ -269,8 +269,9 @@ object TrainingQueries {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("term"), col("doc_id")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df falls out of tf (one row per (doc, term)) — no second explode
+    // over the corpus, no separate distinct shuffle
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") *
