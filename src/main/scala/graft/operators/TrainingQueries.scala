@@ -325,6 +325,76 @@ object TrainingQueries {
       |        i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram HAVING COUNT(*) >= 20""".stripMargin
 
+  // ----------------------------------------------------------- E25
+  /** Repetition ratio: fraction of word 3-grams that are duplicates
+    * within the document (1 − distinct/total) — the repeated-content
+    * signal corpus filters cut on. Pure per-row projection. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN size(toks) >= 3 THEN
+                 transform(sequence(0, size(toks) - 3),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                ELSE array() END""").as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        when(size(col("grams")) > 0,
+          round(lit(1.0) - size(array_distinct(col("grams"))).cast("double")
+            / size(col("grams")), 6)).otherwise(0.0).as("rep_ratio"))
+
+  val repetitionRatioSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      |        list_transform(range(1, len(toks) - 1),
+      |          i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [] END AS grams FROM t)
+      |SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+      |  CASE WHEN len(grams) > 0
+      |    THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+      |    ELSE 0.0 END AS rep_ratio
+      |FROM g""".stripMargin
+
+  // ----------------------------------------------------------- E26
+  /** Gopher-style corpus filter rules: token-count bounds, mean token
+    * length bounds, alphabetic-token fraction, stopword floor — each
+    * exposed as a flag plus the final keep decision, all in one
+    * projection (integer-ratio arithmetic, reproducible). */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val meanLen = (length(col("text")) - nTok + 1).cast("double") / nTok
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z\\x{4e00}-\\x{9fff}]")))
+      .cast("double") / nTok
+    val stopHits = TextAnalysis.stopwordHits(col("text"), "en") +
+      TextAnalysis.cjkChars(col("text"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      (nTok >= 20 && nTok <= 100000).as("ok_len"),
+      (meanLen >= lit(2.0) && meanLen <= lit(12.0)).as("ok_word_len"),
+      (alphaFrac >= lit(0.7)).as("ok_alpha"),
+      (stopHits >= 2).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_word_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
+  val gopherRulesSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |m AS (SELECT doc_id, text, toks, len(toks) AS n,
+      |  CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_len,
+      |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z\x{4e00}-\x{9fff}]'))) AS DOUBLE)
+      |    / len(toks) AS alpha_frac,
+      |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x)))
+      |    + length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS stop_hits
+      |FROM t)
+      |SELECT doc_id,
+      |  n >= 20 AND n <= 100000 AS ok_len,
+      |  mean_len >= 2.0 AND mean_len <= 12.0 AS ok_word_len,
+      |  alpha_frac >= 0.7 AS ok_alpha,
+      |  stop_hits >= 2 AS ok_stop,
+      |  (n >= 20 AND n <= 100000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
+      |    AND alpha_frac >= 0.7 AND stop_hits >= 2 AS keep
+      |FROM m""".stripMargin
+
   // ----------------------------------------------------------- E24
   /** Edit-distance verification between candidate pairs (consecutive
     * docs as the bounded pair set): Levenshtein on a fixed prefix —
