@@ -608,6 +608,24 @@ object Relational {
       |  COUNT(DISTINCT n_name) AS n_nations
       |FROM region CROSS JOIN nation""".stripMargin
 
+  // --------------------------------------------------------------- D40
+  /** String aggregation (LISTAGG shape): nations per region as one
+    * sorted CSV string. `collect_list` order is partition-dependent,
+    * so the list is sorted BEFORE joining — deterministic under any
+    * parallelism. */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n"))
+
+  val stringAggSql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
   // --------------------------------------------------------------- D38
   /** Recursive CTE (Spark 4 WITH RECURSIVE): a generated calendar
     * scaffold left-joined to facts so empty days surface as zeros —
