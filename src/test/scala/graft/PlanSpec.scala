@@ -161,6 +161,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chunker rejects invalid strides up front") {
+    val docs = Tables.documents(spark, sf)
+    intercept[IllegalArgumentException](
+      operators.Corpus.chunkDocuments(docs, chunkTokens = 10, stride = 20))
+    intercept[IllegalArgumentException](
+      operators.Corpus.chunkDocuments(docs, chunkTokens = 10, stride = 0))
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
