@@ -33,6 +33,28 @@ object Readers {
     r2.csv(paths: _*)
   }
 
+  /** CSV ingest with row-level quarantine (A4b): PERMISSIVE parse
+    * into a declared schema plus a corrupt-record column, split into
+    * (good, quarantined). The reference dropped a whole file on any
+    * parse error (etl_pipeline.py:375-377); here bad ROWS are
+    * preserved for inspection and good rows still load. The frame is
+    * cached before the split — Spark forbids filtering on the
+    * internal corrupt-record column of a streaming-read plan
+    * otherwise, and the split would double-parse anyway. */
+  def csvWithQuarantine(spark: SparkSession, paths: Seq[String],
+                        schema: org.apache.spark.sql.types.StructType):
+      (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val parsed = spark.read.options(csvOptions)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .csv(paths: _*)
+      .cache()
+    (parsed.filter(col(corrupt).isNull).drop(corrupt),
+      parsed.filter(col(corrupt).isNotNull).select(col(corrupt)))
+  }
+
   /** Tag each row with the basename of the file it came from
     * (reference: etl_pipeline.py:389 `df['source_file'] = basename`). */
   def withSourceFile(df: DataFrame): DataFrame =

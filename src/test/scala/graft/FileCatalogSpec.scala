@@ -15,6 +15,19 @@ class FileCatalogSpec extends SparkSpec {
     dir
   }
 
+  test("quarantine ingest keeps good rows and captures bad ones") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_quarantine").toString
+    Files.write(Paths.get(dir, "drop.csv"),
+      "id,v\n1,10\n2,abc\n3,30\n".getBytes)
+    val schema = new StructType().add("id", LongType).add("v", IntegerType)
+    val (good, bad) = graft.sources.Readers.csvWithQuarantine(
+      spark, Seq(s"$dir/drop.csv"), schema)
+    assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val quarantined = bad.collect().map(_.getString(0))
+    assert(quarantined.length == 1 && quarantined.head.contains("abc"))
+  }
+
   test("listing is recursive and carries size + mtime") {
     val rows = FileCatalog.listFiles(spark, root).collect()
     assert(rows.length == 3)
