@@ -73,6 +73,57 @@ object Sinks {
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  /** Exactly-once JDBC load (C11): Spark's JDBC writer commits per
+    * task, so a mid-job failure leaves a partial table. Standard
+    * warehouse fix: write the batch to a STAGING table (full job must
+    * succeed), then publish with a single transactional
+    * INSERT...SELECT + audit-mark in ONE driver-side transaction; a
+    * rerun of the same batchId is a no-op. The data volume still
+    * flows through the distributed writer — only the publish step
+    * (metadata-sized) runs on the driver connection. */
+  def writeJdbcExactlyOnce(df: DataFrame, cfg: JdbcConfig, batchId: Long,
+                           auditTable: String = "load_audit"): Boolean = {
+    import java.sql.DriverManager
+    val staging = s"${cfg.table}_stage_$batchId"
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+      try f(c) finally c.close()
+    }
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute(
+        s"CREATE TABLE $auditTable (batch_id BIGINT PRIMARY KEY, n_rows BIGINT)")
+      catch { case _: java.sql.SQLException => () } // already exists
+      finally st.close()
+    }
+    val already = withConn { c =>
+      val ps = c.prepareStatement(s"SELECT 1 FROM $auditTable WHERE batch_id = ?")
+      ps.setLong(1, batchId)
+      try ps.executeQuery().next() finally ps.close()
+    }
+    if (already) return false // idempotent replay: batch was published
+
+    writeJdbc(df, cfg.copy(table = staging), overwrite = true)
+    val published = withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        val st = c.createStatement()
+        val n = st.executeUpdate(s"INSERT INTO ${cfg.table} SELECT * FROM $staging")
+        val ps = c.prepareStatement(s"INSERT INTO $auditTable VALUES (?, ?)")
+        ps.setLong(1, batchId); ps.setLong(2, n.toLong)
+        ps.executeUpdate()
+        c.commit()
+        st.close(); ps.close()
+        true
+      } catch { case e: Throwable => c.rollback(); throw e }
+    }
+    withConn { c =>
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $staging") finally st.close()
+    }
+    published
+  }
+
   /** Upsert / merge into a parquet dataset (C9): keep every existing
     * row whose key is absent from `updates` (one anti join), union the
     * updates, and atomically swap directories — SCD-1 semantics

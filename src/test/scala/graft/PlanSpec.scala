@@ -161,6 +161,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("outer join broadcasts the pre-aggregated fact summary") {
+    val p = plan(Relational.outerJoin(spark, sf)).split("== Initial Plan ==")(0)
+    // the per-customer aggregate is keys-sized → broadcast, no SMJ
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("chunking reads only the referenced columns") {
+    val p = plan(operators.Corpus.chunkDocuments(Tables.documents(spark, sf)))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("chunker rejects invalid strides up front") {
     val docs = Tables.documents(spark, sf)
     intercept[IllegalArgumentException](

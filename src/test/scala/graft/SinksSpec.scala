@@ -100,6 +100,22 @@ class SinksSpec extends SparkSpec {
       "unique_k" -> 1L))        // k=2 twice
   }
 
+  test("exactly-once JDBC load publishes transactionally and ignores replays") {
+    val url = "jdbc:derby:memory:graft_eo;create=true"
+    val cfg = Sinks.JdbcConfig(url, "target", "app", "app",
+      numPartitions = 1, batchSize = 100)
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sinks.writeJdbc(d1.limit(0), cfg, overwrite = true) // create empty target
+    assert(Sinks.writeJdbcExactlyOnce(d1, cfg, batchId = 1L))
+    // a replay of the same batch is a no-op, not a duplicate load
+    assert(!Sinks.writeJdbcExactlyOnce(d1, cfg, batchId = 1L))
+    val d2 = Seq((3L, "c")).toDF("id", "name")
+    assert(Sinks.writeJdbcExactlyOnce(d2, cfg, batchId = 2L))
+    val rows = graft.sources.Readers.jdbc(spark, url, "target", "app", "app")
+    assert(rows.count() == 3)
+    assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("mergeSchema read null-pads columns added over time") {
     val v1 = "/tmp/graft_sink/evolve/day=1"
     val v2 = "/tmp/graft_sink/evolve/day=2"
