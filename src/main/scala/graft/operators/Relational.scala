@@ -279,6 +279,40 @@ object Relational {
       |          FROM events) a) b) c
       |GROUP BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- D14b
+  /** Per-session granularity via the built-in `session_window` (gap
+    * merge in the aggregation itself — the same operator works on a
+    * stream): one row per (user, session) with bounds and size.
+    * Session end = last event + gap, per Spark's definition. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"), col("sum_value"))
+
+  val sessionWindowsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts, value,
+      |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |        FROM events) a),
+      |sessioned AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+      |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      |FROM sessioned GROUP BY user_id, session_id""".stripMargin
+
   // --------------------------------------------------------------- D15
   /** Pivot: line counts by returnflag × linestatus. Explicit pivot
     * values, so no extra distinct-collection job runs at scale. */

@@ -92,6 +92,23 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** F2b: declarative streaming sessionization via `session_window` —
+    * gap-merged sessions as a native aggregation; in Append mode a
+    * session row is emitted exactly once, when the watermark passes
+    * its end (closed-session semantics, bounded state). The custom
+    * `sessionCounts` keeps running per-user totals instead; this form
+    * yields per-session granularity. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("sum_value"))
+
   /** F5: stream-static enrichment join — each micro-batch joins
     * against a (small, broadcast) dimension snapshot, the streaming
     * form of the star join's dim lookup. The static side is re-read

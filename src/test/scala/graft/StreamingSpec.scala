@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F2b: session_window emits a session exactly once, when it closes") {
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStream.sessionWindowAgg(in.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("f2b")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts("2024-01-15 10:00:00"), 1L, 1.0),
+        (ts("2024-01-15 10:10:00"), 1L, 2.0))
+      q.processAllAvailable()
+      // session [10:00, 10:40) is still open — nothing emitted yet
+      assert(spark.table("f2b").count() == 0)
+      // a much later event pushes the watermark past the session end
+      in.addData((ts("2024-01-15 12:00:00"), 1L, 4.0))
+      q.processAllAvailable()
+      val out = spark.table("f2b")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out == Set((1L, 2L, 3.0))) // closed session only; 12:00 still open
+    } finally q.stop()
+  }
+
   test("F4: streaming dedup drops duplicates within the watermark") {
     val in = MemoryStream[(Long, Timestamp, String)]
     val df = in.toDF().toDF("event_id", "ts", "payload")
