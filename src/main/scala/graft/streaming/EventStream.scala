@@ -92,6 +92,55 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  final case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
+  final case class OpenSess(startSec: Long, lastSec: Long, nEvents: Long)
+
+  /** F2c: closed-session emission via `flatMapGroupsWithState` — emits
+    * NOTHING while a session is open and exactly one row when the
+    * event-time watermark passes last activity + gap (or when a new
+    * in-order event opens the next session, closing the previous one).
+    * flatMap (not map) because a batch can close zero or several
+    * sessions for one user. State per user is one open session. */
+  def closedSessions(events: Dataset[Ev], gapSeconds: Long = 1800,
+                     watermarkDelay: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSess, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[OpenSess]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startSec, s.lastSec, s.nEvents))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val sec = e.ts.getTime / 1000
+              open match {
+                case Some(s) if sec - s.lastSec > gapSeconds =>
+                  closed += ClosedSession(uid, s.startSec, s.lastSec, s.nEvents)
+                  open = Some(OpenSess(sec, sec, 1L))
+                case Some(s) =>
+                  open = Some(OpenSess(s.startSec, math.max(s.lastSec, sec), s.nEvents + 1L))
+                case None =>
+                  open = Some(OpenSess(sec, sec, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                (s.lastSec + gapSeconds) * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** F2b: declarative streaming sessionization via `session_window` —
     * gap-merged sessions as a native aggregation; in Append mode a
     * session row is emitted exactly once, when the watermark passes

@@ -56,6 +56,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F2c: flatMapGroupsWithState emits closed sessions only") {
+    val in = MemoryStream[Ev]
+    val q = EventStream.closedSessions(in.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("f2c")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1L, ts("2024-01-15 10:00:00"), 1.0),
+        Ev(1L, ts("2024-01-15 10:10:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("f2c").count() == 0) // session still open
+      // >gap later: closes session 1 in-stream (no watermark needed)
+      in.addData(Ev(1L, ts("2024-01-15 12:00:00"), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("f2c").as[EventStream.ClosedSession].collect().toSeq
+      assert(out == Seq(EventStream.ClosedSession(1L,
+        ts("2024-01-15 10:00:00").getTime / 1000,
+        ts("2024-01-15 10:10:00").getTime / 1000, 2L)))
+    } finally q.stop()
+  }
+
   test("F2b: session_window emits a session exactly once, when it closes") {
     val in = MemoryStream[(Timestamp, Long, Double)]
     val q = EventStream.sessionWindowAgg(in.toDF().toDF("ts", "user_id", "value"))
