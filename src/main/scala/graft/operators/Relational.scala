@@ -480,12 +480,19 @@ object Relational {
   /** Approximate quantiles (GK sketch) — the 100 TB path next to the
     * exact rank-selection of `quantiles`: one pass, mergeable partial
     * sketches, no per-group sort. Rows-only check (sketch results are
-    * engine-specific). */
+    * engine-specific), so the output is exploded to scalar rows
+    * (l_linestatus, p, value) — an array column would crash the
+    * driver's row-sort compare. */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_linestatus"))
       .agg(percentile_approx(col("l_extendedprice"),
         array(lit(0.5), lit(0.9)), lit(10000)).as("approx_p"))
+      .select(col("l_linestatus"),
+        posexplode(col("approx_p")).as(Seq("pos", "value")))
+      .select(col("l_linestatus"),
+        element_at(array(lit(0.5), lit(0.9)), col("pos") + 1).as("p"),
+        col("value"))
 
   // --------------------------------------------------------------- D19
   /** Exact quantiles by rank (p50/p90 of extended price per line

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExprs
 
@@ -17,10 +16,10 @@ import graft.functions.VectorExprs
   * ([[graft.functions.FloatVecDot]], [[graft.functions.HyperplaneBucket]]),
   * not interpreted `zip_with`/`aggregate` lambdas, and pair-independent
   * work (norms, buckets) is computed once per VECTOR before the join,
-  * never per pair. At 100 TB the brute-force path is per-query-
-  * partition top-k (window after a broadcast of the bounded query
-  * set); the LSH path turns the all-pairs problem into per-bucket
-  * pairs.
+  * never per pair. At 100 TB the brute-force path prunes to k per
+  * query map-side (bounded aggregate after a broadcast of the bounded
+  * query set — no window sort); the LSH path turns the all-pairs
+  * problem into per-bucket pairs.
   */
 object Similarity {
 
@@ -34,21 +33,29 @@ object Similarity {
 
   /** Brute-force cosine top-k (E6): broadcast the (bounded) query set
     * against the corpus; corpus/query norms are computed once per
-    * vector, so each of the |Q|·|C| pairs costs one dot product. Rank
-    * per query on the rounded score so the ordering is reproducible. */
+    * vector, so each of the |Q|·|C| pairs costs one dot product. The
+    * per-query top-k is a bounded aggregate ([[graft.functions.BoundedTopK]]),
+    * NOT a row_number window: the window form shuffles every scored
+    * pair into |Q| reducer partitions and sorts the whole corpus per
+    * query — at corpus scale that is a few-hot-partition sort of all
+    * |Q|·|C| rows. The aggregate prunes to ≤ k per query map-side, so
+    * the exchange carries O(|Q|·k). Ordering (cos desc, vec_id asc on
+    * the rounded score) matches the previous window formulation
+    * bit-for-bit. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("q_nrm", norm("q_emb"))
     val c = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("c_nrm", norm("embedding"))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .withColumn("cos",
         round(dot("q_emb", "embedding") / (col("q_nrm") * col("c_nrm")), 6))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("cos")).as("neg_cos"), col("vec_id")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.vec_id").as("vec_id"),
+        (-col("t.neg_cos")).as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** Random hyperplanes for LSH: deterministic from `seed`. */

@@ -501,6 +501,62 @@ object TrainingQueries {
     Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10)
   }
 
+  // ----------------------------------------------------------- E7 (recall gate)
+  /** LSH near-dup recall as a driver-checkable exact row: a positively
+    * scaled copy has identical hyperplane signs, so every planted pair
+    * (v, 1.5·v) lands in one bucket with probability 1 — recall over
+    * the planted set is exactly 1 by construction, and the oracle pins
+    * n_found == n_planted. A single missed pair flips full_recall and
+    * fails the hash compare. */
+  def annLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"))
+    val planted = Similarity.cosineNearDuplicates(vecsWithScaledCopies(s, dir),
+        threshold = 0.99, exact = false)
+      .filter(col("id_b") === col("id_a") + 10000)
+      .select(col("id_a"), lit(1L).as("hit"))
+    base.select(col("vec_id").as("id_a"))
+      .join(planted, Seq("id_a"), "left")
+      .agg(count(lit(1)).as("n_planted"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      .select(lit("lsh_planted_recall").as("metric"),
+        col("n_planted").cast("long").as("n_planted"),
+        col("n_found").cast("long").as("n_found"),
+        (col("n_found") === col("n_planted")).as("full_recall"))
+  }
+
+  val annLshRecallSql: String =
+    """SELECT 'lsh_planted_recall' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  CAST(COUNT(*) AS BIGINT) AS n_found,
+      |  TRUE AS full_recall
+      |FROM embeddings""".stripMargin
+
+  /** IVF recall@10 against the exact brute-force top-k, surfaced as a
+    * driver-checkable row. The hit count itself depends on k-means
+    * float summation order, so only the thresholded verdict is
+    * oracle-compared; the threshold sits well under the measured
+    * recall (spec pins the planted-copy invariant separately). */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, e, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val approx = Similarity.ivfTopK(q, e, k = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_expected"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(lit("ivf_recall_at_10").as("metric"),
+        col("n_expected").cast("long").as("n_expected"),
+        (col("n_hits") >= col("n_expected") * 0.7).as("recall_ok"))
+  }
+
+  val annIvfRecallSql: String =
+    """SELECT 'ivf_recall_at_10' AS metric,
+      |  CAST(10 * COUNT(*) AS BIGINT) AS n_expected,
+      |  TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
+
   // ----------------------------------------------------------- E12
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.toMediaRows(s, Tables.documents(s, dir), "doc_id", "text")

@@ -54,10 +54,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("brute-force ANN broadcasts the bounded query side") {
+  test("brute-force ANN broadcasts the bounded query side and prunes top-k map-side") {
     val vecs = Tables.embeddings(spark, sf)
     val p = plan(Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 5), vecs, 10))
+      .split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // per-query top-k is the bounded aggregate: partial pruning to <= k
+    // before the shuffle, never a window sort of all |Q|x|C| scored rows
+    assert(p.contains("partial_bounded_top_k"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
   }
 
   test("bucketed tables join with no shuffle on the join key") {
