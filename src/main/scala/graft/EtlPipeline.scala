@@ -34,12 +34,11 @@ object EtlPipeline {
       tsColumns: Seq[String] = Seq("ts_us"),
       tsUnit: String = "us",
       heterogeneous: Boolean = false,
-      processedAt: Option[java.sql.Timestamp] = None): Option[DayResult] = {
+      processedAt: Option[java.sql.Timestamp] = None,
+      maxFilesPerDay: Int = 100000): Option[DayResult] = {
 
-    val files = FileCatalog.filesForDate(spark, dropDir, date)
-      .select("path", "name").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .sortBy(_._2)
+    // capped, never unbounded (see FileCatalog.pathsForDate)
+    val files = FileCatalog.pathsForDate(spark, dropDir, date, maxFilesPerDay)
     if (files.isEmpty) return None // reference: etl_pipeline.py:326-346
 
     val paths = files.map(_._1).toSeq
@@ -85,12 +84,11 @@ object EtlPipeline {
       tsColumns: Seq[String] = Seq("ts_us"),
       tsUnit: String = "us",
       heterogeneous: Boolean = false,
-      processedAt: Option[java.sql.Timestamp] = None): Option[ProcessingLog.Entry] = {
+      processedAt: Option[java.sql.Timestamp] = None,
+      maxFilesPerDay: Int = 100000): Option[ProcessingLog.Entry] = {
 
-    val files = FileCatalog.filesForDate(spark, dropDir, date)
-      .select("path", "name").collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .sortBy(_._2)
+    // capped, never unbounded (see FileCatalog.pathsForDate)
+    val files = FileCatalog.pathsForDate(spark, dropDir, date, maxFilesPerDay)
     if (files.isEmpty) return None
 
     val paths = files.map(_._1).toSeq

@@ -119,9 +119,12 @@ object Dedup {
     * Output: (id, component) for every id in `pairs`, component = min
     * id in the connected component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    // materialize the (possibly expensive) pair pipeline ONCE — the
+    // symmetric edge union would otherwise evaluate everything above
+    // the last exchange in `pairs` once per branch
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
@@ -133,13 +136,15 @@ object Dedup {
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_comp")).as("nbr_comp"))
       val newComp = least(col("component"), coalesce(col("nbr_comp"), col("component")))
-      // carry the changed flag through the checkpoint so convergence
-      // detection is a cheap agg over materialized data, not a re-join
+      // the convergence flag rides the checkpoint materialization as an
+      // observe metric — one action per round, no second agg job
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), newComp.as("component"),
           (newComp =!= col("component")).cast("int").as("changed"))
+        .observe(obs, coalesce(max(col("changed")), lit(0)).as("max_changed"))
         .localCheckpoint()
-      converged = next.agg(coalesce(max(col("changed")), lit(0))).head().getInt(0) == 0
+      converged = obs.get("max_changed").asInstanceOf[Int] == 0
       labels = next.select(col("id"), col("component"))
       round += 1
     }

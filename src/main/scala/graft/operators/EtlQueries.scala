@@ -41,6 +41,48 @@ object EtlQueries {
   val dateExtractSql: String =
     "SELECT o_orderkey % 6 AS kind, COUNT(*) AS n, COUNT(*) AS n_correct FROM orders GROUP BY 1"
 
+  // ----------------------------------------------------------- A2 (custom patterns)
+  /** Custom business conventions (reference `get_custom_patterns()`,
+    * etl_pipeline.py:234-249): build filenames in the sales_daily and
+    * backup_file conventions, extract with the custom patterns
+    * prepended, and count (a) exact date recovery through the scalar
+    * form, (b) per-pattern matches through the all-matches dict form,
+    * (c) time-of-day preservation through the custom timestamp form
+    * (backup carries 12:30:45 — the default patterns would collapse it
+    * to midnight). */
+  def dateExtractCustom(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DateExtract.DatePattern
+    val custom = Seq(
+      DatePattern("sales_daily", "sales_(\\d{4}-\\d{2}-\\d{2})_daily\\.csv", "yyyy-MM-dd"),
+      DatePattern("backup_file", "backup_(\\d{4}_\\d{2}_\\d{2}_\\d{2}_\\d{2}_\\d{2})\\.sql",
+        "yyyy_MM_dd_HH_mm_ss"))
+    val o = Tables.orders(s, dir)
+    val kind = pmod(col("o_orderkey"), lit(2))
+    val iso = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    val fname = when(kind === 0, concat(lit("sales_"), iso, lit("_daily.csv")))
+      .otherwise(concat(lit("backup_"), date_format(col("o_orderdate"), "yyyy_MM_dd"),
+        lit("_12_30_45.sql")))
+    val all = DateExtract.extractAllDates(fname, custom)
+    o.select(kind.as("kind"), iso.as("truth"),
+        DateExtract.extractDate(fname, custom).as("extracted"),
+        date_format(DateExtract.extractTimestamp(fname, custom), "HH:mm:ss").as("tod"),
+        all.getField("sales_daily").as("m_sales"),
+        all.getField("backup_file").as("m_backup"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("extracted") === col("truth"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("m_sales").isNotNull, 1L).otherwise(0L)).as("n_sales_matched"),
+        sum(when(col("m_backup").isNotNull, 1L).otherwise(0L)).as("n_backup_matched"),
+        sum(when(col("tod") === "12:30:45", 1L).otherwise(0L)).as("n_time_kept"))
+  }
+
+  val dateExtractCustomSql: String =
+    """SELECT o_orderkey % 2 AS kind, COUNT(*) AS n, COUNT(*) AS n_correct,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sales_matched,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backup_matched,
+      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_time_kept
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------- A1
   /** Catalog of the staged drop: every file named with its extracted
     * date. Oracle reconstructs the expected drop from events. */
@@ -71,8 +113,7 @@ object EtlQueries {
   /** Date-filtered read of one (gzipped) day from the drop. */
   def dateFilterRead(s: SparkSession, dir: String): DataFrame = {
     val drop = EtlStage.stageEventsCsv(s, dir)
-    val files = FileCatalog.filesForDate(s, drop, "2024-01-16")
-      .select("path").collect().map(_.getString(0)).toSeq
+    val files = FileCatalog.pathsForDate(s, drop, "2024-01-16").map(_._1)
     Readers.csv(s, files)
       .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"),
         lit(files.length.toLong).as("n_files"))

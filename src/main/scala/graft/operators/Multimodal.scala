@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,10 +14,13 @@ import org.apache.spark.sql.functions._
   * real decoder would amortize model/codec init per batch, not per
   * row).
   *
-  * The decode step itself is STUBBED (no image/audio libraries in this
-  * container): `decodeFeatures` derives a deterministic fake feature
-  * vector from the payload bytes. The Spark-side contract — schema,
-  * encoders, partition batching, metadata math — is real and tested.
+  * IMAGE decode is REAL: `javax.imageio` (JDK-only, headless-safe)
+  * reads PNG/JPEG/BMP/GIF payloads into pixels, and the feature vector
+  * is a 4×4 luminance grid. Audio/video decode stays STUBBED (no codec
+  * libraries in this container): those payloads get a deterministic
+  * fake feature vector derived from the raw bytes. The Spark-side
+  * contract — schema, encoders, partition batching, metadata math — is
+  * identical for both paths.
   */
 object Multimodal {
 
@@ -21,10 +28,12 @@ object Multimodal {
     * like at rest. */
   final case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
 
-  /** Decoded representation: metadata + fixed-dim feature vector. */
+  /** Decoded representation: metadata + fixed-dim feature vector.
+    * width/height are the decoded pixel dimensions for images, 0 for
+    * non-image or undecodable payloads. */
   final case class MediaFeatures(
       doc_id: Long, media_len: Int, frame_count: Int,
-      feature_dim: Int, features: Array[Float])
+      feature_dim: Int, features: Array[Float], width: Int, height: Int)
 
   val FeatureDim = 16
   /** Stub "frame rate": one frame per 100 payload bytes. */
@@ -42,20 +51,77 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: a real implementation would decode the codec here
-    * (e.g. JPEG → pixels → model features). The fake is deterministic:
-    * feature i = byte[i] / 255 (zero-padded). Batch shape is the real
-    * one — one partition-iterator per task. */
+  /** Deterministic tiny PNG: pixel (x,y) = RGB derived from (seed,x,y).
+    * JDK-only encode; used to plant real image payloads in tests and
+    * the driver query. */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (seed * 31 + x * 7 + y * 13) & 0xffffff
+        img.setRGB(x, y, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 4×4 point-sampled luminance grid (Rec. 601 weights), row-major:
+    * cell (i,j) samples pixel (⌊j·w/4⌋, ⌊i·h/4⌋). Deterministic and
+    * resolution-independent — the image analogue of a pooled feature
+    * map. */
+  private def luminanceGrid(img: BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    Array.tabulate(FeatureDim) { k =>
+      val x = math.min(w - 1, (k % 4) * w / 4)
+      val y = math.min(h - 1, (k / 4) * h / 4)
+      val rgb = img.getRGB(x, y)
+      val lum = 0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) +
+        0.114f * (rgb & 0xff)
+      lum / 255.0f
+    }
+  }
+
+  /** Stub features for non-image payloads: feature i = byte[i] / 255
+    * (zero-padded), frame count from the byte length. */
+  private def stubFeatures(r: MediaRow): MediaFeatures = {
+    val len = r.media.length
+    val feats = Array.tabulate(FeatureDim) { i =>
+      if (i < len) (r.media(i) & 0xff) / 255.0f else 0.0f
+    }
+    MediaFeatures(r.doc_id, len, frameCount(len), FeatureDim, feats, 0, 0)
+  }
+
+  /** Decode + feature-extract. Image payloads (`image/...` except the
+    * explicit `image/stub`) decode for real via ImageIO — width/height
+    * are the actual pixel dimensions, one frame, luminance-grid
+    * features; an undecodable image falls back to the stub path (the
+    * quarantine-not-crash behavior a 100 TB media scan needs).
+    * Audio/video/stub payloads take the stub path. Batch shape is the
+    * real one — one partition-iterator per task, decoder init amortized
+    * per partition, never per row. */
   def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition init would go here (decoder/model handle)
+      // per-partition init would go here (model handle, audio codecs);
+      // ImageIO is stateless so images need none
       rows.map { r =>
-        val len = r.media.length
-        val feats = Array.tabulate(FeatureDim) { i =>
-          if (i < len) (r.media(i) & 0xff) / 255.0f else 0.0f
-        }
-        MediaFeatures(r.doc_id, len, frameCount(len), FeatureDim, feats)
+        if (r.media_type.startsWith("image/") && r.media_type != "image/stub") {
+          val img =
+            try Option(ImageIO.read(new ByteArrayInputStream(r.media)))
+            catch { case _: java.io.IOException => None }
+          img match {
+            case Some(i) =>
+              MediaFeatures(r.doc_id, r.media.length, 1, FeatureDim,
+                luminanceGrid(i), i.getWidth, i.getHeight)
+            case None => stubFeatures(r)
+          }
+        } else stubFeatures(r)
       }
     }
   }

@@ -570,6 +570,29 @@ object TrainingQueries {
       |  CAST(16 AS INTEGER) AS feature_dim
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- E12 (real decode)
+  /** REAL image decode end-to-end: plant a deterministic synthetic PNG
+    * per document (width/height derived from doc_id), decode it with
+    * the JDK ImageIO path on executors, and emit the recovered pixel
+    * dimensions — the oracle recomputes them from doc_id, so a decode
+    * that lies about geometry fails the hash compare. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id,
+        Multimodal.syntheticPng(1 + (id % 16).toInt, 1 + (id % 8).toInt, id),
+        "image/png"))
+    Multimodal.decodeFeatures(s, media)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("frame_count"), col("feature_dim"))
+  }
+
+  val multimodalDecodeSql: String =
+    """SELECT doc_id, CAST(1 + doc_id % 16 AS INTEGER) AS width,
+      |  CAST(1 + doc_id % 8 AS INTEGER) AS height,
+      |  CAST(1 AS INTEGER) AS frame_count, CAST(16 AS INTEGER) AS feature_dim
+      |FROM documents""".stripMargin
+
   // ----------------------------------------------------------- E16
   /** Deterministic 8/1/1 train/valid/test split + per-split corpus
     * accounting. The assignment is a pure function of doc_id, so the

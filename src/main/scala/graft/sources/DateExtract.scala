@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * Re-expresses the reference's `extract_date_from_filename`
   * (reference: etl_pipeline.py:27-213): try each regex pattern in
   * priority order, validate the parsed date, return the first hit.
+  * Custom business patterns (the reference's `patterns` dict and
+  * `get_custom_patterns()`, etl_pipeline.py:27-28, 234-249) are
+  * modeled as [[DateExtract.DatePattern]] rows prepended to the 11
+  * defaults; the `return_format='dict'` all-matches diagnostic
+  * (etl_pipeline.py:202-203) is [[DateExtract.extractAllDates]] — a
+  * struct with one field per pattern name.
   *
   * Implementation is a single `coalesce` of codegen'd
   * `regexp_extract`/`to_date` chains — one whole-stage-codegen
@@ -18,6 +24,16 @@ import org.apache.spark.sql.functions._
   * reference's strptime try/except (etl_pipeline.py:193-195).
   */
 object DateExtract {
+
+  /** One custom naming convention: `regex` group `group` captures the
+    * candidate, `format` is the datetime pattern that parses it (a
+    * parse failure falls through to the next pattern, like the
+    * reference's strptime try/except). Example — the reference's
+    * backup convention (etl_pipeline.py:245):
+    * `DatePattern("backup_file", "backup_(\\d{4}_\\d{2}_\\d{2}_\\d{2}_\\d{2}_\\d{2})\\.sql",
+    * "yyyy_MM_dd_HH_mm_ss")`. */
+  final case class DatePattern(name: String, regex: String, format: String,
+                               group: Int = 1)
 
   private def ext(c: Column, pattern: String, group: Int = 1): Column = {
     val m = regexp_extract(c, pattern, group)
@@ -52,22 +68,59 @@ object DateExtract {
   private def compactToIso(c: Column): Column = // YYYYMMDD → YYYY-MM-DD
     concat(substring(c, 1, 4), lit("-"), substring(c, 5, 2), lit("-"), substring(c, 7, 2))
 
+  /** Custom-pattern candidate parsed+validated via its own datetime
+    * format, surfaced as an ISO date string (null = no match or
+    * unparseable candidate). */
+  private def customDate(filename: Column, p: DatePattern): Column =
+    date_format(try_to_timestamp(ext(filename, p.regex, p.group), lit(p.format)),
+      "yyyy-MM-dd")
+
+  private def customTimestamp(filename: Column, p: DatePattern): Column =
+    try_to_timestamp(ext(filename, p.regex, p.group), lit(p.format))
+
+  /** The default patterns as (name → extracted ISO date) pairs, in
+    * reference priority order — shared by the scalar and the
+    * all-matches forms. */
+  private def defaultDates(filename: Column): Seq[(String, Column)] = Seq(
+    "iso_datetime_compact" -> validIso(ext(filename, isoDatetimeCompact)),
+    "iso_datetime_full"    -> validIso(ext(filename, isoDatetimeFull)),
+    "iso_date"             -> validIso(ext(filename, isoDate)),
+    "us_datetime"          -> validIso(usToIso(ext(filename, usDatetime))),
+    "us_date"              -> validIso(usToIso(ext(filename, usDate))),
+    "compact_date"         -> validIso(compactToIso(ext(filename, compactDate))),
+    "underscore_date"      -> validIso(translate(ext(filename, underscoreDate), "_", "-")),
+    "dot_date"             -> validIso(translate(ext(filename, dotDate), ".", "-")),
+    // year_month: valid when it parses as yyyy-MM (month 01-12)
+    "year_month" ->
+      when(call_function("try_to_date", ext(filename, yearMonth), lit("yyyy-MM")).isNotNull,
+        ext(filename, yearMonth)),
+    "unix_timestamp" ->
+      date_format(to_timestamp(ext(filename, unixTimestamp).cast("long")), "yyyy-MM-dd"),
+    "date_range"           -> validIso(ext(filename, dateRange)))
+
   /** ISO date string (or yyyy-MM for the year_month pattern), null if
     * no pattern matches — the reference's `return_format='string'`. */
-  def extractDate(filename: Column): Column = coalesce(
-    validIso(ext(filename, isoDatetimeCompact)),
-    validIso(ext(filename, isoDatetimeFull)),
-    validIso(ext(filename, isoDate)),
-    validIso(usToIso(ext(filename, usDatetime))),
-    validIso(usToIso(ext(filename, usDate))),
-    validIso(compactToIso(ext(filename, compactDate))),
-    validIso(translate(ext(filename, underscoreDate), "_", "-")),
-    validIso(translate(ext(filename, dotDate), ".", "-")),
-    // year_month: valid when it parses as yyyy-MM (month 01-12)
-    when(call_function("try_to_date", ext(filename, yearMonth), lit("yyyy-MM")).isNotNull,
-      ext(filename, yearMonth)),
-    date_format(to_timestamp(ext(filename, unixTimestamp).cast("long")), "yyyy-MM-dd"),
-    validIso(ext(filename, dateRange)))
+  def extractDate(filename: Column): Column =
+    coalesce(defaultDates(filename).map(_._2): _*)
+
+  /** `extractDate` with custom conventions tried FIRST (the
+    * reference's `patterns` argument: a caller-supplied dict is tried
+    * before nothing else — here customs get priority over the 11
+    * defaults so a bespoke convention can override e.g. the greedy
+    * `compact_date`). */
+  def extractDate(filename: Column, custom: Seq[DatePattern]): Column =
+    coalesce((custom.map(customDate(filename, _)) ++
+      defaultDates(filename).map(_._2)): _*)
+
+  /** The reference's `return_format='dict'` diagnostic: one struct
+    * field per pattern name (customs first), each the ISO date that
+    * pattern yields on this filename or null — "which patterns
+    * matched, and what did each see". */
+  def extractAllDates(filename: Column, custom: Seq[DatePattern] = Nil): Column = {
+    val fields = custom.map(p => customDate(filename, p).as(p.name)) ++
+      defaultDates(filename).map { case (n, c) => c.as(n) }
+    struct(fields: _*)
+  }
 
   /** Full timestamp where the pattern carries a time component, else
     * midnight of the extracted date — the reference's
@@ -95,4 +148,12 @@ object DateExtract {
     coalesce(isoCompactTs, isoFullTs, usTs, unixTs,
       try_to_timestamp(extractDate(filename), lit("yyyy-MM-dd")))
   }
+
+  /** `extractTimestamp` with custom conventions tried first: a custom
+    * pattern whose format carries a time component (e.g. the backup
+    * convention's `yyyy_MM_dd_HH_mm_ss`) keeps that precision instead
+    * of collapsing to midnight via the default date-only patterns. */
+  def extractTimestamp(filename: Column, custom: Seq[DatePattern]): Column =
+    coalesce((custom.map(customTimestamp(filename, _)) :+
+      extractTimestamp(filename)): _*)
 }

@@ -62,6 +62,27 @@ object FileCatalog {
   def filesForDate(spark: SparkSession, root: String, date: String): DataFrame =
     catalog(spark, root).filter(col("extracted_date") === date)
 
+  /** Driver-side (path, name) list for one day, name-sorted, CAPPED.
+    *
+    * Spark's file-based sources materialize the scan's file list on
+    * the driver no matter how it is produced, so "fully distributed"
+    * is not on the table for the read itself — what this helper does
+    * is make that driver bound explicit and fail-fast: the collect is
+    * `limit(maxFiles+1)`, never unbounded, and a day with more objects
+    * than `maxFiles` raises a clear error (partition the drop by date
+    * subdirectories and read the directory instead) rather than
+    * silently pinning driver memory. */
+  def pathsForDate(spark: SparkSession, root: String, date: String,
+                   maxFiles: Int = 100000): Seq[(String, String)] = {
+    val rows = filesForDate(spark, root, date)
+      .select("path", "name").limit(maxFiles + 1).collect()
+    require(rows.length <= maxFiles,
+      s"more than maxFiles=$maxFiles objects for date=$date under $root; " +
+        "raise maxFiles, or partition the drop into per-date subdirectories " +
+        "and read the day's directory as a single source")
+    rows.map(r => (r.getString(0), r.getString(1))).sortBy(_._2).toSeq
+  }
+
   /** The reference's `--analyze-dates` histogram
     * (etl_pipeline.py:599-658): file count + size + modification-time
     * range per extracted date. */

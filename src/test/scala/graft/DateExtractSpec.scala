@@ -56,4 +56,60 @@ class DateExtractSpec extends SparkSpec {
     assert(ts("data_2024-01-15T030000_x.csv") == "2024-01-15 03:00:00")
     assert(ts("sales_2024-01-15.csv") == "2024-01-15 00:00:00")
   }
+
+  // reference get_custom_patterns() conventions (etl_pipeline.py:234-249)
+  private val custom = Seq(
+    DateExtract.DatePattern("sales_daily",
+      "sales_(\\d{4}-\\d{2}-\\d{2})_daily\\.csv", "yyyy-MM-dd"),
+    DateExtract.DatePattern("sales_monthly",
+      "sales_(\\d{4}-\\d{2})_monthly\\.csv", "yyyy-MM"),
+    DateExtract.DatePattern("log_file",
+      "app_(\\d{8})_(\\d{6})\\.log", "yyyyMMdd"),
+    DateExtract.DatePattern("backup_file",
+      "backup_(\\d{4}_\\d{2}_\\d{2}_\\d{2}_\\d{2}_\\d{2})\\.sql",
+      "yyyy_MM_dd_HH_mm_ss"))
+
+  test("custom patterns extract; defaults still work through the same call") {
+    val m = Seq("sales_2024-01-15_daily.csv", "sales_2024-02_monthly.csv",
+        "app_20240115_123045.log", "backup_2024_01_15_12_30_45.sql",
+        "report_01-15-2024.pdf", "nodate.txt")
+      .toDF("f")
+      .select(col("f"), DateExtract.extractDate(col("f"), custom).as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1)).orNull).toMap
+    assert(m("sales_2024-01-15_daily.csv") == "2024-01-15")
+    assert(m("sales_2024-02_monthly.csv") == "2024-02-01") // parsed yyyy-MM → first of month
+    assert(m("app_20240115_123045.log") == "2024-01-15")
+    assert(m("backup_2024_01_15_12_30_45.sql") == "2024-01-15")
+    assert(m("report_01-15-2024.pdf") == "2024-01-15")     // default us_date fallback
+    assert(m("nodate.txt") == null)
+  }
+
+  test("custom timestamp keeps the backup convention's time of day") {
+    val t = Seq("backup_2024_01_15_12_30_45.sql").toDF("f")
+      .select(date_format(DateExtract.extractTimestamp(col("f"), custom),
+        "yyyy-MM-dd HH:mm:ss").as("t")).collect()(0).getString(0)
+    // the default underscore_date pattern would collapse this to midnight
+    assert(t == "2024-01-15 12:30:45")
+  }
+
+  test("extractAllDates reports per-pattern matches (the dict form)") {
+    val row = Seq("sales_2024-01-15_daily.csv").toDF("f")
+      .select(DateExtract.extractAllDates(col("f"), custom).as("all"))
+      .select(col("all.sales_daily"), col("all.iso_date"),
+        col("all.backup_file"), col("all.compact_date"))
+      .collect()(0)
+    assert(row.getString(0) == "2024-01-15") // custom convention hit
+    assert(row.getString(1) == "2024-01-15") // greedy default also sees it
+    assert(row.isNullAt(2))                  // other custom: no match
+    assert(row.isNullAt(3))                  // compact_date: no 8-digit run
+  }
+
+  test("an invalid custom candidate falls through to the defaults") {
+    // sales_daily regex matches but the date is not real → strptime-like
+    // fall-through; no default pattern validates month 13 either
+    val d = Seq("sales_2024-13-40_daily.csv").toDF("f")
+      .select(DateExtract.extractDate(col("f"), custom).as("d"))
+      .collect()(0).getString(0)
+    assert(d == null)
+  }
 }

@@ -49,6 +49,18 @@ class FileCatalogSpec extends SparkSpec {
     assert(r.getAs[Long]("min_mtime_ms") <= r.getAs[Long]("max_mtime_ms"))
   }
 
+  test("pathsForDate is name-sorted and fails fast past the cap") {
+    val got = FileCatalog.pathsForDate(spark, root, "2024-01-16")
+    assert(got.map(_._2) == Seq("events_2024-01-16.csv.gz"))
+    // a day with more objects than maxFiles must raise, not OOM the driver
+    val dir = Files.createTempDirectory("graft_cap").toString
+    (1 to 5).foreach(i =>
+      Files.write(Paths.get(dir, s"events_2024-01-16_$i.csv"), "a\n1\n".getBytes))
+    val e = intercept[IllegalArgumentException](
+      FileCatalog.pathsForDate(spark, dir, "2024-01-16", maxFiles = 3))
+    assert(e.getMessage.contains("maxFiles=3"))
+  }
+
   test("date histogram carries per-date file counts and mtime ranges") {
     val m = FileCatalog.dateHistogram(spark, root)
       .filter(col("extracted_date").isNotNull)

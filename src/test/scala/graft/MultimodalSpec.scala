@@ -30,6 +30,38 @@ class MultimodalSpec extends SparkSpec {
     assert(byLen(wav.length) == 3)  // 250 bytes → 3 frames
   }
 
+  test("planted PNGs decode to real pixel dimensions and luminance features") {
+    import spark.implicits._
+    val media = spark.range(0, 20).as[Long]
+      .map(id => Multimodal.MediaRow(id,
+        Multimodal.syntheticPng(1 + (id % 16).toInt, 1 + (id % 8).toInt, id),
+        "image/png"))
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.width == 1 + (f.doc_id % 16).toInt, s"doc ${f.doc_id} width")
+      assert(f.height == 1 + (f.doc_id % 8).toInt, s"doc ${f.doc_id} height")
+      assert(f.frame_count == 1)
+      assert(f.features.length == Multimodal.FeatureDim)
+      assert(f.features.forall(v => v >= 0.0f && v <= 1.0f))
+    }
+    // luminance features are a pure function of the pixels: the same
+    // payload decodes to the same vector on any executor
+    val again = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(again(f.doc_id) == f.features.toSeq))
+  }
+
+  test("an undecodable image payload falls back to the stub, not a crash") {
+    import spark.implicits._
+    val junk = Array.tabulate(250)(i => (i * 7).toByte)
+    val media = spark.range(0, 1).as[Long]
+      .map(id => Multimodal.MediaRow(id, junk, "image/png"))
+    val f = Multimodal.decodeFeatures(spark, media).collect()(0)
+    assert(f.width == 0 && f.height == 0)
+    assert(f.media_len == 250 && f.frame_count == 3) // stub metadata math
+  }
+
   test("frame sampling explodes capped, strided frame indexes") {
     val media = Multimodal.toMediaRows(spark,
       Tables.documents(spark, sf).limit(5), "doc_id", "text")

@@ -116,6 +116,32 @@ class SinksSpec extends SparkSpec {
     assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("exactly-once survives a crash between staging write and publish") {
+    val url = "jdbc:derby:memory:graft_eo_crash;create=true"
+    val cfg = Sinks.JdbcConfig(url, "target", "app", "app",
+      numPartitions = 1, batchSize = 100)
+    val d = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sinks.writeJdbc(d.limit(0), cfg, overwrite = true) // create empty target
+
+    // crash scenario 1: the run died AFTER the staging write but BEFORE
+    // the publish transaction — staging exists, audit has no row
+    Sinks.writeJdbc(d, cfg.copy(table = "target_stage_7"), overwrite = true)
+    // the retry must publish exactly once (staging is rebuilt, then the
+    // one transactional INSERT..SELECT runs)
+    assert(Sinks.writeJdbcExactlyOnce(d, cfg, batchId = 7L))
+    val afterRetry = graft.sources.Readers.jdbc(spark, url, "target", "app", "app")
+    assert(afterRetry.count() == 2)
+
+    // crash scenario 2: the run died AFTER the publish commit but
+    // BEFORE the staging drop — audit row exists, stale staging around
+    Sinks.writeJdbc(d, cfg.copy(table = "target_stage_7"), overwrite = true)
+    // replay is audit-gated: returns false, loads nothing
+    assert(!Sinks.writeJdbcExactlyOnce(d, cfg, batchId = 7L))
+    val afterReplay = graft.sources.Readers.jdbc(spark, url, "target", "app", "app")
+    assert(afterReplay.count() == 2)
+    assert(afterReplay.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("mergeSchema read null-pads columns added over time") {
     val v1 = "/tmp/graft_sink/evolve/day=1"
     val v2 = "/tmp/graft_sink/evolve/day=2"
