@@ -250,6 +250,23 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("n"))
 
+  /** Driver-checkable gate for the HLL sketch: the approximate
+    * distinct count must land within 5% of the exact count (the sketch
+    * runs at rsd=0.01, so 5% is a generous, non-flaky band). The
+    * sketch value itself is engine-specific; the thresholded verdict
+    * plus the exact count are oracle-pinned exactly. */
+  def approxDistinctGate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("a").cast("double") / col("n_exact") - 1.0) <= 0.05).as("within_tol"))
+
+  val approxDistinctGateSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_tol
+      |FROM events GROUP BY event_type""".stripMargin
+
   // --------------------------------------------------------------- D14
   /** Gap-based sessionization (30-min inactivity) via window lag +
     * running sum — one shuffle on user_id, no state on the driver. */
@@ -493,6 +510,39 @@ object Relational {
       .select(col("l_linestatus"),
         element_at(array(lit(0.5), lit(0.9)), col("pos") + 1).as("p"),
         col("value"))
+
+  /** Driver-checkable gate for the GK sketch: each approximate
+    * quantile must lie between the exact values at ranks
+    * ⌈p·n⌉ ± (⌈n/accuracy⌉ + 1) — the sketch's rank-error guarantee
+    * with one rank of slack for boundary-definition differences. The
+    * bound values come from the same single window pass as `quantiles`
+    * (conditional prefix-max / suffix-min per group, no second sort). */
+  def approxQuantileGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_linestatus")).orderBy(col("l_extendedprice").asc)
+    val ranked = Tables.lineitem(s, dir)
+      .select(col("l_linestatus"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_linestatus"))))
+    val eps = ceil(col("n") / lit(10000)) + lit(1)
+    def lo(p: Double) = max(when(
+      col("rn") <= greatest(lit(1), ceil(col("n") * p) - eps), col("l_extendedprice")))
+    def hi(p: Double) = min(when(
+      col("rn") >= least(col("n"), ceil(col("n") * p) + eps), col("l_extendedprice")))
+    val bounds = ranked.groupBy(col("l_linestatus")).agg(
+      lo(0.5).as("lo_50"), hi(0.5).as("hi_50"),
+      lo(0.9).as("lo_90"), hi(0.9).as("hi_90"))
+    approxQuantiles(s, dir).join(bounds, "l_linestatus")
+      .select(col("l_linestatus"), col("p"),
+        when(col("p") === 0.5, col("value").between(col("lo_50"), col("hi_50")))
+          .otherwise(col("value").between(col("lo_90"), col("hi_90")))
+          .as("in_bounds"))
+  }
+
+  val approxQuantileGateSql: String =
+    """SELECT l_linestatus, p, TRUE AS in_bounds
+      |FROM (SELECT DISTINCT l_linestatus FROM lineitem),
+      |     (SELECT UNNEST([0.5, 0.9]) AS p)""".stripMargin
 
   // --------------------------------------------------------------- D19
   /** Exact quantiles by rank (p50/p90 of extended price per line

@@ -114,6 +114,36 @@ object TrainingQueries {
     Dedup.simhashNearDuplicates(docsWithMutations(s, dir), "doc_id", "text",
       maxHamming = 10)
 
+  /** Driver-checkable gate for the SimHash pigeonhole guarantee: at
+    * maxHamming=3 with 4×16-bit banding, any pair whose signatures
+    * differ in ≤ 3 bits MUST share an identical chunk and be found
+    * (strict mode ⇒ no bucket ever truncates). The guaranteed set is
+    * measured over the planted (id, id+10000) mutation pairs — O(n),
+    * not all-pairs — and full recall over it is pinned as an exact
+    * row. The guaranteed-pair count itself is hash-dependent, so only
+    * the verdict is oracle-compared. */
+  def dedupSimhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithMutations(s, dir)
+    val sigs = docs.select(col("doc_id").as("id"), Dedup.simhash("text").as("sim"))
+    val planted = sigs.filter(col("id") < 10000)
+      .join(sigs.filter(col("id") >= 10000)
+        .select((col("id") - 10000).as("id"), col("sim").as("sim_m")), "id")
+      .select(col("id").as("id_a"), (col("id") + 10000).as("id_b"),
+        expr("bit_count(sim ^ sim_m)").as("hamming"))
+    val guaranteed = planted.filter(col("hamming") <= 3)
+    val found = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+        maxHamming = 3, maxBucket = 4096, strict = true)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    guaranteed.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_guaranteed"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      .select(lit("simhash_pigeonhole").as("metric"),
+        (col("n_found") === col("n_guaranteed")).as("full_recall"))
+  }
+
+  val dedupSimhashRecallSql: String =
+    "SELECT 'simhash_pigeonhole' AS metric, TRUE AS full_recall"
+
   // ----------------------------------------------------------- E4
   /** Exact 3-gram Jaccard between consecutive documents. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -617,6 +647,37 @@ object TrainingQueries {
         seed = 42L)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
 
+  /** Driver-checkable gate for the stratified sampler: fraction-1.0
+    * strata must be kept EXACTLY in full, and the Bernoulli stratum
+    * (en at 0.5) must land within 5 binomial standard deviations of
+    * its expectation — deterministic for a fixed seed and dataset,
+    * astronomically unlikely to fail for a correct sampler
+    * (P < 6e-7), and a wrong-fraction bug moves the count by far more
+    * than 5σ. Stratum totals are oracle-pinned exactly. */
+  def stratifiedSampleGate(s: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0)
+    val docs = Tables.documents(s, dir)
+    val sampled = Corpus.stratifiedSample(docs, "lang", fractions, seed = 42L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val f = fractions.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("lang"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .withColumn("f", f)
+      .select(col("lang"), col("n_total"),
+        when(col("f") === 1.0, col("n_sampled") === col("n_total"))
+          .otherwise(
+            abs(col("n_sampled") - col("f") * col("n_total")) <=
+              lit(5.0) * sqrt(col("n_total") * col("f") * (lit(1.0) - col("f"))))
+          .as("within_tol"))
+  }
+
+  val stratifiedSampleGateSql: String =
+    """SELECT lang, COUNT(*) AS n_total, TRUE AS within_tol
+      |FROM documents GROUP BY lang""".stripMargin
+
   // ----------------------------------------------------------- E18
   /** Fixed-budget (256-token) sequence packing per source. */
   def packSequences(s: SparkSession, dir: String): DataFrame =
@@ -660,4 +721,30 @@ object TrainingQueries {
       .select(explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .stat.freqItems(Seq("term"), 0.01)
+
+  /** Driver-checkable gate for the freqItems sketch: its guarantee is
+    * NO FALSE NEGATIVES — every term with frequency strictly above the
+    * 1% support must appear in the sketch output (false positives are
+    * allowed and ignored here). The exact above-support term set and
+    * counts are oracle-computable; `in_sketch` must be true for every
+    * one of them. Integer cross-multiplication keeps the support
+    * threshold exact in both engines. */
+  def heavyHittersVerified(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val exactHH = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .filter(col("n") * 100 > col("total"))
+    exactHH.crossJoin(broadcast(heavyHitters(s, dir)))
+      .select(col("term"), col("n"),
+        array_contains(col("term_freqItems"), col("term")).as("in_sketch"))
+  }
+
+  val heavyHittersVerifiedSql: String =
+    """WITH t AS (SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
+      |f AS (SELECT term, COUNT(*) AS n FROM t WHERE strlen(term) > 0 GROUP BY term)
+      |SELECT term, CAST(n AS BIGINT) AS n, TRUE AS in_sketch
+      |FROM f WHERE n * 100 > (SELECT SUM(n) FROM f)""".stripMargin
 }
