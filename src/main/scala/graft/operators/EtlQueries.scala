@@ -305,6 +305,31 @@ object EtlQueries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events WHERE event_type <> 'error'""".stripMargin
 
+  // ----------------------------------------------------------- A6b
+  /** JSON-lines FILE round-trip (distinct from A6's JSON-column
+    * parsing): write documents metadata as json-lines, read back with
+    * an EXPLICIT schema — at 100 TB schema inference is a full extra
+    * pass over the data, so production json reads must pin the schema
+    * — and aggregate. Timestamps round-trip as ISO strings. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/docs_json"
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").json(out)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("lang", StringType).add("n_chars", LongType)
+    s.read.schema(schema).json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY lang""".stripMargin
+
   // ----------------------------------------------------------- A7/C1
   /** End-to-end JDBC: write documents metadata through the batched
     * JDBC sink into an embedded Derby database, read it back through

@@ -579,6 +579,60 @@ object Relational {
       |SELECT l_linestatus, 0.9 AS p, l_extendedprice AS value FROM w
       |  WHERE rn = CAST(CEIL(n * 0.9) AS BIGINT)""".stripMargin
 
+  // --------------------------------------------------------------- D41
+  /** Bloom-pre-filtered join (explicit runtime filtering): build a
+    * bloom filter over the selective dim side's join keys (one
+    * sketch-sized agg job), prune the fact side with `might_contain`
+    * BEFORE its shuffle, then run the exact join — false positives
+    * drop out there, so the result is identical to the plain join.
+    * At 100 TB this is the difference between shuffling the whole
+    * fact table and shuffling ~the matching fraction; unlike relying
+    * on `InjectRuntimeFilter`, the pruning is under explicit control.
+    * PlanSpec asserts `might_contain` sits in the fact scan stage. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_custkey"))
+    val bloom = graft.functions.BloomExprs.buildBloom(
+      dim, "c_custkey", expectedItems = 100000L, numBits = 1L << 20)
+    Tables.orders(s, dir)
+      .filter(graft.functions.BloomExprs.mightContain(bloom, col("o_custkey")))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val bloomJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_nationkey < 5
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- D42
+  /** Value-RANGE window frame: per customer, the count and exact sum
+    * of orders whose total price lies within ±1000 of the current
+    * order's — the frame is defined by VALUE distance, not row
+    * offsets, so tied/clustered prices share one frame. One shuffle on
+    * the partition key; decimal sum keeps it order-insensitive. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, 1000L)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      count(lit(1)).over(w).as("n_near"),
+      round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double").as("sum_near"))
+  }
+
+  val rangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  COUNT(*) OVER w AS n_near,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS sum_near
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+      |             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)""".stripMargin
+
   // --------------------------------------------------------------- D25
   /** Offset/ranking window family beyond rank: prev/next order per
     * customer (lag/lead), spend quartile (ntile), percentile position

@@ -1,9 +1,22 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftFunctions, RollingHash}
+import graft.functions.{BloomExprs, GraftFunctions, RollingHash}
 
 class FunctionsSpec extends SparkSpec {
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    import spark.implicits._
+    val dim = spark.range(0, 1000).toDF("k")
+    val bloom = BloomExprs.buildBloom(dim, "k", expectedItems = 1000L, numBits = 1L << 16)
+    val hits = spark.range(0, 10000).toDF("k")
+      .filter(BloomExprs.mightContain(bloom, col("k")))
+      .select("k").as[Long].collect().toSet
+    // the sketch's contract: every inserted key answers true...
+    assert((0L until 1000L).forall(hits.contains))
+    // ...and at 64 Kbit / 1k items the false-positive rate stays tiny
+    assert(hits.size < 1100, s"fp blow-up: ${hits.size}")
+  }
   import spark.implicits._
 
   test("custom expressions are callable from SQL after registration") {

@@ -187,6 +187,14 @@ class PlanSpec extends SparkSpec {
       operators.Corpus.chunkDocuments(docs, chunkTokens = 10, stride = 0))
   }
 
+  test("bloom join probes the sketch on the fact side below the join") {
+    val p = plan(Relational.bloomJoin(spark, sf)).split("== Initial Plan ==")(0)
+    assert(p.contains("might_contain"), p)
+    // tree prints top-down: the probe filter must sit BELOW the join
+    // (fact rows are pruned before they reach it)
+    assert(p.indexOf("might_contain") > p.indexOf("Join"), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
