@@ -90,4 +90,52 @@ object Corpus {
         least(lit(chunkTokens), col("n") - col("chunk_idx") * stride)
           .cast("int").as("chunk_tokens"))
   }
+
+  /** Cross-document boilerplate scoring (E28) — the CCNet/RefinedWeb
+    * duplicated-content signal: for each document, the fraction of its
+    * distinct `n`-grams that occur in at least `minDocs` documents.
+    * Headers, footers, license blurbs, and templated spans repeat
+    * across a corpus; a doc dominated by such shared n-grams is
+    * boilerplate and is dropped (`keep` = ratio ≤ maxRatio).
+    *
+    * Two shuffles at any scale: the n-gram document-frequency
+    * aggregate and the per-doc roll-up — same shape as TF-IDF's df
+    * derivation; nothing is O(n²). */
+  def boilerplateScore(docs: DataFrame, n: Int = 5, minDocs: Int = 3,
+                       maxRatio: Double = 0.5,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(Dedup.wordShingles(textCol, n)).as("gram"))
+    // each doc's grams are distinct → count(*) IS the document frequency
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("docfreq"))
+    grams.join(df, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("docfreq") >= minDocs, 1L).otherwise(0L)).as("n_common"))
+      .select(col(idCol), col("n_grams"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_grams"), 6).as("boiler_ratio"),
+        (col("n_common").cast("double") <= col("n_grams") * maxRatio).as("keep"))
+  }
+
+  /** Test-set decontamination (E29): flag every training document that
+    * shares at least one `n`-gram with the (small) evaluation set —
+    * the standard guard against benchmark leakage into training data.
+    *
+    * Scale shape: the eval n-gram set is tiny by construction, so the
+    * probe is a BROADCAST semi join against a single pass over the
+    * training corpus — the 100 TB side never shuffles. Exact string
+    * n-grams, no hashing, so the result is engine-portable. */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = eval_.select(explode(Dedup.wordShingles(textCol, n)).as("gram"))
+      .distinct()
+    val flagged = train
+      .select(col(idCol), explode(Dedup.wordShingles(textCol, n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol)).distinct()
+      .withColumn("contaminated", lit(true))
+    train.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
 }

@@ -722,6 +722,67 @@ object TrainingQueries {
       .filter(length(col("term")) > 0)
       .stat.freqItems(Seq("term"), 0.01)
 
+  // ----------------------------------------------------------- E28
+  /** Cross-document boilerplate fraction per doc (5-grams shared by
+    * ≥ 3 docs), exact oracle. */
+  def boilerplateScoreQ(s: SparkSession, dir: String): DataFrame =
+    Corpus.boilerplateScore(Tables.documents(s, dir), n = 5, minDocs = 3)
+
+  val boilerplateScoreSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(toks) >= 5
+      |  THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END)) AS gram FROM d),
+      |df AS (SELECT gram, COUNT(*) AS docfreq FROM g GROUP BY gram),
+      |j AS (SELECT doc_id, COUNT(*) AS n_grams,
+      |        SUM(CASE WHEN docfreq >= 3 THEN 1 ELSE 0 END) AS n_common
+      |      FROM g JOIN df USING (gram) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  ROUND(CAST(n_common AS DOUBLE) / n_grams, 6) AS boiler_ratio,
+      |  CAST(n_common AS DOUBLE) <= n_grams * 0.5 AS keep
+      |FROM j""".stripMargin
+
+  // ----------------------------------------------------------- E29
+  /** Decontamination fixture: eval = docs with doc_id % 97 == 0;
+    * training docs at doc_id % 50 == 0 get the first 8 tokens of the
+    * lowest-id eval doc appended (planted leakage). The flagging must
+    * recover exactly the planted overlap set — exact string 8-grams,
+    * so the DuckDB oracle reproduces it bit-for-bit. */
+  def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val evalSpan = evalDocs.orderBy(col("doc_id")).limit(1)
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("span"))
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(evalSpan))
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, concat_ws(" ", col("text"), col("span")))
+          .otherwise(col("text")).as("text"))
+    Corpus.decontaminate(train, evalDocs, n = 8)
+  }
+
+  val decontaminateSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 97 = 0),
+      |span AS (SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS s
+      |         FROM ev ORDER BY doc_id LIMIT 1),
+      |train AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 50 = 0 THEN text || ' ' || (SELECT s FROM span)
+      |       ELSE text END AS text
+      |  FROM d WHERE doc_id % 97 <> 0),
+      |eg AS (SELECT DISTINCT UNNEST(list_distinct(CASE WHEN len(toks) >= 8
+      |    THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM ev)),
+      |tg AS (SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(toks) >= 8
+      |    THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM train)),
+      |c AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))
+      |SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+      |FROM train t LEFT JOIN c ON t.doc_id = c.doc_id""".stripMargin
+
   /** Driver-checkable gate for the freqItems sketch: its guarantee is
     * NO FALSE NEGATIVES — every term with frequency strictly above the
     * 1% support must appear in the sketch output (false positives are

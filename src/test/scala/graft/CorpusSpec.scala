@@ -64,6 +64,37 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("E28: boilerplate ratio is 1 for a templated doc, low for unique text") {
+    val corpus = Seq(
+      (1L, "all rights reserved contact us today"),   // template, in 3 docs
+      (2L, "all rights reserved contact us today"),
+      (3L, "all rights reserved contact us today"),
+      (4L, "completely unique words nobody else wrote here"),
+      (5L, "another fully original sentence with fresh tokens")
+    ).toDF("doc_id", "text")
+    val scored = Corpus.boilerplateScore(corpus, n = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getBoolean(4))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(scored(id)._1 == 1.0 && !scored(id)._2, s"doc $id should be dropped")
+    }
+    Seq(4L, 5L).foreach { id =>
+      assert(scored(id)._1 == 0.0 && scored(id)._2, s"doc $id should be kept")
+    }
+  }
+
+  test("E29: decontamination flags exactly the docs sharing an eval n-gram") {
+    val eval_ = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "some text then the quick brown fox jumps over the lazy dog embedded"),
+      (2L, "harmless text with no overlap whatsoever in any span of eight tokens"),
+      (3L, "quick brown fox alone is fine four grams under n never trigger")
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, eval_, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("E20: heavy hitters include every truly frequent term") {
     val terms = docs.select(explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
