@@ -31,6 +31,15 @@ object GraftFunctions {
       MinHashBandKeys(args(0),
         intArg(args(1), "numBands"), intArg(args(2), "rowsPerBand"))
     },
+    // Spark ships these but leaves them out of the SQL registry; the
+    // engine exposes them (args: hashed key, estimated items, num bits)
+    "bloom_agg" -> { args =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        args(0), args(1), args(2)).toAggregateExpression()
+    },
+    "bloom_might_contain" -> { args =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+    },
   )
 
   def register(spark: SparkSession): Unit =

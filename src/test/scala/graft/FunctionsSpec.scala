@@ -36,4 +36,19 @@ class FunctionsSpec extends SparkSpec {
       .select(graft.functions.HashExprs.simHash64(col("toks"))).head().getLong(0)
     assert(r.getLong(1) == viaColumn)
   }
+
+  test("bloom agg + probe are callable from SQL end-to-end") {
+    GraftFunctions.register(spark)
+    spark.range(0, 100).createOrReplaceTempView("bk")
+    // build the sketch in SQL, probe it through a scalar subquery (the
+    // constant form BloomFilterMightContain requires)
+    val hits = spark.sql(
+      """SELECT id FROM range(0, 200)
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_agg(xxhash64(id), 100L, 8192L) FROM bk),
+        |  xxhash64(id))""".stripMargin)
+      .as[Long].collect().toSet
+    assert((0L until 100L).forall(hits.contains))
+    assert(hits.size < 120)
+  }
 }
