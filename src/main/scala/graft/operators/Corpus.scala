@@ -100,12 +100,18 @@ object Corpus {
     *
     * Two shuffles at any scale: the n-gram document-frequency
     * aggregate and the per-doc roll-up — same shape as TF-IDF's df
-    * derivation; nothing is O(n²). */
+    * derivation; nothing is O(n²). `hashGrams=true` is the 100 TB
+    * mode: shuffle 8-byte xxhash64 keys instead of the gram strings
+    * (an order of magnitude less exchange volume; a hash collision
+    * merges two grams' docfreq, P ≈ G²/2⁶⁵ — irrelevant for a
+    * boilerplate ratio). The exact-string default is what the DuckDB
+    * oracle checks. */
   def boilerplateScore(docs: DataFrame, n: Int = 5, minDocs: Int = 3,
-                       maxRatio: Double = 0.5,
+                       maxRatio: Double = 0.5, hashGrams: Boolean = false,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gramExpr = explode(Dedup.wordShingles(textCol, n))
     val grams = docs.select(col(idCol),
-      explode(Dedup.wordShingles(textCol, n)).as("gram"))
+      (if (hashGrams) xxhash64(gramExpr) else gramExpr).as("gram"))
     // each doc's grams are distinct → count(*) IS the document frequency
     val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("docfreq"))
     grams.join(df, "gram")
