@@ -515,20 +515,16 @@ object Relational {
     * quantile must lie between the exact values at ranks
     * ⌈p·n⌉ ± (⌈n/accuracy⌉ + 1) — the sketch's rank-error guarantee
     * with one rank of slack for boundary-definition differences. The
-    * bound values come from the same single window pass as `quantiles`
-    * (conditional prefix-max / suffix-min per group, no second sort). */
+    * bound values come from the same distributed rank frame as
+    * `quantiles` (conditional max/min per group over global ranks —
+    * no per-group single-reducer sort). */
   def approxQuantileGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_linestatus")).orderBy(col("l_extendedprice").asc)
-    val ranked = Tables.lineitem(s, dir)
-      .select(col("l_linestatus"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_linestatus"))))
+    val ranked = rankedByGroup(s, dir)
     val eps = ceil(col("n") / lit(10000)) + lit(1)
     def lo(p: Double) = max(when(
-      col("rn") <= greatest(lit(1), ceil(col("n") * p) - eps), col("l_extendedprice")))
+      col("rn") <= greatest(lit(1), ceil(col("n") * p) - eps), col("value")))
     def hi(p: Double) = min(when(
-      col("rn") >= least(col("n"), ceil(col("n") * p) + eps), col("l_extendedprice")))
+      col("rn") >= least(col("n"), ceil(col("n") * p) + eps), col("value")))
     val bounds = ranked.groupBy(col("l_linestatus")).agg(
       lo(0.5).as("lo_50"), hi(0.5).as("hi_50"),
       lo(0.9).as("lo_90"), hi(0.9).as("hi_90"))
@@ -545,27 +541,68 @@ object Relational {
       |     (SELECT UNNEST([0.5, 0.9]) AS p)""".stripMargin
 
   // --------------------------------------------------------------- D19
+  /** Globally-ranked (l_linestatus, value) rows WITHOUT a per-group
+    * single-reducer sort: range-repartition by (group, value) so every
+    * partition holds a contiguous slice of the key space, rank locally
+    * within each sorted partition, then lift local ranks to global
+    * ones by adding per-(partition, group) offsets — a
+    * #partitions × #groups-sized aggregate, broadcast back. The
+    * expensive part (the sort) parallelizes across ALL partitions
+    * regardless of group cardinality; a `row_number` window over 3
+    * line statuses would funnel the whole fact table through 3
+    * reducer sorts. Columns: l_linestatus, value, rn (1-based global
+    * rank within group, value-ascending), n (group size). */
+  private[operators] def rankedByGroup(s: SparkSession, dir: String,
+                                       nParts: Int = 32): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.lineitem(s, dir)
+      .select(col("l_linestatus"), col("l_extendedprice").as("value"))
+      .repartitionByRange(nParts, col("l_linestatus"), col("value"))
+      .sortWithinPartitions(col("l_linestatus"), col("value"))
+      .select(col("l_linestatus"), col("value"), spark_partition_id().as("pid"))
+    // local rank: one sequential pass over the already-sorted partition
+    // iterator (ties share a neighborhood, and the VALUE at any rank is
+    // unique regardless of tie order, so this is exact)
+    val local = parts.as[(String, Double, Int)].mapPartitions { it =>
+      var g: String = null
+      var r = 0L
+      it.map { case (ls, v, pid) =>
+        if (ls != g) { g = ls; r = 0L }
+        r += 1
+        (ls, v, pid, r)
+      }
+    }.toDF("l_linestatus", "value", "pid", "local_rn")
+    val counts = local.groupBy(col("l_linestatus"), col("pid"))
+      .agg(count(lit(1)).as("c"))
+    // windows here run over #partitions × #groups COUNT rows, not data
+    val wOff = Window.partitionBy(col("l_linestatus")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_linestatus"))))
+      .select(col("l_linestatus").as("ls2"), col("pid").as("pid2"),
+        col("off"), col("n"))
+    local.join(broadcast(offsets),
+        col("l_linestatus") === col("ls2") && col("pid") === col("pid2"))
+      .select(col("l_linestatus"), col("value"),
+        (col("off") + col("local_rn")).as("rn"), col("n"))
+  }
+
   /** Exact quantiles by rank (p50/p90 of extended price per line
     * status): the value at rank ⌈p·n⌉ — rank selection, not
     * interpolation, so the result is a value from the data and is
-    * bit-identical in any engine (no float interpolation drift). */
+    * bit-identical in any engine (no float interpolation drift).
+    * Ranks come from [[rankedByGroup]]'s distributed rank selection,
+    * so the plan survives groups with billions of rows. */
   def quantiles(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_linestatus")).orderBy(col("l_extendedprice").asc)
-    val ranked = Tables.lineitem(s, dir)
-      .select(col("l_linestatus"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_linestatus"))))
-    // single window pass for all percentiles: each row carries the set
-    // of percentile ranks it realizes (usually 0 or 1; both for a tiny
-    // group) and explodes into one output row per match
     val ps = Seq(0.5, 0.9)
     val matched = array(ps.map(p =>
       when(col("rn") === ceil(col("n") * p).cast("long"), lit(p))): _*)
-    ranked
+    rankedByGroup(s, dir)
       .select(col("l_linestatus"),
         explode(filter(matched, x => x.isNotNull)).as("p"),
-        col("l_extendedprice").as("value"))
+        col("value"))
   }
 
   val quantilesSql: String =
@@ -775,17 +812,25 @@ object Relational {
   /** Recursive CTE (Spark 4 WITH RECURSIVE): a generated calendar
     * scaffold left-joined to facts so empty days surface as zeros —
     * the gap-filling shape reporting queries need. The recursion depth
-    * is the calendar length (bounded), not data-dependent. */
+    * is the calendar length (bounded), not data-dependent.
+    *
+    * Scale shape: the fact table is aggregated to one row per day
+    * FIRST (map-side partials → one scan, exchange carries ≈ #days
+    * partial rows), and only that day-level aggregate joins the
+    * calendar — joining raw facts to a low-cardinality calendar key
+    * would shuffle the whole table onto a handful of hot date
+    * partitions for a dim-sized result. */
   def recursiveCalendar(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_rc")
-    s.sql("""
-      |WITH RECURSIVE cal AS (
-      |  SELECT DATE'1995-01-01' AS d
-      |  UNION ALL SELECT date_add(d, 1) FROM cal WHERE d < DATE'1995-01-31')
-      |SELECT date_format(d, 'yyyy-MM-dd') AS day, COUNT(o_orderkey) AS n_orders
-      |FROM cal LEFT JOIN orders_rc
-      |  ON date_format(o_orderdate, 'yyyy-MM-dd') = date_format(d, 'yyyy-MM-dd')
-      |GROUP BY date_format(d, 'yyyy-MM-dd')""".stripMargin)
+    val perDay = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(col("o_orderkey")).as("cnt"))
+    val cal = s.sql(
+      """WITH RECURSIVE cal AS (
+        |  SELECT DATE'1995-01-01' AS d
+        |  UNION ALL SELECT date_add(d, 1) FROM cal WHERE d < DATE'1995-01-31')
+        |SELECT date_format(d, 'yyyy-MM-dd') AS day FROM cal""".stripMargin)
+    cal.join(broadcast(perDay), Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
   }
 
   val recursiveCalendarSql: String =

@@ -195,6 +195,31 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("might_contain") > p.indexOf("Join"), p)
   }
 
+  test("recursive calendar joins a day-level aggregate, never raw facts") {
+    val p = plan(Relational.recursiveCalendar(spark, sf)).split("== Initial Plan ==")(0)
+    // fact side collapses to per-day partials before any exchange
+    assert(p.contains("partial_count"), p)
+    // the calendar join consumes the broadcast day-level aggregate —
+    // no sort-merge of raw orders rows onto the hot date key
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val bcast = p.indexOf("BroadcastExchange")
+    assert(bcast >= 0 && p.substring(bcast).contains("HashAggregate"), p)
+  }
+
+  test("exact quantiles rank in parallel — no per-group global sort") {
+    for (df <- Seq(Relational.quantiles(spark, sf),
+                   Relational.approxQuantileGate(spark, sf))) {
+      val p = plan(df).split("== Initial Plan ==")(0)
+      // the sort parallelizes over a range repartition of (group, value)
+      assert(p.contains("rangepartitioning"), p)
+      // no window orders raw values within a 3-partition group — any
+      // window left runs over the tiny per-(partition, group) counts
+      assert(!"windowspecdefinition\\([^)]*value".r.findAllIn(p).hasNext, p)
+      assert(!p.contains("row_number"), p)
+    }
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
