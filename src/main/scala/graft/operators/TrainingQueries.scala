@@ -291,10 +291,14 @@ object TrainingQueries {
   /** TF-IDF top-3 terms per document. tf and df are exact integers;
     * only the final score multiplies through ln() — ranked by
     * (tf·idf, term) with the rounded score exposed for the oracle.
-    * One term explode → two aggregations + a window; the corpus size
-    * joins in as a broadcast scalar, never a driver constant. */
+    * One term explode → two aggregations; the corpus size joins in as
+    * a broadcast scalar, never a driver constant. The per-doc top-3 is
+    * the repo's own `BoundedTopK` aggregate (ascending on the struct
+    * (-tfidf, term), so ties break by term) — map-side partials prune
+    * to ≤ 3 rows per doc before the shuffle, where a `row_number`
+    * window would sort every (doc, term) score. tfidf > 0 always
+    * (idf ≥ 1 by construction), so the negation round-trips exactly. */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val terms = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -306,12 +310,14 @@ object TrainingQueries {
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") *
         (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk").cast("int").as("rk"),
-        col("term"), col("tf"), col("df"), col("tfidf"))
+    scored.groupBy(col("doc_id"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("tfidf")).as("nt"), col("term"), col("tf"), col("df")), 3)
+        .as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.term").as("term"), col("t.tf").as("tf"), col("t.df").as("df"),
+        (-col("t.nt")).as("tfidf"))
   }
 
   val tfidfTopSql: String =
@@ -363,16 +369,18 @@ object TrainingQueries {
     * sort/hash portably across engines). */
   def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"),
+      // hoist the per-vector scale into its own projection: one O(d)
+      // array_max pass per row, referenced (not recomputed) inside the
+      // per-component lambda — inlining it there would make the scale
+      // O(d) per COMPONENT, O(d²) per vector
+      .select(col("vec_id"), col("embedding"),
         expr("CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)")
-          .as("max_abs"),
+          .as("max_abs"))
+      .select(col("vec_id"), round(col("max_abs"), 6).as("max_abs"),
         expr("""aggregate(
                  transform(embedding,
-                   x -> CAST(ROUND(CAST(x AS DOUBLE) /
-                          array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))
-                          * 127.0) AS BIGINT)),
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) / max_abs * 127.0) AS BIGINT)),
                  CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("q_checksum"))
-      .withColumn("max_abs", round(col("max_abs"), 6))
 
   val quantizeEmbeddingsSql: String =
     """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -659,7 +667,10 @@ object TrainingQueries {
     val docs = Tables.documents(s, dir)
     val sampled = Corpus.stratifiedSample(docs, "lang", fractions, seed = 42L)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
-    val f = fractions.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+    // sampleBy treats strata missing from the map as fraction 0 — a
+    // lang outside the map must therefore sample to EXACTLY 0 rows
+    // (tolerance collapses to 0), not silently skip the gate via null
+    val f = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
       when(col("lang") === k, lit(v)).otherwise(acc)
     }
     docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))

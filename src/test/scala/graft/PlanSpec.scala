@@ -220,6 +220,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tfidf top-3 prunes map-side with bounded top-k, no window sort") {
+    val p = plan(operators.TrainingQueries.tfidfTop(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("partial_bounded_top_k"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("boilerplate probes a broadcast common-gram set — no gram shuffle join") {
+    val p = plan(operators.Corpus.boilerplateScore(Tables.documents(spark, sf)))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("embedding quantization computes the per-vector scale exactly once") {
+    val p = plan(operators.TrainingQueries.quantizeEmbeddings(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // one array_max per row — CollapseProject must not inline the scale
+    // back into the per-component lambda (that would be O(d²)/vector)
+    assert("array_max".r.findAllIn(p).size == 1, p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
