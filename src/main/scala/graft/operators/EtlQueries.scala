@@ -51,36 +51,58 @@ object EtlQueries {
     * (backup carries 12:30:45 — the default patterns would collapse it
     * to midnight). */
   def dateExtractCustom(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.DateExtract.DatePattern
+    import graft.sources.DateExtract.{DatePattern, DateTimePattern, QuarterPattern}
     val custom = Seq(
       DatePattern("sales_daily", "sales_(\\d{4}-\\d{2}-\\d{2})_daily\\.csv", "yyyy-MM-dd"),
       DatePattern("backup_file", "backup_(\\d{4}_\\d{2}_\\d{2}_\\d{2}_\\d{2}_\\d{2})\\.sql",
-        "yyyy_MM_dd_HH_mm_ss"))
+        "yyyy_MM_dd_HH_mm_ss"),
+      // multi-group: date and time captured separately, composed
+      // (reference etl_pipeline.py:243-244)
+      DateTimePattern("log_file", "app_(\\d{8})_(\\d{6})\\.log", "yyyyMMdd", "HHmmss"),
+      // computed: quarter digit + year → first day of that quarter
+      // (reference etl_pipeline.py:248)
+      QuarterPattern("report_quarterly", "report_Q(\\d)_(\\d{4})\\.xlsx"))
     val o = Tables.orders(s, dir)
-    val kind = pmod(col("o_orderkey"), lit(2))
+    val kind = pmod(col("o_orderkey"), lit(4))
     val iso = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    // the quarterly convention only encodes the quarter — its truth is
+    // the quarter's first day, not the order date
+    val truth = when(kind === 3,
+      date_format(trunc(col("o_orderdate"), "quarter"), "yyyy-MM-dd")).otherwise(iso)
     val fname = when(kind === 0, concat(lit("sales_"), iso, lit("_daily.csv")))
-      .otherwise(concat(lit("backup_"), date_format(col("o_orderdate"), "yyyy_MM_dd"),
+      .when(kind === 1, concat(lit("backup_"), date_format(col("o_orderdate"), "yyyy_MM_dd"),
         lit("_12_30_45.sql")))
+      .when(kind === 2, concat(lit("app_"), date_format(col("o_orderdate"), "yyyyMMdd"),
+        lit("_123456.log")))
+      .otherwise(concat(lit("report_Q"), quarter(col("o_orderdate")).cast("string"),
+        lit("_"), date_format(col("o_orderdate"), "yyyy"), lit(".xlsx")))
     val all = DateExtract.extractAllDates(fname, custom)
-    o.select(kind.as("kind"), iso.as("truth"),
+    o.select(kind.as("kind"), truth.as("truth"),
         DateExtract.extractDate(fname, custom).as("extracted"),
         date_format(DateExtract.extractTimestamp(fname, custom), "HH:mm:ss").as("tod"),
         all.getField("sales_daily").as("m_sales"),
-        all.getField("backup_file").as("m_backup"))
+        all.getField("backup_file").as("m_backup"),
+        all.getField("log_file").as("m_log"),
+        all.getField("report_quarterly").as("m_report"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("extracted") === col("truth"), 1L).otherwise(0L)).as("n_correct"),
         sum(when(col("m_sales").isNotNull, 1L).otherwise(0L)).as("n_sales_matched"),
         sum(when(col("m_backup").isNotNull, 1L).otherwise(0L)).as("n_backup_matched"),
-        sum(when(col("tod") === "12:30:45", 1L).otherwise(0L)).as("n_time_kept"))
+        sum(when(col("m_log").isNotNull, 1L).otherwise(0L)).as("n_log_matched"),
+        sum(when(col("m_report").isNotNull, 1L).otherwise(0L)).as("n_report_matched"),
+        sum(when(col("tod") === when(col("kind") === 1, "12:30:45")
+            .when(col("kind") === 2, "12:34:56"),
+          1L).otherwise(0L)).as("n_time_kept"))
   }
 
   val dateExtractCustomSql: String =
-    """SELECT o_orderkey % 2 AS kind, COUNT(*) AS n, COUNT(*) AS n_correct,
-      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sales_matched,
-      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backup_matched,
-      |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_time_kept
+    """SELECT o_orderkey % 4 AS kind, COUNT(*) AS n, COUNT(*) AS n_correct,
+      |  CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sales_matched,
+      |  CAST(SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backup_matched,
+      |  CAST(SUM(CASE WHEN o_orderkey % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_log_matched,
+      |  CAST(SUM(CASE WHEN o_orderkey % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_report_matched,
+      |  CAST(SUM(CASE WHEN o_orderkey % 4 IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_time_kept
       |FROM orders GROUP BY 1""".stripMargin
 
   // ----------------------------------------------------------- A1

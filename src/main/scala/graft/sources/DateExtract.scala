@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object DateExtract {
 
+  /** A caller-supplied naming convention (the reference's `patterns`
+    * dict / `get_custom_patterns()`, etl_pipeline.py:234-249). Three
+    * shapes cover every convention the reference ships:
+    * [[DatePattern]] (one captured candidate, one datetime format),
+    * [[DateTimePattern]] (date and time captured as separate groups,
+    * composed — the `log_file` convention), and [[QuarterPattern]]
+    * (a computed date: quarter digit + year → first day of quarter —
+    * the `report_quarterly` convention). */
+  sealed trait CustomPattern { def name: String }
+
   /** One custom naming convention: `regex` group `group` captures the
     * candidate, `format` is the datetime pattern that parses it (a
     * parse failure falls through to the next pattern, like the
@@ -33,7 +43,26 @@ object DateExtract {
     * `DatePattern("backup_file", "backup_(\\d{4}_\\d{2}_\\d{2}_\\d{2}_\\d{2}_\\d{2})\\.sql",
     * "yyyy_MM_dd_HH_mm_ss")`. */
   final case class DatePattern(name: String, regex: String, format: String,
-                               group: Int = 1)
+                               group: Int = 1) extends CustomPattern
+
+  /** Multi-group convention: group `dateGroup` parsed by `dateFormat`
+    * and group `timeGroup` by `timeFormat`, composed into one
+    * timestamp — the reference's `log_file`
+    * (`app_(\d{8})_(\d{6})\.log`, etl_pipeline.py:243-244). */
+  final case class DateTimePattern(name: String, regex: String,
+                                   dateFormat: String, timeFormat: String,
+                                   dateGroup: Int = 1, timeGroup: Int = 2)
+    extends CustomPattern
+
+  /** Computed convention: group `quarterGroup` is a quarter digit
+    * (1-4), group `yearGroup` a 4-digit year; the extracted date is
+    * the first day of that quarter — the reference's
+    * `report_quarterly` (`report_Q(\d)_(\d{4})\.xlsx`,
+    * etl_pipeline.py:248). An out-of-range quarter digit yields null
+    * and falls through. */
+  final case class QuarterPattern(name: String, regex: String,
+                                  quarterGroup: Int = 1, yearGroup: Int = 2)
+    extends CustomPattern
 
   private def ext(c: Column, pattern: String, group: Int = 1): Column = {
     val m = regexp_extract(c, pattern, group)
@@ -71,12 +100,25 @@ object DateExtract {
   /** Custom-pattern candidate parsed+validated via its own datetime
     * format, surfaced as an ISO date string (null = no match or
     * unparseable candidate). */
-  private def customDate(filename: Column, p: DatePattern): Column =
-    date_format(try_to_timestamp(ext(filename, p.regex, p.group), lit(p.format)),
-      "yyyy-MM-dd")
+  private def customDate(filename: Column, p: CustomPattern): Column =
+    date_format(customTimestamp(filename, p), "yyyy-MM-dd")
 
-  private def customTimestamp(filename: Column, p: DatePattern): Column =
-    try_to_timestamp(ext(filename, p.regex, p.group), lit(p.format))
+  private def customTimestamp(filename: Column, p: CustomPattern): Column = p match {
+    case DatePattern(_, regex, format, group) =>
+      try_to_timestamp(ext(filename, regex, group), lit(format))
+    case DateTimePattern(_, regex, df, tf, dg, tg) =>
+      // concat_ws drops nulls, so a date-only or no-match candidate
+      // fails the combined-format parse and falls through cleanly
+      try_to_timestamp(
+        concat_ws(" ", ext(filename, regex, dg), ext(filename, regex, tg)),
+        lit(s"$df $tf"))
+    case QuarterPattern(_, regex, qg, yg) =>
+      val q = ext(filename, regex, qg).cast("int")
+      val y = ext(filename, regex, yg).cast("int")
+      // guard keeps make_date's month in range under ANSI mode
+      when(q.between(1, 4),
+        make_date(y, (q - lit(1)) * lit(3) + lit(1), lit(1)).cast("timestamp"))
+  }
 
   /** The default patterns as (name → extracted ISO date) pairs, in
     * reference priority order — shared by the scalar and the
@@ -108,17 +150,22 @@ object DateExtract {
     * before nothing else — here customs get priority over the 11
     * defaults so a bespoke convention can override e.g. the greedy
     * `compact_date`). */
-  def extractDate(filename: Column, custom: Seq[DatePattern]): Column =
+  def extractDate(filename: Column, custom: Seq[CustomPattern]): Column =
     coalesce((custom.map(customDate(filename, _)) ++
       defaultDates(filename).map(_._2)): _*)
 
   /** The reference's `return_format='dict'` diagnostic: one struct
     * field per pattern name (customs first), each the ISO date that
     * pattern yields on this filename or null — "which patterns
-    * matched, and what did each see". */
-  def extractAllDates(filename: Column, custom: Seq[DatePattern] = Nil): Column = {
+    * matched, and what did each see". The reference's dict also
+    * carries both endpoints for `date_range` and the raw integer for
+    * `unix_timestamp` (etl_pipeline.py:180-189) — surfaced as the
+    * extra `date_range_end` / `unix_timestamp_raw` fields. */
+  def extractAllDates(filename: Column, custom: Seq[CustomPattern] = Nil): Column = {
     val fields = custom.map(p => customDate(filename, p).as(p.name)) ++
-      defaultDates(filename).map { case (n, c) => c.as(n) }
+      defaultDates(filename).map { case (n, c) => c.as(n) } ++ Seq(
+        validIso(ext(filename, dateRange, 2)).as("date_range_end"),
+        ext(filename, unixTimestamp).cast("long").as("unix_timestamp_raw"))
     struct(fields: _*)
   }
 
@@ -153,7 +200,7 @@ object DateExtract {
     * pattern whose format carries a time component (e.g. the backup
     * convention's `yyyy_MM_dd_HH_mm_ss`) keeps that precision instead
     * of collapsing to midnight via the default date-only patterns. */
-  def extractTimestamp(filename: Column, custom: Seq[DatePattern]): Column =
+  def extractTimestamp(filename: Column, custom: Seq[CustomPattern]): Column =
     coalesce((custom.map(customTimestamp(filename, _)) :+
       extractTimestamp(filename)): _*)
 }

@@ -112,4 +112,48 @@ class DateExtractSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(d == null)
   }
+
+  // multi-group and computed conventions (etl_pipeline.py:243-248)
+  private val composed = Seq(
+    DateExtract.DateTimePattern("log_file",
+      "app_(\\d{8})_(\\d{6})\\.log", "yyyyMMdd", "HHmmss"),
+    DateExtract.QuarterPattern("report_quarterly",
+      "report_Q(\\d)_(\\d{4})\\.xlsx"))
+
+  test("log_file composes date and time capture groups into one timestamp") {
+    val t = Seq("app_20240115_123045.log").toDF("f")
+      .select(date_format(DateExtract.extractTimestamp(col("f"), composed),
+        "yyyy-MM-dd HH:mm:ss").as("t")).collect()(0).getString(0)
+    // the single-group DatePattern form can only see the date half
+    assert(t == "2024-01-15 12:30:45")
+  }
+
+  test("report_quarterly computes the quarter's first day; Q5 falls through") {
+    val m = Seq("report_Q1_2024.xlsx", "report_Q3_2024.xlsx",
+        "report_Q4_1995.xlsx", "report_Q5_2024.xlsx")
+      .toDF("f")
+      .select(col("f"), DateExtract.extractDate(col("f"), composed).as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1)).orNull).toMap
+    assert(m("report_Q1_2024.xlsx") == "2024-01-01")
+    assert(m("report_Q3_2024.xlsx") == "2024-07-01")
+    assert(m("report_Q4_1995.xlsx") == "1995-10-01")
+    assert(m("report_Q5_2024.xlsx") == null) // invalid quarter digit
+  }
+
+  test("the dict form carries date_range's end date and the raw unix timestamp") {
+    val row = Seq("range_2024-01-15_to_2024-01-20.csv").toDF("f")
+      .select(DateExtract.extractAllDates(col("f")).as("all"))
+      .select(col("all.date_range"), col("all.date_range_end"),
+        col("all.unix_timestamp_raw"))
+      .collect()(0)
+    assert(row.getString(0) == "2024-01-15") // start (the scalar form's answer)
+    assert(row.getString(1) == "2024-01-20") // end (etl_pipeline.py:183)
+    assert(row.isNullAt(2))
+    val unix = Seq("data_timestamp_1705276800.json").toDF("f")
+      .select(DateExtract.extractAllDates(col("f")).as("all"))
+      .select(col("all.unix_timestamp_raw"), col("all.unix_timestamp"))
+      .collect()(0)
+    assert(unix.getLong(0) == 1705276800L)   // raw int (etl_pipeline.py:178)
+    assert(unix.getString(1) == "2024-01-15")
+  }
 }
