@@ -98,26 +98,36 @@ object Corpus {
     * across a corpus; a doc dominated by such shared n-grams is
     * boilerplate and is dropped (`keep` = ratio ≤ maxRatio).
     *
-    * Two shuffles at any scale: the n-gram document-frequency
-    * aggregate and the per-doc roll-up — same shape as TF-IDF's df
-    * derivation; nothing is O(n²). `hashGrams=true` is the 100 TB
-    * mode: shuffle 8-byte xxhash64 keys instead of the gram strings
-    * (an order of magnitude less exchange volume; a hash collision
-    * merges two grams' docfreq, P ≈ G²/2⁶⁵ — irrelevant for a
-    * boilerplate ratio). The exact-string default is what the DuckDB
-    * oracle checks. */
+    * Scale shape: the docfreq aggregate shuffles gram partials once
+    * (map-side combine absorbs hot grams), then only the grams at
+    * docfreq ≥ minDocs — the "common" set, orders of magnitude smaller
+    * than the gram universe — come back as a BROADCAST membership
+    * probe, so the per-doc side never shuffles on the gram key at all
+    * (the hot keys there are, by definition, the boilerplate grams).
+    * Set `broadcastCommon=false` if the common set ever outgrows the
+    * driver: the probe degrades to a shuffle join and AQE's skew split
+    * covers the hot grams. `hashGrams=true` is the 100 TB mode:
+    * shuffle 8-byte xxhash64 keys instead of the gram strings (an
+    * order of magnitude less exchange volume; a hash collision merges
+    * two grams' docfreq, P ≈ G²/2⁶⁵ — irrelevant for a boilerplate
+    * ratio). The exact-string default is what the DuckDB oracle
+    * checks. */
   def boilerplateScore(docs: DataFrame, n: Int = 5, minDocs: Int = 3,
                        maxRatio: Double = 0.5, hashGrams: Boolean = false,
+                       broadcastCommon: Boolean = true,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val gramExpr = explode(Dedup.wordShingles(textCol, n))
     val grams = docs.select(col(idCol),
       (if (hashGrams) xxhash64(gramExpr) else gramExpr).as("gram"))
     // each doc's grams are distinct → count(*) IS the document frequency
-    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("docfreq"))
-    grams.join(df, "gram")
+    val common = grams.groupBy(col("gram")).agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") >= minDocs)
+      .select(col("gram"), lit(1L).as("is_common"))
+    grams.join(if (broadcastCommon) broadcast(common) else common,
+        Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("docfreq") >= minDocs, 1L).otherwise(0L)).as("n_common"))
+        sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
       .select(col(idCol), col("n_grams"), col("n_common"),
         round(col("n_common").cast("double") / col("n_grams"), 6).as("boiler_ratio"),
         (col("n_common").cast("double") <= col("n_grams") * maxRatio).as("keep"))

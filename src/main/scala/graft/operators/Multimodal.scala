@@ -112,9 +112,12 @@ object Multimodal {
       // ImageIO is stateless so images need none
       rows.map { r =>
         if (r.media_type.startsWith("image/") && r.media_type != "image/stub") {
+          // NonFatal, not just IOException: ImageIO decoders throw
+          // RuntimeExceptions (AIOOBE, IllegalArgument, NegativeArraySize)
+          // on corrupt-but-recognized payloads — quarantine, never crash
           val img =
             try Option(ImageIO.read(new ByteArrayInputStream(r.media)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           img match {
             case Some(i) =>
               MediaFeatures(r.doc_id, r.media.length, 1, FeatureDim,

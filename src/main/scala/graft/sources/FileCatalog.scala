@@ -74,6 +74,10 @@ object FileCatalog {
     * silently pinning driver memory. */
   def pathsForDate(spark: SparkSession, root: String, date: String,
                    maxFiles: Int = 100000): Seq[(String, String)] = {
+    // strict upper bound so maxFiles + 1 can't overflow to a negative
+    // limit and silently drop the cap
+    require(maxFiles > 0 && maxFiles < Int.MaxValue,
+      s"maxFiles must be in [1, ${Int.MaxValue - 1}], got $maxFiles")
     val rows = filesForDate(spark, root, date)
       .select("path", "name").limit(maxFiles + 1).collect()
     require(rows.length <= maxFiles,
