@@ -3,6 +3,7 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,11 +17,14 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: `javax.imageio` (JDK-only, headless-safe)
   * reads PNG/JPEG/BMP/GIF payloads into pixels, and the feature vector
-  * is a 4×4 luminance grid. Audio/video decode stays STUBBED (no codec
-  * libraries in this container): those payloads get a deterministic
-  * fake feature vector derived from the raw bytes. The Spark-side
-  * contract — schema, encoders, partition batching, metadata math — is
-  * identical for both paths.
+  * is a 4×4 luminance grid. AUDIO decode is REAL for WAV/PCM:
+  * `javax.sound.sampled` (also JDK-only) reads the container, yielding
+  * true frame count / sample rate / channel count and a 16-segment RMS
+  * energy vector. Video decode stays STUBBED (no video codec in any
+  * stock JDK): those payloads get a deterministic fake feature vector
+  * derived from the raw bytes. The Spark-side contract — schema,
+  * encoders, partition batching, metadata math — is identical for all
+  * paths.
   */
 object Multimodal {
 
@@ -29,11 +33,14 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
 
   /** Decoded representation: metadata + fixed-dim feature vector.
-    * width/height are the decoded pixel dimensions for images, 0 for
-    * non-image or undecodable payloads. */
+    * width/height are the decoded pixel dimensions for images;
+    * sample_rate (Hz) and channels are the decoded audio geometry;
+    * each is 0 where the modality doesn't apply or the payload was
+    * undecodable. */
   final case class MediaFeatures(
       doc_id: Long, media_len: Int, frame_count: Int,
-      feature_dim: Int, features: Array[Float], width: Int, height: Int)
+      feature_dim: Int, features: Array[Float], width: Int, height: Int,
+      sample_rate: Int = 0, channels: Int = 0)
 
   val FeatureDim = 16
   /** Stub "frame rate": one frame per 100 payload bytes. */
@@ -87,6 +94,69 @@ object Multimodal {
     }
   }
 
+  /** Deterministic tiny WAV: 16-bit signed PCM mono, little-endian,
+    * `nFrames` frames at `sampleRateHz`, sample i derived from
+    * (seed, i). JDK-only encode; used to plant real audio payloads in
+    * tests and the driver query. */
+  def syntheticWav(nFrames: Int, sampleRateHz: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (Math.floorMod(seed * 31 + i.toLong * 2654435761L, 65536L) - 32768L).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real audio decode: WAV/PCM container via `javax.sound.sampled` —
+    * true frame count, sample rate, and channel count, plus a
+    * 16-segment RMS energy vector over the PCM samples (the audio
+    * analogue of the image luminance grid). None = not decodable as
+    * 16-bit signed PCM → caller quarantines to the stub path. */
+  private def audioFeatures(r: MediaRow): Option[MediaFeatures] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.media))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val frames = ais.getFrameLength.toInt
+          val bytes = ais.readAllBytes()
+          val nSamples = bytes.length / 2
+          val feats = new Array[Float](FeatureDim)
+          if (nSamples > 0) {
+            val sums = new Array[Double](FeatureDim)
+            val counts = new Array[Long](FeatureDim)
+            var i = 0
+            while (i < nSamples) {
+              val v =
+                if (fmt.isBigEndian) ((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)
+                else ((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)
+              val s = v.toShort.toDouble / 32768.0
+              val seg = (i.toLong * FeatureDim / nSamples).toInt
+              sums(seg) += s * s
+              counts(seg) += 1
+              i += 1
+            }
+            var k = 0
+            while (k < FeatureDim) {
+              feats(k) = if (counts(k) > 0) math.sqrt(sums(k) / counts(k)).toFloat else 0.0f
+              k += 1
+            }
+          }
+          Some(MediaFeatures(r.doc_id, r.media.length, frames, FeatureDim,
+            feats, 0, 0, fmt.getSampleRate.toInt, fmt.getChannels))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Stub features for non-image payloads: feature i = byte[i] / 255
     * (zero-padded), frame count from the byte length. */
   private def stubFeatures(r: MediaRow): MediaFeatures = {
@@ -100,16 +170,18 @@ object Multimodal {
   /** Decode + feature-extract. Image payloads (`image/...` except the
     * explicit `image/stub`) decode for real via ImageIO — width/height
     * are the actual pixel dimensions, one frame, luminance-grid
-    * features; an undecodable image falls back to the stub path (the
-    * quarantine-not-crash behavior a 100 TB media scan needs).
-    * Audio/video/stub payloads take the stub path. Batch shape is the
-    * real one — one partition-iterator per task, decoder init amortized
-    * per partition, never per row. */
+    * features. Audio payloads (`audio/...` except `audio/stub`) decode
+    * for real via javax.sound.sampled — true frame count, sample rate,
+    * channels, RMS-segment features. Any undecodable payload falls
+    * back to the stub path (the quarantine-not-crash behavior a
+    * 100 TB media scan needs). Video/stub payloads take the stub
+    * path. Batch shape is the real one — one partition-iterator per
+    * task, decoder init amortized per partition, never per row. */
   def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition init would go here (model handle, audio codecs);
-      // ImageIO is stateless so images need none
+      // per-partition init would go here (model handle, video codecs);
+      // ImageIO and AudioSystem are stateless so neither needs any
       rows.map { r =>
         if (r.media_type.startsWith("image/") && r.media_type != "image/stub") {
           // NonFatal, not just IOException: ImageIO decoders throw
@@ -124,6 +196,8 @@ object Multimodal {
                 luminanceGrid(i), i.getWidth, i.getHeight)
             case None => stubFeatures(r)
           }
+        } else if (r.media_type.startsWith("audio/") && r.media_type != "audio/stub") {
+          audioFeatures(r).getOrElse(stubFeatures(r))
         } else stubFeatures(r)
       }
     }

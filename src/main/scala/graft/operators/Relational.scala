@@ -422,21 +422,52 @@ object Relational {
       |FROM w WHERE event_type = 'purchase'""".stripMargin
 
   // --------------------------------------------------------------- D20
-  /** Salted shuffle join — the manual skew-mitigation pattern for when
-    * AQE's runtime skew split isn't enough: the skewed (big) side gets
-    * a deterministic salt in [0, nSalts); the other side is exploded
-    * once per salt value, so the shuffle key (key, salt) spreads one
-    * hot key over nSalts reducers. Results are identical to the plain
-    * join — verified by the same oracle as a plain join. */
-  def saltedJoin(s: SparkSession, dir: String, nSalts: Int = 8): DataFrame = {
-    val l = Tables.lineitem(s, dir)
-      .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_suppkey")), lit(nSalts)))
-    val o = Tables.orders(s, dir)
-      .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
-    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+  /** Two-phase salted skew join — the production form of manual skew
+    * mitigation for when AQE's runtime split isn't enough. Phase 0
+    * detects hot keys from a bounded key-column sample of the big side
+    * (top `topHot` sampled keys — a driver-bounded set, never an exact
+    * full-key histogram). Only rows with those keys take the salted
+    * path: the big side gets a deterministic salt in [0, nSalts), the
+    * other side is exploded once per salt PER HOT KEY (≤ topHot·nSalts
+    * extra rows — not a whole-side ×nSalts explode). Everything else
+    * runs as a plain join, and the union is exactly the plain join's
+    * result no matter which keys the sample flags — so correctness
+    * never depends on the sample. Columns of the two inputs must be
+    * disjoint. */
+  def skewSaltedJoin(big: DataFrame, bigKey: String, dim: DataFrame,
+                     dimKey: String, nSalts: Int = 8, topHot: Int = 100,
+                     sampleFraction: Double = 0.05): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val plainCols = (big.columns ++ dim.columns).map(col(_))
+    // bounded driver set: topHot keys from a sampled histogram
+    val hotVals = big.select(col(bigKey))
+      .sample(withReplacement = false, sampleFraction, seed = 7L)
+      .groupBy(col(bigKey)).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col(bigKey).asc)
+      .limit(topHot)
+      .collect().map(_.get(0)).filter(_ != null)
+    if (hotVals.isEmpty)
+      return big.join(dim, col(bigKey) === col(dimKey)).select(plainCols: _*)
+    // the salt only spreads rows, so any deterministic per-row value works
+    val saltExpr = pmod(xxhash64(struct(big.columns.map(col(_)): _*)), lit(nSalts))
+    val hotJoined = big.filter(col(bigKey).isin(hotVals: _*))
+      .withColumn("b_salt", saltExpr)
+      .join(dim.filter(col(dimKey).isin(hotVals: _*))
+          .withColumn("d_salt", explode(array((0 until nSalts).map(lit(_)): _*))),
+        col(bigKey) === col(dimKey) && col("b_salt") === col("d_salt"))
+    val coldJoined = big.filter(!col(bigKey).isin(hotVals: _*))
+      .join(dim.filter(!col(dimKey).isin(hotVals: _*)),
+        col(bigKey) === col(dimKey))
+    hotJoined.select(plainCols: _*).unionByName(coldJoined.select(plainCols: _*))
+  }
+
+  /** D20 driver query: lineitem ⋈ orders through [[skewSaltedJoin]] —
+    * verified by the same oracle as a plain join. */
+  def saltedJoin(s: SparkSession, dir: String, nSalts: Int = 8): DataFrame =
+    skewSaltedJoin(Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", nSalts)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
-  }
 
   val saltedJoinSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_lines,

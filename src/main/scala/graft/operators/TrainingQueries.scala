@@ -631,6 +631,30 @@ object TrainingQueries {
       |  CAST(1 AS INTEGER) AS frame_count, CAST(16 AS INTEGER) AS feature_dim
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- E12 (real audio decode)
+  /** REAL audio decode end-to-end: plant a deterministic synthetic WAV
+    * per document (frame count derived from doc_id, 8 kHz mono), decode
+    * it with the JDK javax.sound.sampled path on executors, and emit
+    * the recovered frame count / sample rate / channel count — the
+    * oracle recomputes them from doc_id, so a decode that lies about
+    * audio geometry fails the hash compare. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id,
+        Multimodal.syntheticWav(800 + (id % 800).toInt, 8000, id),
+        "audio/wav"))
+    Multimodal.decodeFeatures(s, media)
+      .select(col("doc_id"), col("frame_count"), col("sample_rate"),
+        col("channels"), col("feature_dim"))
+  }
+
+  val multimodalAudioSql: String =
+    """SELECT doc_id, CAST(800 + doc_id % 800 AS INTEGER) AS frame_count,
+      |  CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+      |  CAST(16 AS INTEGER) AS feature_dim
+      |FROM documents""".stripMargin
+
   // ----------------------------------------------------------- E16
   /** Deterministic 8/1/1 train/valid/test split + per-split corpus
     * accounting. The assignment is a pure function of doc_id, so the

@@ -62,6 +62,37 @@ class MultimodalSpec extends SparkSpec {
     assert(f.media_len == 250 && f.frame_count == 3) // stub metadata math
   }
 
+  test("planted WAVs decode to real frame counts, rate, channels, RMS features") {
+    import spark.implicits._
+    val media = spark.range(0, 20).as[Long]
+      .map(id => Multimodal.MediaRow(id,
+        Multimodal.syntheticWav(800 + (id % 800).toInt, 8000, id), "audio/wav"))
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.frame_count == 800 + (f.doc_id % 800).toInt, s"doc ${f.doc_id} frames")
+      assert(f.sample_rate == 8000 && f.channels == 1)
+      assert(f.width == 0 && f.height == 0)
+      assert(f.features.length == Multimodal.FeatureDim)
+      // RMS of full-range noise-like PCM: inside (0, 1]
+      assert(f.features.forall(v => v > 0.0f && v <= 1.0f))
+    }
+    // decode is a pure function of the payload
+    val again = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(again(f.doc_id) == f.features.toSeq))
+  }
+
+  test("an undecodable audio payload falls back to the stub, not a crash") {
+    import spark.implicits._
+    val junk = Array.tabulate(250)(i => (i * 13).toByte)
+    val media = spark.range(0, 1).as[Long]
+      .map(id => Multimodal.MediaRow(id, junk, "audio/wav"))
+    val f = Multimodal.decodeFeatures(spark, media).collect()(0)
+    assert(f.sample_rate == 0 && f.channels == 0)
+    assert(f.media_len == 250 && f.frame_count == 3) // stub metadata math
+  }
+
   test("frame sampling explodes capped, strided frame indexes") {
     val media = Multimodal.toMediaRows(spark,
       Tables.documents(spark, sf).limit(5), "doc_id", "text")

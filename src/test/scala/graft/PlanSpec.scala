@@ -242,6 +242,26 @@ class PlanSpec extends SparkSpec {
     assert("array_max".r.findAllIn(p).size == 1, p)
   }
 
+  test("two-phase skew join equals the plain join on planted-skew data") {
+    // one hot key carrying half the big side, plus a cold uniform tail
+    val big = spark.range(0, 20000).select(
+      when(col("id") < 10000, lit(7L)).otherwise(pmod(col("id"), lit(2000L))).as("bk"),
+      col("id").as("bv"))
+    val dim = spark.range(0, 1000).select(col("id").as("dk"), (col("id") * 3).as("dv"))
+    val got = Relational.skewSaltedJoin(big, "bk", dim, "dk",
+      nSalts = 4, topHot = 5, sampleFraction = 0.2)
+    val exp = big.join(dim, col("bk") === col("dk"))
+      .select(col("bk"), col("bv"), col("dk"), col("dv"))
+    // exact multiset equality — whatever keys the sample flagged as hot
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+    // the planted hot key must actually take the salted path: its dim
+    // row explodes across all 4 salts, the cold tail joins plain
+    val hotSide = big.filter(col("bk") === 7L)
+    val hotOnly = Relational.skewSaltedJoin(
+      hotSide, "bk", dim, "dk", nSalts = 4, topHot = 1, sampleFraction = 1.0)
+    assert(hotOnly.count() == hotSide.count())
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
