@@ -572,53 +572,75 @@ object Relational {
       |     (SELECT UNNEST([0.5, 0.9]) AS p)""".stripMargin
 
   // --------------------------------------------------------------- D19
-  /** Globally-ranked (l_linestatus, value) rows WITHOUT a per-group
-    * single-reducer sort: range-repartition by (group, value) so every
+  /** Distributed global rank: every row's 1-based position within its
+    * group under `sortCols` order, WITHOUT a per-group single-reducer
+    * sort. Range-repartition by (groupCols ++ sortCols) so every
     * partition holds a contiguous slice of the key space, rank locally
-    * within each sorted partition, then lift local ranks to global
-    * ones by adding per-(partition, group) offsets — a
-    * #partitions × #groups-sized aggregate, broadcast back. The
-    * expensive part (the sort) parallelizes across ALL partitions
-    * regardless of group cardinality; a `row_number` window over 3
-    * line statuses would funnel the whole fact table through 3
-    * reducer sorts. Columns: l_linestatus, value, rn (1-based global
-    * rank within group, value-ascending), n (group size). */
-  private[operators] def rankedByGroup(s: SparkSession, dir: String,
-                                       nParts: Int = 32): DataFrame = {
-    import s.implicits._
+    * within each sorted partition (one sequential iterator pass), then
+    * lift local ranks to global ones by adding per-(partition, group)
+    * offsets — a #partitions × #groups-sized aggregate, broadcast
+    * back. The expensive part (the sort) parallelizes across ALL
+    * partitions regardless of group cardinality; a `row_number` window
+    * over a handful of groups would funnel the whole table through
+    * that many reducer sorts. Appends `rankCol` and `countCol` (group
+    * size) to the input columns. Ranks among `sortCols` ties follow
+    * partition-local order — pass a total order (e.g. append a unique
+    * id) when exact positions must be deterministic. With no
+    * groupCols the offsets window runs unpartitioned — over exactly
+    * #partitions COUNT rows, never data, so the single-reducer window
+    * warning it triggers is inherently bounded. */
+  def globalRank(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
+                 nParts: Int = 32, rankCol: String = "rn",
+                 countCol: String = "n"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.expressions.Window
-    val parts = Tables.lineitem(s, dir)
-      .select(col("l_linestatus"), col("l_extendedprice").as("value"))
-      .repartitionByRange(nParts, col("l_linestatus"), col("value"))
-      .sortWithinPartitions(col("l_linestatus"), col("value"))
-      .select(col("l_linestatus"), col("value"), spark_partition_id().as("pid"))
-    // local rank: one sequential pass over the already-sorted partition
-    // iterator (ties share a neighborhood, and the VALUE at any rank is
-    // unique regardless of tie order, so this is exact)
-    val local = parts.as[(String, Double, Int)].mapPartitions { it =>
-      var g: String = null
+    import org.apache.spark.sql.types.LongType
+    require(sortCols.nonEmpty, "globalRank needs at least one sort column")
+    val keyCols = (groupCols ++ sortCols).map(col(_))
+    val parts = df.repartitionByRange(nParts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val gIdx = groupCols.map(parts.schema.fieldIndex).toArray
+    val local = parts.mapPartitions { it =>
+      var key: IndexedSeq[Any] = null
       var r = 0L
-      it.map { case (ls, v, pid) =>
-        if (ls != g) { g = ls; r = 0L }
+      it.map { row =>
+        val k: IndexedSeq[Any] = gIdx.map(i => row.get(i)).toIndexedSeq
+        if (key == null || k != key) { key = k; r = 0L }
         r += 1
-        (ls, v, pid, r)
+        Row.fromSeq(row.toSeq :+ r)
       }
-    }.toDF("l_linestatus", "value", "pid", "local_rn")
-    val counts = local.groupBy(col("l_linestatus"), col("pid"))
-      .agg(count(lit(1)).as("c"))
-    // windows here run over #partitions × #groups COUNT rows, not data
-    val wOff = Window.partitionBy(col("l_linestatus")).orderBy(col("pid"))
+    }(Encoders.row(parts.schema.add("__local_rn", LongType, nullable = false)))
+    // windows below run over #partitions × #groups COUNT rows, not data
+    val counts = local.groupBy((groupCols :+ "__pid").map(col(_)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(groupCols.map(col(_)): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(groupCols.map(col(_)): _*)
     val offsets = counts
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_linestatus"))))
-      .select(col("l_linestatus").as("ls2"), col("pid").as("pid2"),
-        col("off"), col("n"))
-    local.join(broadcast(offsets),
-        col("l_linestatus") === col("ls2") && col("pid") === col("pid2"))
-      .select(col("l_linestatus"), col("value"),
-        (col("off") + col("local_rn")).as("rn"), col("n"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn(countCol, sum(col("__c")).over(wAll))
+      .select((groupCols.map(n => col(n).as(s"__g_$n")) ++
+        Seq(col("__pid").as("__pid2"), col("__off"), col(countCol))): _*)
+    val cond = groupCols.map(n => col(n) <=> col(s"__g_$n"))
+      .foldLeft(col("__pid") === col("__pid2"))(_ && _)
+    local.join(broadcast(offsets), cond)
+      .withColumn(rankCol, col("__off") + col("__local_rn"))
+      .drop((Seq("__pid", "__pid2", "__local_rn", "__off") ++
+        groupCols.map("__g_" + _)): _*)
   }
+
+  /** Globally-ranked (l_linestatus, value) rows for the quantile
+    * family, via [[globalRank]]: rn = 1-based value-ascending rank
+    * within line status, n = group size. Ties share a neighborhood and
+    * the VALUE at any rank is unique regardless of tie order, so rank
+    * selection on this frame is exact. */
+  private[operators] def rankedByGroup(s: SparkSession, dir: String,
+                                       nParts: Int = 32): DataFrame =
+    globalRank(
+      Tables.lineitem(s, dir)
+        .select(col("l_linestatus"), col("l_extendedprice").as("value")),
+      groupCols = Seq("l_linestatus"), sortCols = Seq("value"), nParts = nParts)
 
   /** Exact quantiles by rank (p50/p90 of extended price per line
     * status): the value at rank ⌈p·n⌉ — rank selection, not

@@ -655,6 +655,93 @@ object TrainingQueries {
       |  CAST(16 AS INTEGER) AS feature_dim
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- E30
+  /** Deterministic distributed corpus shuffle — the trainer-prep
+    * "global shuffle" step: every document gets a reproducible
+    * pseudorandom key (multiplicative hash of its id) and its GLOBAL
+    * 1-based position in shuffled order, computed by distributed rank
+    * ([[Relational.globalRank]]: range repartition + per-partition
+    * offsets) — never a single-reducer ORDER BY. The (key, doc_id)
+    * sort is a total order, so positions are exact and the oracle
+    * reproduces them. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir).select(col("doc_id"),
+      pmod((col("doc_id") % 1000003L) * 2654435761L, lit(999983L)).as("shuffle_key"))
+    Relational.globalRank(keyed, groupCols = Nil,
+        sortCols = Seq("shuffle_key", "doc_id"),
+        rankCol = "pos", countCol = "n_docs")
+      .select(col("doc_id"), col("shuffle_key"), col("pos"), col("n_docs"))
+  }
+
+  val corpusShuffleSql: String =
+    """SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 999983 AS shuffle_key,
+      |  ROW_NUMBER() OVER (ORDER BY ((doc_id % 1000003) * 2654435761) % 999983, doc_id)
+      |    AS pos,
+      |  COUNT(*) OVER () AS n_docs
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- E31
+  /** Per-source quality quota: keep only the `k` highest-quality
+    * documents per source (ties by doc_id) — the per-domain cap a
+    * corpus build applies so one crawl source can't dominate the
+    * mixture. BoundedTopK prunes to ≤ k per source map-side; the
+    * exchange carries O(sources · k), never a per-source sort of all
+    * documents. */
+  def sourceQuota(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("score")).as("ns"), col("doc_id")), k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.doc_id").as("doc_id"), (-col("t.ns")).as("score"))
+
+  val sourceQuotaSql: String =
+    """WITH sc AS (SELECT source, doc_id,
+      |  ROUND(
+      |    0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+      |    + 0.3 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+      |    + 0.2 * (CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS score
+      |  FROM documents)
+      |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, score FROM (
+      |  SELECT source, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk
+      |  FROM sc)
+      |WHERE rk <= 10""".stripMargin
+
+  // ----------------------------------------------------------- E32
+  /** Engine-portable EXACT stratified sampler: keep a document iff a
+    * well-mixed hash bucket of its id falls under its stratum's
+    * fraction — a pure projection (no RNG, no shuffle before the
+    * aggregate) that any engine reproduces bit-for-bit, so membership
+    * is exact-oracle-checkable. This is the production counterpart of
+    * E17's seeded `sampleBy` (whose engine-specific hash is only
+    * gate-checkable); strata missing from the map sample to zero. */
+  def exactStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0)
+    val bucket = pmod((col("doc_id") % 1000003L) * 2654435761L, lit(10000L))
+    val f = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .filter(bucket < f * 10000.0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val exactStratifiedSampleSql: String =
+    """WITH t AS (SELECT lang, n_chars,
+      |    ((doc_id % 1000003) * 2654435761) % 10000 AS b FROM documents)
+      |SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM t
+      |WHERE b < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 1.0
+      |           WHEN 'es' THEN 1.0 WHEN 'zh' THEN 1.0 ELSE 0.0 END) * 10000
+      |GROUP BY lang""".stripMargin
+
   // ----------------------------------------------------------- E16
   /** Deterministic 8/1/1 train/valid/test split + per-split corpus
     * accounting. The assignment is a pure function of doc_id, so the

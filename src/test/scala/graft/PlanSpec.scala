@@ -262,6 +262,30 @@ class PlanSpec extends SparkSpec {
     assert(hotOnly.count() == hotSide.count())
   }
 
+  test("corpus shuffle ranks via range repartition, not a global sort") {
+    val p = plan(operators.TrainingQueries.corpusShuffle(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("rangepartitioning"), p)
+    // the only window orders per-partition COUNT rows by __pid — no
+    // window (and no single-partition exchange) ever orders documents
+    assert(!"windowspecdefinition\\([^)]*(shuffle_key|doc_id)".r.findAllIn(p).hasNext, p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("source quota prunes map-side with bounded top-k, no window sort") {
+    val p = plan(operators.TrainingQueries.sourceQuota(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("partial_bounded_top_k"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("exact stratified sampler is a pure pre-aggregate projection") {
+    val p = plan(operators.TrainingQueries.exactStratifiedSample(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // one exchange (the final groupBy) — membership never shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
