@@ -172,4 +172,59 @@ object Sinks {
       .sortWithinPartitions(keys: _*)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
   }
+
+  /** Even-bit spread of a 16-bit value (morton half-interleave) via
+    * the classic magic-mask cascade — pure bitwise column arithmetic,
+    * whole-stage codegen, no UDF. */
+  private def spreadBits16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-value (morton code) of two 16-bit bucket ids: bits of `a16` on
+    * even positions, `b16` on odd. Locality in z-value order implies
+    * locality in BOTH dimensions. */
+  def zValue(a16: org.apache.spark.sql.Column, b16: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.shiftleft
+    spreadBits16(a16).bitwiseOR(shiftleft(spreadBits16(b16), 1))
+  }
+
+  /** Z-order clustered write (C12): rewrite a dataset into
+    * ~`targetFileBytes` parquet files clustered by the morton
+    * interleave of TWO dimensions, so footer min/max stats prune files
+    * for selective predicates on EITHER column — where a linear sort
+    * by (a, b) leaves every file spanning b's full range. This is the
+    * multi-dimensional layout optimization (Delta OPTIMIZE ZORDER's
+    * shape) a long-lived 100 TB table wants when two filter columns
+    * share the read path. Each dimension is linearly bucketized into
+    * 16 bits from a one-row min/max prepass (bounded driver data —
+    * heavy per-dim skew wants quantile buckets instead; the z-sort
+    * itself is skew-immune because `repartitionByRange` samples the
+    * z-values). */
+  def writeZOrdered(df: DataFrame, outPath: String, colA: String, colB: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit(65535L), greatest(lit(0L),
+        ((c.cast("double") - lit(lo)) / lit(span) * 65535.0).cast("long")))
+    }
+    val z = zValue(bucket(col(colA), b.getDouble(0), b.getDouble(1)),
+                   bucket(col(colB), b.getDouble(2), b.getDouble(3)))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / BigInt(targetFileBytes)).toInt +
+      (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
 }

@@ -40,6 +40,51 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("zValue interleaves the two dimensions' bits (a even, b odd)") {
+    val r = spark.range(1).select(
+      Sinks.zValue(lit(3L), lit(0L)),
+      Sinks.zValue(lit(0L), lit(3L)),
+      Sinks.zValue(lit(0xFFFFL), lit(0L)),
+      Sinks.zValue(lit(0xFFFFL), lit(0xFFFFL))).head()
+    assert(r.getLong(0) == 0x5L)         // 0b101
+    assert(r.getLong(1) == 0xAL)         // 0b1010
+    assert(r.getLong(2) == 0x55555555L)
+    assert(r.getLong(3) == 0xFFFFFFFFL)
+  }
+
+  test("z-ordered write makes BOTH dimensions file-prunable; linear sort only one") {
+    val zOut = "/tmp/graft_sink/zorder_out"
+    val linOut = "/tmp/graft_sink/zorder_linear"
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("value"), col("event_id"))
+    Sinks.writeZOrdered(ev, zOut, "user_id", "value", targetFileBytes = 2048L)
+    Sinks.compact(ev, linOut, sortCols = Seq("user_id"), targetFileBytes = 2048L)
+    assert(spark.read.parquet(zOut).count() == ev.count())
+    assert(parquetFiles(zOut).length >= 4, "need several files to show pruning")
+
+    // a file is prunable for a predicate iff its [min,max] footer range
+    // lies entirely outside the predicate band
+    def prunable(dir: String, dim: String, lo: Double, hi: Double): Int =
+      parquetFiles(dir).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(dim).cast("double")), max(col(dim).cast("double"))).head()
+        r.getDouble(1) < lo || r.getDouble(0) > hi
+      }
+    val vb = ev.agg(min(col("value")), max(col("value"))).head()
+    val (vLo, vHi) = (vb.getDouble(0), vb.getDouble(1))
+    val band = (vHi - vLo) / 8
+    val (qLo, qHi) = (vLo + 3 * band, vLo + 4 * band) // narrow mid-range value band
+    // linear user_id sort: every file spans value's full range → 0 prunable
+    assert(prunable(linOut, "value", qLo, qHi) == 0)
+    // z-layout: the same value predicate skips whole files, and
+    // user_id stays prunable too
+    assert(prunable(zOut, "value", qLo, qHi) > 0)
+    val ub = ev.agg(min(col("user_id")).cast("double"),
+      max(col("user_id")).cast("double")).head()
+    val uBand = (ub.getDouble(1) - ub.getDouble(0)) / 8
+    assert(prunable(zOut, "user_id",
+      ub.getDouble(0) + 3 * uBand, ub.getDouble(0) + 4 * uBand) > 0)
+  }
+
   test("idempotent daily load: rerunning one day touches only that partition") {
     val path = "/tmp/graft_sink/idempotent"
     val day1 = Seq((1L, "2024-01-15"), (2L, "2024-01-15")).toDF("id", "day")
