@@ -26,6 +26,15 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> { args => RollingHash(args.head) },
     "simhash64" -> { args => SimHash64(args.head) },
+    "unicode_normalize" -> { args =>
+      val form = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+          v.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize form must be a string literal, got $other")
+      }
+      UnicodeNormalize(args.head, form)
+    },
     "float_vec_dot" -> { args => FloatVecDot(args(0), args(1)) },
     "minhash_band_keys" -> { args =>
       MinHashBandKeys(args(0),

@@ -214,6 +214,37 @@ object TrainingQueries {
       |      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS score
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- E33
+  /** Unicode canonicalization: web corpora mix precomposed (é) and
+    * decomposed (e + U+0301) forms, which hash/dedup/tokenize
+    * differently until NFC-canonicalized. Plants decomposed sequences
+    * on every document, normalizes with the codegen
+    * [[graft.functions.UnicodeNormalize]] expression, and strips
+    * accents (NFD + drop combining marks) — the oracle recomputes all
+    * of it with DuckDB's nfc_normalize/strip_accents, pinning the
+    * exact strings and the length deltas. */
+  def unicodeNormalizeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnicodeExprs.{normalizeUnicode, stripAccents}
+    // decomposed forms planted explicitly: e+COMBINING ACUTE, u+COMBINING DIAERESIS
+    val dirty = concat(substring(col("text"), 1, 40),
+      lit(" cafe\u0301 Mu\u0308nchen"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      length(dirty).as("n_raw"),
+      length(normalizeUnicode(dirty, "NFC")).as("n_nfc"),
+      normalizeUnicode(dirty, "NFC").as("nfc"),
+      stripAccents(dirty).as("ascii"))
+  }
+
+  val unicodeNormalizeSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    substr(text, 1, 40) || ' cafe' || chr(769) || ' Mu' || chr(776) || 'nchen' AS dirty
+      |  FROM documents)
+      |SELECT doc_id, CAST(length(dirty) AS INTEGER) AS n_raw,
+      |  CAST(length(nfc_normalize(dirty)) AS INTEGER) AS n_nfc,
+      |  nfc_normalize(dirty) AS nfc,
+      |  strip_accents(nfc_normalize(dirty)) AS ascii
+      |FROM t""".stripMargin
+
   // ----------------------------------------------------------- E10
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),

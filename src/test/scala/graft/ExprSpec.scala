@@ -130,4 +130,28 @@ class ExprSpec extends SparkSpec {
       .select(graft.functions.RollingHash.rollingHash(col("t"))).head().getLong(0)
     assert(got == expected)
   }
+
+  test("UnicodeNormalize canonicalizes forms; stripAccents drops marks; SQL form registered") {
+    import graft.functions.UnicodeExprs.{normalizeUnicode, stripAccents}
+    val decomposed = "cafe\u0301 Mu\u0308nchen" // e+ACUTE, u+DIAERESIS
+    val composed = "caf\u00e9 M\u00fcnchen"
+    val r = Seq(decomposed).toDF("t").select(
+      normalizeUnicode(col("t"), "NFC").as("nfc"),
+      normalizeUnicode(col("t"), "NFD").as("nfd"),
+      stripAccents(col("t")).as("ascii")).head()
+    assert(r.getString(0) == composed)
+    assert(r.getString(1) == decomposed) // already fully decomposed
+    assert(r.getString(2) == "cafe Munchen")
+    // nulls pass through the generated null check
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(normalizeUnicode(col("t"), "NFC")).head()
+    assert(n.isNullAt(0))
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = Seq(decomposed).toDF("t").createOrReplaceTempView("u_t")
+    assert(spark.sql("SELECT unicode_normalize(t, 'NFC') FROM u_t")
+      .head().getString(0) == composed)
+    // invalid form fails fast at construction
+    intercept[IllegalArgumentException](normalizeUnicode(col("t"), "NFX"))
+  }
 }
