@@ -158,6 +158,50 @@ object EventStream {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("sum_value"))
 
+  final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+  final case class Totals(n: Long, sum: Double)
+
+  /** F9 processor: running per-user totals in typed `ValueState` via
+    * the Spark 4 arbitrary-state API. With a TTL, a user idle longer
+    * than the TTL has their state evicted by the store itself and
+    * restarts from zero — bounded state with no hand-rolled timer
+    * bookkeeping (contrast `sessionCounts`' explicit timeout dance). */
+  class RunningTotalsProcessor(ttlMillis: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var totals: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[Totals]("totals",
+        org.apache.spark.sql.Encoders.product[Totals],
+        if (ttlMillis > 0) TTLConfig(java.time.Duration.ofMillis(ttlMillis))
+        else TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else Totals(0L, 0.0)
+      var n = prev.n
+      var s = prev.sum
+      rows.foreach { e => n += 1; s += e.value }
+      totals.update(Totals(n, s))
+      Iterator(UserTotal(key, n, s))
+    }
+  }
+
+  /** F9: running per-user totals through `transformWithState` — the
+    * Spark 4 replacement for mapGroupsWithState, on the RocksDB state
+    * store (set `spark.sql.streaming.stateStore.providerClass` to the
+    * RocksDB provider). ttlMillis > 0 turns on store-level state
+    * expiry (requires processing-time mode per the API contract). */
+  def runningTotals(events: Dataset[Ev], ttlMillis: Long = 0L): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(ttlMillis),
+        if (ttlMillis > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** F5: stream-static enrichment join — each micro-batch joins
     * against a (small, broadcast) dimension snapshot, the streaming
     * form of the star join's dim lookup. The static side is re-read

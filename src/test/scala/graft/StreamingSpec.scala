@@ -56,6 +56,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F9: transformWithState running totals accumulate; TTL evicts idle state") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // accumulation across micro-batches (no TTL)
+      val in = MemoryStream[Ev]
+      val q = EventStream.runningTotals(in.toDS())
+        .writeStream.format("memory").queryName("f9").outputMode(OutputMode.Update).start()
+      try {
+        in.addData(Ev(1L, ts("2024-01-15 10:00:00"), 2.0),
+          Ev(1L, ts("2024-01-15 10:01:00"), 3.0), Ev(2L, ts("2024-01-15 10:00:30"), 7.0))
+        q.processAllAvailable()
+        in.addData(Ev(1L, ts("2024-01-15 10:02:00"), 5.0))
+        q.processAllAvailable()
+        val last = spark.table("f9").as[EventStream.UserTotal].collect()
+          .groupBy(_.user_id).view.mapValues(_.last).toMap
+        assert(last(1L) == EventStream.UserTotal(1L, 3L, 10.0))
+        assert(last(2L) == EventStream.UserTotal(2L, 1L, 7.0))
+      } finally q.stop()
+
+      // TTL: state for an idle user is evicted → totals restart.
+      // ProcessingTime mode keeps scheduling no-data batches (same
+      // engine behavior as the ProcessingTimeTimeout hang), so drive
+      // it with AvailableNow runs over a shared checkpoint instead of
+      // processAllAvailable.
+      val ckpt = Files.createTempDirectory("graft_f9ttl").toString
+      val in2 = MemoryStream[Ev]
+      // memory sink can't recover from a checkpoint → collect each
+      // AvailableNow run through foreachBatch (checkpoint-restartable)
+      val collected = scala.collection.mutable.ArrayBuffer.empty[EventStream.UserTotal]
+      def runOnce(): Seq[EventStream.UserTotal] = {
+        collected.clear()
+        val q2 = EventStream.runningTotals(in2.toDS(), ttlMillis = 1500L)
+          .writeStream
+          .outputMode(OutputMode.Update)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.UserTotal], _: Long) =>
+            val rows = batch.collect()
+            collected.synchronized { collected ++= rows }; ()
+          }
+          .start()
+        try q2.awaitTermination(60000L) finally q2.stop()
+        collected.toSeq
+      }
+      in2.addData(Ev(5L, ts("2024-01-15 10:00:00"), 1.0))
+      assert(runOnce() == Seq(EventStream.UserTotal(5L, 1L, 1.0)))
+      Thread.sleep(2500) // > TTL: the stored value expires in the store
+      in2.addData(Ev(5L, ts("2024-01-15 10:10:00"), 1.0))
+      // restarted from zero, not 2 events / 2.0
+      assert(runOnce() == Seq(EventStream.UserTotal(5L, 1L, 1.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("F2c: flatMapGroupsWithState emits closed sessions only") {
     val in = MemoryStream[Ev]
     val q = EventStream.closedSessions(in.toDS(), gapSeconds = 1800)
