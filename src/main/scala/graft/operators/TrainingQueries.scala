@@ -773,6 +773,103 @@ object TrainingQueries {
       |           WHEN 'es' THEN 1.0 WHEN 'zh' THEN 1.0 ELSE 0.0 END) * 10000
       |GROUP BY lang""".stripMargin
 
+  // ----------------------------------------------------------- E34
+  /** Out-of-vocabulary rate per document against a corpus-derived
+    * top-`vocabSize` vocabulary — the tokenizer-coverage signal a
+    * corpus build tracks before committing to a vocab. The vocabulary
+    * is a LIMIT over the term-count aggregate (deterministic ties by
+    * term), stays inside the plan, and broadcasts to the probe side —
+    * the document side never shuffles on the term key. */
+  def oovRate(s: SparkSession, dir: String, vocabSize: Int = 1000): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  val oovRateSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |           FROM documents),
+      |tt AS (SELECT doc_id, term FROM t WHERE len(term) > 0),
+      |v AS (SELECT term FROM (
+      |        SELECT term, COUNT(*) AS n FROM tt GROUP BY term
+      |        ORDER BY n DESC, term ASC LIMIT 1000)),
+      |j AS (SELECT tt.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      |      FROM tt LEFT JOIN v ON tt.term = v.term)
+      |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |  ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+      |FROM j GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- E35
+  /** Bigram language-model scoring — the CCNet-style perplexity
+    * filter shape: train add-one-smoothed bigram probabilities on the
+    * corpus itself (c(w1 w2), prefix counts c(w1 ·), vocab size V),
+    * then score every document by its average negative log-probability.
+    * Counts are exact integers; each occurrence's ln() is rounded to 6
+    * decimals and summed as an exact decimal, so the per-doc score is
+    * order- and partitioning-insensitive. Two count aggregates (map-
+    * side partials) + one shuffle join on the bigram key (AQE covers
+    * the hot-bigram skew); the prefix counts and V ride along
+    * broadcast-sized. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val bigramsPerDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |                 i -> struct(toks[i] AS w1, toks[i+1] AS w2))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigramsPerDoc.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = bigramsPerDoc.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .agg(countDistinct(col("term")).as("vocab"))
+    val logp = round(
+      log((col("c2") + 1.0) / (col("c1") + col("vocab"))), 6)
+    bigramsPerDoc
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(logp.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)))
+          .as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_logp").cast("double") / col("n_bigrams"), 6)
+          .as("avg_neg_logp"))
+  }
+
+  val lmScoreSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(toks)),
+      |           i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+      |       FROM d),
+      |b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bg),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
+      |t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |v AS (SELECT COUNT(DISTINCT term) AS vocab FROM t WHERE len(term) > 0),
+      |j AS (SELECT b.doc_id,
+      |        ROUND(ln((c2.c2 + 1.0) / (c1.c1 + v.vocab)), 6) AS logp
+      |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(-CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_neg_logp
+      |FROM j GROUP BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- E16
   /** Deterministic 8/1/1 train/valid/test split + per-split corpus
     * accounting. The assignment is a pure function of doc_id, so the
