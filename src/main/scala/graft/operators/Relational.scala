@@ -611,8 +611,12 @@ object Relational {
         Row.fromSeq(row.toSeq :+ r)
       }
     }(Encoders.row(parts.schema.add("__local_rn", LongType, nullable = false)))
-    // windows below run over #partitions × #groups COUNT rows, not data
-    val counts = local.groupBy((groupCols :+ "__pid").map(col(_)): _*)
+    // counts come from the PRE-rank frame: the aggregate is order-
+    // insensitive, so EliminateSorts drops the partition sort on this
+    // branch — only the rank branch pays it (the range exchange itself
+    // is shared via ReuseExchange). Windows below run over
+    // #partitions × #groups COUNT rows, not data.
+    val counts = parts.groupBy((groupCols :+ "__pid").map(col(_)): _*)
       .agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(groupCols.map(col(_)): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -286,6 +286,23 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("oov rate probes a broadcast vocab — doc side never shuffle-joins on term") {
+    val p = plan(operators.TrainingQueries.oovRate(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the LIMIT stays inside the plan (TakeOrderedAndProject), no collect
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("lm score: prefix counts and vocab broadcast; one bigram shuffle join") {
+    val p = plan(operators.TrainingQueries.lmScore(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf)
       .select(operators.Dedup.simhash("text").as("s"),
