@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based equivalence checks: the engine's distributed
+  * formulations must agree with their single-node/declarative oracles
+  * on RANDOM inputs, not just the fixtures — rank lifting, bounded
+  * top-k pruning, and the two-phase skew join are all plan
+  * optimizations whose contract is "identical result". Inputs come
+  * from seeded ScalaCheck generators, so every run replays the same
+  * cases (no flaky CI) while still covering shapes no fixture does. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** n reproducible samples of g (seeds 1..n — deterministic). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(0xCAFEL + i)))
+
+  private val smallData: Gen[List[(String, Double)]] = for {
+    n <- Gen.choose(1, 300)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-1000, 1000).map(_ / 4.0)
+    } yield (g, v))
+  } yield rows
+
+  test("globalRank value-at-rank equals the row_number window on random data") {
+    samples(smallData, 8).foreach { rows =>
+      val df = rows.toDF("g", "v")
+      // distributed rank (tiny nParts to force offset lifting)
+      val got = operators.Relational.globalRank(df, Seq("g"), Seq("v"), nParts = 5)
+        .select(col("g"), col("v"), col("rn"), col("n"))
+        .as[(String, Double, Long, Long)].collect()
+      // oracle: single window; ties make rn of EQUAL values
+      // interchangeable, so compare the (g, rn) -> v mapping
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      val exp = df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .as[(String, Double, Long, Long)].collect()
+      val gotMap = got.map(r => (r._1, r._3) -> r._2).toMap
+      val expMap = exp.map(r => (r._1, r._3) -> r._2).toMap
+      assert(gotMap == expMap, s"rank->value mismatch on ${rows.take(8)}…")
+      assert(got.map(r => (r._1, r._4)).toSet == exp.map(r => (r._1, r._4)).toSet)
+    }
+  }
+
+  test("BoundedTopK equals sorted-take on random data at any k") {
+    val gen = for { rows <- smallData; k <- Gen.choose(1, 8) } yield (rows, k)
+    samples(gen, 8).foreach { case (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id").repartition(7)
+      val got = df.groupBy(col("g"))
+        .agg(functions.TopKAgg.boundedTopK(struct(col("v"), col("id")), k).as("top"))
+        .select(col("g"), explode(col("top")).as("t"))
+        .select(col("g"), col("t.v"), col("t.id"))
+        .as[(String, Double, Long)].collect().toSet
+      val exp = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .groupBy(_._1).toList
+        .flatMap { case (_, grp) => grp.sortBy(r => (r._2, r._3)).take(k) }
+        .toSet
+      assert(got == exp, s"k=$k rows=${rows.take(8)}…")
+    }
+  }
+
+  test("two-phase skew join equals the plain join on random skewed data") {
+    val gen = for {
+      nHot <- Gen.choose(0, 200)
+      nCold <- Gen.choose(1, 100)
+      hotKey <- Gen.choose(0L, 5L)
+    } yield (nHot, nCold, hotKey)
+    samples(gen, 6).foreach { case (nHot, nCold, hotKey) =>
+      val big = spark.range(0, nHot.toLong)
+        .select(lit(hotKey).as("bk"), col("id").as("bv"))
+        .union(spark.range(0, nCold.toLong)
+          .select(pmod(col("id"), lit(20L)).as("bk"), (col("id") + 1000).as("bv")))
+      val dim = spark.range(0, 20).select(col("id").as("dk"), (col("id") * 7).as("dv"))
+      val got = operators.Relational.skewSaltedJoin(big, "bk", dim, "dk",
+        nSalts = 3, topHot = 2, sampleFraction = 0.5)
+      val exp = big.join(dim, col("bk") === col("dk"))
+        .select(col("bk"), col("bv"), col("dk"), col("dv"))
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+        s"nHot=$nHot nCold=$nCold hotKey=$hotKey")
+    }
+  }
+
+  test("date extraction inverts formatting for every convention on random dates") {
+    val dates = Gen.choose(0L, 20000L).map(d => java.time.LocalDate.ofEpochDay(d))
+    samples(Gen.listOfN(20, dates), 4).foreach { ds =>
+      val fmts = Seq[java.time.LocalDate => String](
+        d => s"data_${d}T030000_x.csv.gz",
+        d => s"sales_$d.csv",
+        d => s"report_${d.toString.replace("-", "")}.xlsx",
+        d => s"logs_${d.toString.replace("-", "_")}.txt",
+        d => f"backup_${d.getMonthValue}%02d-${d.getDayOfMonth}%02d-${d.getYear}%04d_120000.sql",
+        d => s"analytics.${d.toString.replace("-", ".")}.json")
+      val rows = for { d <- ds; f <- fmts } yield (f(d), d.toString)
+      val out = rows.toDF("fname", "truth")
+        .select(sources.DateExtract.extractDate(col("fname")).as("got"), col("truth"))
+        .as[(String, String)].collect()
+      out.foreach { case (got, truth) => assert(got == truth, s"$got != $truth") }
+    }
+  }
+}
