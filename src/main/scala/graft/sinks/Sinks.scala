@@ -206,18 +206,34 @@ object Sinks {
     * itself is skew-immune because `repartitionByRange` samples the
     * z-values). */
   def writeZOrdered(df: DataFrame, outPath: String, colA: String, colB: String,
-                    targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+                    targetFileBytes: Long = 128L * 1024 * 1024,
+                    quantileBuckets: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
-    val b = df.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+    // `quantileBuckets`: equi-DEPTH 8-bit buckets from a GK-sketch
+    // prepass (255 boundary doubles on the driver) — the right mode
+    // for heavy-tailed dimensions, where linear min/max scaling would
+    // collapse most rows into one bucket and z-locality on that dim
+    // degenerates. Bucket index = #boundaries ≤ value, computed by a
+    // codegen'd fold over the boundary-array literal.
+    def qBucket(c: String): org.apache.spark.sql.Column = {
+      val bounds = df.stat.approxQuantile(c, (1 to 255).map(_ / 256.0).toArray, 0.01)
+      aggregate(array(bounds.map(lit(_)): _*), lit(0L),
+        (acc, bnd) => acc + when(col(c).cast("double") >= bnd, 1L).otherwise(0L))
+    }
+    def linBucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       least(lit(65535L), greatest(lit(0L),
         ((c.cast("double") - lit(lo)) / lit(span) * 65535.0).cast("long")))
     }
-    val z = zValue(bucket(col(colA), b.getDouble(0), b.getDouble(1)),
-                   bucket(col(colB), b.getDouble(2), b.getDouble(3)))
+    val z =
+      if (quantileBuckets) zValue(qBucket(colA), qBucket(colB))
+      else {
+        val b = df.agg(
+          min(col(colA).cast("double")), max(col(colA).cast("double")),
+          min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+        zValue(linBucket(col(colA), b.getDouble(0), b.getDouble(1)),
+               linBucket(col(colB), b.getDouble(2), b.getDouble(3)))
+      }
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1, (bytes / BigInt(targetFileBytes)).toInt +
       (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0))

@@ -85,6 +85,32 @@ class SinksSpec extends SparkSpec {
       ub.getDouble(0) + 3 * uBand, ub.getDouble(0) + 4 * uBand) > 0)
   }
 
+  test("quantile-bucketed z-order keeps a heavy-tailed dimension prunable") {
+    // 95% of values in [0,1), a 5% tail up to ~1e6: linear min/max
+    // bucketing maps the bulk to bucket 0, so z-locality on `value`
+    // degenerates; equi-depth buckets keep it separable
+    val skew = spark.range(0, 4000).select(
+      col("id").as("k"),
+      when(col("id") % 20 === 0, col("id") * lit(250.0))
+        .otherwise((col("id") % 1000) / lit(1000.0)).as("value"))
+    val linOut = "/tmp/graft_sink/zq_lin"
+    val qOut = "/tmp/graft_sink/zq_q"
+    Sinks.writeZOrdered(skew, linOut, "k", "value", targetFileBytes = 2048L)
+    Sinks.writeZOrdered(skew, qOut, "k", "value", targetFileBytes = 2048L,
+      quantileBuckets = true)
+    assert(spark.read.parquet(qOut).count() == 4000)
+    def prunable(dir: String, lo: Double, hi: Double): Int =
+      parquetFiles(dir).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("value")), max(col("value"))).head()
+        r.getDouble(1) < lo || r.getDouble(0) > hi
+      }
+    // a narrow band inside the bulk: equi-depth layout must beat the
+    // collapsed linear layout on this dimension
+    val (lin, q) = (prunable(linOut, 0.4, 0.45), prunable(qOut, 0.4, 0.45))
+    assert(q > lin, s"quantile=$q linear=$lin of ${parquetFiles(qOut).length} files")
+  }
+
   test("idempotent daily load: rerunning one day touches only that partition") {
     val path = "/tmp/graft_sink/idempotent"
     val day1 = Seq((1L, "2024-01-15"), (2L, "2024-01-15")).toDF("id", "day")
