@@ -152,6 +152,37 @@ object Sinks {
       throw new java.io.IOException(s"upsert swap failed: $tmp -> $dst")
   }
 
+  /** Incremental aggregate maintenance (C13): fold ONE new increment
+    * (e.g. a day's partition) into a stored aggregate table without
+    * rescanning history — the materialized-view-maintenance pattern
+    * that keeps a 100 TB fact table's rollup fresh at per-day cost.
+    * Works for algebraic aggregates (counts/sums; avg = sum+count):
+    * the increment is pre-aggregated to the same keys, unioned with
+    * the stored state, re-aggregated by summing the partials (a
+    * keys-sized job — the history never loads beyond its aggregate),
+    * and atomically swapped in. */
+  def maintainAggregate(increment: DataFrame, aggPath: String,
+                        keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val spark = increment.sparkSession
+    val keys = keyCols.map(col)
+    val sums = sumCols.map(c => sum(col(c)).as(c))
+    val delta = increment.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(aggPath)
+    val merged =
+      if (fs.exists(dst))
+        spark.read.parquet(aggPath).unionByName(delta)
+          .groupBy(keys: _*).agg(sums.head, sums.tail: _*)
+      else delta
+    val tmp = new org.apache.hadoop.fs.Path(aggPath + ".tmp_maintain")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"aggregate swap failed: $tmp -> $dst")
+  }
+
   /** Small-files compaction (C6): rewrite a parquet dataset into
     * ~`targetFileBytes` files, clustered and sorted by `sortCols` so
     * min/max footer stats make later range/equality filters skip whole

@@ -111,6 +111,31 @@ class SinksSpec extends SparkSpec {
     assert(q > lin, s"quantile=$q linear=$lin of ${parquetFiles(qOut).length} files")
   }
 
+  test("incremental aggregate maintenance equals a full recompute") {
+    val aggPath = "/tmp/graft_sink/agg_maintain"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(aggPath))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), dayofmonth(col("ts")).as("dom"))
+    // feed three "days" incrementally
+    Seq(1 to 10, 11 to 20, 21 to 31).foreach { days =>
+      val inc = ev.filter(col("dom").isin(days.map(Integer.valueOf): _*))
+        .withColumn("n", lit(1L)).select(col("event_type"), col("n"), col("value"))
+      Sinks.maintainAggregate(inc, aggPath,
+        keyCols = Seq("event_type"), sumCols = Seq("n", "value"))
+    }
+    val got = spark.read.parquet(aggPath)
+      .select(col("event_type"), col("n"), round(col("value"), 6).as("value"))
+      .as[(String, Long, Double)].collect().map { case (k, n, v) => k -> ((n, v)) }.toMap
+    val exp = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("value"))
+      .as[(String, Long, Double)].collect().map { case (k, n, v) => k -> ((n, v)) }.toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (n, v)) =>
+      assert(n == exp(k)._1, s"$k count")
+      assert(math.abs(v - exp(k)._2) < 1e-4, s"$k sum") // float fold order differs
+    }
+  }
+
   test("idempotent daily load: rerunning one day touches only that partition") {
     val path = "/tmp/graft_sink/idempotent"
     val day1 = Seq((1L, "2024-01-15"), (2L, "2024-01-15")).toDF("id", "day")
