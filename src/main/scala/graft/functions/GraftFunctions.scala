@@ -40,6 +40,12 @@ object GraftFunctions {
       MinHashBandKeys(args(0),
         intArg(args(1), "numBands"), intArg(args(2), "rowsPerBand"))
     },
+    // per-group bounded top-k as SQL: bounded_top_k(expr, k) — the
+    // window-free top-k aggregate (ascending child order, struct for
+    // compound/descending orderings)
+    "bounded_top_k" -> { args =>
+      BoundedTopK(args(0), intArg(args(1), "k")).toAggregateExpression()
+    },
     // Spark ships these but leaves them out of the SQL registry; the
     // engine exposes them (args: hashed key, estimated items, num bits)
     "bloom_agg" -> { args =>

@@ -634,11 +634,27 @@ object Relational {
         groupCols.map("__g_" + _)): _*)
   }
 
+  /** Exact per-group quantiles by rank selection over [[globalRank]]:
+    * for each p in `ps`, the value at rank ⌈p·n⌉ within its group —
+    * a value FROM the data (no interpolation drift), computed without
+    * any per-group single-reducer sort, so it survives groups with
+    * billions of rows. Output: groupCols ++ (p, value). Ties share a
+    * rank neighborhood and the VALUE at any rank is unique regardless
+    * of tie order, so the result is exact and deterministic. */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     ps: Seq[Double], nParts: Int = 32): DataFrame = {
+    val ranked = globalRank(df.select((groupCols :+ valueCol).map(col(_)): _*),
+      groupCols, Seq(valueCol), nParts)
+    val matched = array(ps.map(p =>
+      when(col("rn") === ceil(col("n") * p).cast("long"), lit(p))): _*)
+    ranked.select((groupCols.map(col(_)) :+
+      explode(filter(matched, x => x.isNotNull)).as("p") :+
+      col(valueCol).as("value")): _*)
+  }
+
   /** Globally-ranked (l_linestatus, value) rows for the quantile
     * family, via [[globalRank]]: rn = 1-based value-ascending rank
-    * within line status, n = group size. Ties share a neighborhood and
-    * the VALUE at any rank is unique regardless of tie order, so rank
-    * selection on this frame is exact. */
+    * within line status, n = group size. */
   private[operators] def rankedByGroup(s: SparkSession, dir: String,
                                        nParts: Int = 32): DataFrame =
     globalRank(
@@ -652,15 +668,11 @@ object Relational {
     * bit-identical in any engine (no float interpolation drift).
     * Ranks come from [[rankedByGroup]]'s distributed rank selection,
     * so the plan survives groups with billions of rows. */
-  def quantiles(s: SparkSession, dir: String): DataFrame = {
-    val ps = Seq(0.5, 0.9)
-    val matched = array(ps.map(p =>
-      when(col("rn") === ceil(col("n") * p).cast("long"), lit(p))): _*)
-    rankedByGroup(s, dir)
-      .select(col("l_linestatus"),
-        explode(filter(matched, x => x.isNotNull)).as("p"),
-        col("value"))
-  }
+  def quantiles(s: SparkSession, dir: String): DataFrame =
+    exactQuantiles(
+      Tables.lineitem(s, dir)
+        .select(col("l_linestatus"), col("l_extendedprice").as("value")),
+      groupCols = Seq("l_linestatus"), valueCol = "value", ps = Seq(0.5, 0.9))
 
   val quantilesSql: String =
     """WITH w AS (SELECT l_linestatus, l_extendedprice,

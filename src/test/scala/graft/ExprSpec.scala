@@ -131,6 +131,20 @@ class ExprSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bounded_top_k is SQL-callable and matches the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(0, 500).selectExpr("id % 5 AS k", "CAST((id * 13) % 97 AS DOUBLE) AS v")
+      .createOrReplaceTempView("btk_t")
+    val got = spark.sql(
+      "SELECT k, bounded_top_k(v, 3) AS top FROM btk_t GROUP BY k")
+      .select(col("k"), explode(col("top")).as("v"))
+      .as[(Long, Double)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toList).toMap
+    val exp = (0L until 500L).map(id => (id % 5, ((id * 13) % 97).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(3).toList).toMap
+    assert(got == exp)
+  }
+
   test("UnicodeNormalize canonicalizes forms; stripAccents drops marks; SQL form registered") {
     import graft.functions.UnicodeExprs.{normalizeUnicode, stripAccents}
     val decomposed = "cafe\u0301 Mu\u0308nchen" // e+ACUTE, u+DIAERESIS
