@@ -21,6 +21,21 @@ object Sinks {
       numPartitions: Int = 8,
       batchSize: Int = 10000)
 
+  /** JDBC URL builder — the reference's `create_db_engine` dialect
+    * dispatch (etl_pipeline.py:566-573: postgresql / mysql / mssql),
+    * re-expressed as the matching JDBC URL shapes. The reader and sink
+    * are URL-generic; this is the convenience the reference exposed
+    * for assembling that URL from discrete parts. Unknown dialects
+    * fail fast, like the reference's ValueError. */
+  def jdbcUrl(dbType: String, host: String, port: Int, database: String): String =
+    dbType.toLowerCase match {
+      case "postgresql" | "postgres" => s"jdbc:postgresql://$host:$port/$database"
+      case "mysql"                   => s"jdbc:mysql://$host:$port/$database"
+      case "mssql" | "sqlserver"     => s"jdbc:sqlserver://$host:$port;databaseName=$database"
+      case other => throw new IllegalArgumentException(
+        s"Unsupported database type: $other")
+    }
+
   /** Option map for the Spark JDBC writer (testable without a DB). */
   def jdbcWriteOptions(cfg: JdbcConfig): Map[String, String] = Map(
     "url" -> cfg.url,

@@ -111,6 +111,15 @@ class SinksSpec extends SparkSpec {
     assert(q > lin, s"quantile=$q linear=$lin of ${parquetFiles(qOut).length} files")
   }
 
+  test("jdbcUrl builds the three reference dialects and rejects others") {
+    assert(Sinks.jdbcUrl("postgresql", "wh", 5432, "dw") ==
+      "jdbc:postgresql://wh:5432/dw")
+    assert(Sinks.jdbcUrl("MySQL", "wh", 3306, "dw") == "jdbc:mysql://wh:3306/dw")
+    assert(Sinks.jdbcUrl("mssql", "wh", 1433, "dw") ==
+      "jdbc:sqlserver://wh:1433;databaseName=dw")
+    intercept[IllegalArgumentException](Sinks.jdbcUrl("oracle", "wh", 1521, "dw"))
+  }
+
   test("incremental aggregate maintenance equals a full recompute") {
     val aggPath = "/tmp/graft_sink/agg_maintain"
     org.apache.commons.io.FileUtils.deleteQuietly(new File(aggPath))
