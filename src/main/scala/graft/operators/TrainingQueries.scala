@@ -817,9 +817,12 @@ object TrainingQueries {
     * Counts are exact integers; each occurrence's ln() is rounded to 6
     * decimals and summed as an exact decimal, so the per-doc score is
     * order- and partitioning-insensitive. Two count aggregates (map-
-    * side partials) + one shuffle join on the bigram key (AQE covers
-    * the hot-bigram skew); the prefix counts and V ride along
-    * broadcast-sized. */
+    * side partials); the probability table is assembled FIRST from the
+    * two aggregates (bigram-vocab ⋈ unigram-vocab on w1 — aggregate-
+    * sized inputs, never occurrences, and never a broadcast of a
+    * web-scale vocab), then occurrences shuffle-join it once on the
+    * bigram key (AQE covers the hot-bigram skew); only the scalar V
+    * broadcasts. */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
     val bigramsPerDoc = Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
@@ -838,10 +841,9 @@ object TrainingQueries {
       .agg(countDistinct(col("term")).as("vocab"))
     val logp = round(
       log((col("c2") + 1.0) / (col("c1") + col("vocab"))), 6)
+    val probs = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
     bigramsPerDoc
-      .join(c2, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(v))
+      .join(probs, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(logp.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)))
