@@ -813,10 +813,15 @@ object TrainingQueries {
   /** Bigram language-model scoring — the CCNet-style perplexity
     * filter shape: train add-one-smoothed bigram probabilities on the
     * corpus itself (c(w1 w2), prefix counts c(w1 ·), vocab size V),
-    * then score every document by its average negative log-probability.
-    * Counts are exact integers; each occurrence's ln() is rounded to 6
-    * decimals and summed as an exact decimal, so the per-doc score is
-    * order- and partitioning-insensitive. Two count aggregates (map-
+    * then score every document by its total negative log-probability
+    * (with the bigram count alongside — the average is a trivial
+    * client-side division). Counts are exact integers; each
+    * occurrence's ln() is rounded to 6 decimals and summed as an exact
+    * decimal, so the per-doc score is order- and partitioning-
+    * insensitive — and the output deliberately stops BEFORE dividing
+    * by n: a 6-decimal sum over a small n lands exactly on 7th-decimal
+    * half-boundaries where engines' double rounding legitimately
+    * disagrees (observed at sf0.1: 2 docs off by 1e-6). Two count aggregates (map-
     * side partials); the probability table is assembled FIRST from the
     * two aggregates (bigram-vocab ⋈ unigram-vocab on w1 — aggregate-
     * sized inputs, never occurrences, and never a broadcast of a
@@ -849,8 +854,7 @@ object TrainingQueries {
         sum(logp.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(28, 6)))
           .as("sum_logp"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("sum_logp").cast("double") / col("n_bigrams"), 6)
-          .as("avg_neg_logp"))
+        (-col("sum_logp")).cast("double").as("sum_neg_logp"))
   }
 
   val lmScoreSql: String =
@@ -868,8 +872,7 @@ object TrainingQueries {
       |        ROUND(ln((c2.c2 + 1.0) / (c1.c1 + v.vocab)), 6) AS logp
       |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |  ROUND(-CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
-      |    AS avg_neg_logp
+      |  CAST(-SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) AS sum_neg_logp
       |FROM j GROUP BY doc_id""".stripMargin
 
   // ----------------------------------------------------------- E16
