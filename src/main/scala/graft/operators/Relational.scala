@@ -1049,6 +1049,31 @@ object Relational {
         (-col("t.np")).as("o_totalprice"),
         (col("pos") + 1).cast("int").as("rn"))
 
+  // --------------------------------------------------------------- D43
+  /** Windowed distinct counting — SQL's COUNT(DISTINCT) OVER, which
+    * Spark's window aggregates don't support natively: expressed as
+    * the size of a running collect_set in one window pass. Correct for
+    * bounded-cardinality attributes (the per-row state is the distinct
+    * set, here ≤ 5 priorities); a high-cardinality attribute should
+    * use HLL partials instead — this is the exact form. */
+  def windowDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      size(collect_set(col("o_orderpriority")).over(w)).as("distinct_prios"))
+  }
+
+  val windowDistinctSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(COUNT(DISTINCT o_orderpriority) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+      |    AS distinct_prios
+      |FROM orders""".stripMargin
+
   // --------------------------------------------------------------- D29
   /** Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL over
     * order priorities — duplicates preserved, unlike D17's distinct
