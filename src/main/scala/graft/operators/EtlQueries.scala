@@ -327,6 +327,27 @@ object EtlQueries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events WHERE event_type <> 'error'""".stripMargin
 
+  // ----------------------------------------------------------- A8
+  /** Line-oriented text round-trip: the rawest corpus interchange
+    * format (one document per line — documents carry no newlines).
+    * Write through the text sink, read back with `spark.read.text`,
+    * and aggregate; the oracle recomputes from the parquet source, so
+    * a source that splits/merges/mangles lines fails the compare. */
+  def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/docs_text"
+    Tables.documents(s, dir).select(col("text")).write.mode("overwrite").text(out)
+    s.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).cast("long").as("sum_chars"),
+        sum(size(split(col("value"), " "))).cast("long").as("sum_tokens"))
+  }
+
+  val textRoundtripSql: String =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |FROM documents""".stripMargin
+
   // ----------------------------------------------------------- A6b
   /** JSON-lines FILE round-trip (distinct from A6's JSON-column
     * parsing): write documents metadata as json-lines, read back with

@@ -86,6 +86,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactQuantiles selects the value at rank ceil(p*n) on random data") {
+    samples(smallData, 6).foreach { rows =>
+      val df = rows.toDF("g", "v")
+      val got = operators.Relational
+        .exactQuantiles(df, Seq("g"), "v", ps = Seq(0.25, 0.5, 0.9), nParts = 4)
+        .as[(String, Double, Double)].collect()
+        .map { case (g, p, v) => (g, p) -> v }.toMap
+      val exp = rows.groupBy(_._1).flatMap { case (g, grp) =>
+        val sorted = grp.map(_._2).sorted
+        Seq(0.25, 0.5, 0.9).map(p =>
+          (g, p) -> sorted(math.ceil(p * sorted.size).toInt - 1))
+      }
+      assert(got == exp, s"on ${rows.take(8)}…")
+    }
+  }
+
   test("date extraction inverts formatting for every convention on random dates") {
     val dates = Gen.choose(0L, 20000L).map(d => java.time.LocalDate.ofEpochDay(d))
     samples(Gen.listOfN(20, dates), 4).foreach { ds =>
