@@ -421,6 +421,38 @@ object Relational {
       |  CAST(epoch_us(ts) - epoch_us(last_click) AS BIGINT) AS gap_us
       |FROM w WHERE event_type = 'purchase'""".stripMargin
 
+  // --------------------------------------------------------------- D18b
+  /** Native as-of join ([[graft.plans.AsOfJoin]] — custom LogicalPlan
+    * + SparkStrategy + merge-scan SparkPlan): every purchase joined to
+    * the user's latest click at-or-before it, null-extended when none
+    * exists. Same semantics as D18's window composition, but executed
+    * as a co-partitioned streaming merge with O(1) per-partition state
+    * — and oracle-checked against DuckDB's native ASOF LEFT JOIN. */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    // unique (key, time) right side → deterministic tie behavior
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("value")).as("c_val"))
+    graft.plans.AsOfJoin.asofJoin(purchases, clicks, "p_user", "c_user", "p_ts", "c_ts")
+      .select(col("p_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_time"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        col("c_val"))
+  }
+
+  val asofJoinNativeSql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, MAX(value) AS c_val FROM events
+      |      WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.p_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_time,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time, c.c_val
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   // --------------------------------------------------------------- D20
   /** Two-phase salted skew join — the production form of manual skew
     * mitigation for when AQE's runtime split isn't enough. Phase 0
