@@ -79,7 +79,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightOut = right.output
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      // bind against a null-extended right schema: a non-nullable right
+      // column (e.g. a primitive) MUST become nullable here or the
+      // generated projection skips the null check and reads garbage
+      // zeros from the all-null row
+      val proj = UnsafeProjection.create(allOut,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val rightNulls = new GenericInternalRow(rightOut.size)
       // one-row lookahead into the sorted right side; rows from sort

@@ -102,6 +102,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native as-of join equals the direct backward-match oracle on random data") {
+    val gen = for {
+      nl <- Gen.choose(0, 120)
+      lrows <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0L, 5L); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      rpairs <- Gen.listOf(for {
+        k <- Gen.choose(0L, 5L); t <- Gen.choose(0L, 50L); v <- Gen.choose(0, 999)
+      } yield ((k, t), v.toLong))
+    } yield (lrows, rpairs.toMap) // map ⇒ unique (key, time) right side
+    samples(gen, 6).foreach { case (lrows, rmap) =>
+      val left = lrows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("lk", "lt", "lid").repartition(4)
+      val right = rmap.toList.map { case ((k, t), v) => (k, t, v) }
+        .toDF("rk", "rt", "rv").repartition(3)
+      val got = plans.AsOfJoin.asofJoin(left, right, "lk", "rk", "lt", "rt")
+        .select(col("lid"), col("rv")).as[(Long, Option[Long])].collect().toMap
+      val exp = lrows.zipWithIndex.map { case ((k, t), i) =>
+        val cand = rmap.keys.filter(p => p._1 == k && p._2 <= t)
+        i.toLong -> (if (cand.isEmpty) None else Some(rmap(cand.maxBy(_._2))))
+      }.toMap
+      assert(got == exp, s"left=${lrows.take(8)}… right=${rmap.take(8)}…")
+    }
+  }
+
   test("date extraction inverts formatting for every convention on random dates") {
     val dates = Gen.choose(0L, 20000L).map(d => java.time.LocalDate.ofEpochDay(d))
     samples(Gen.listOfN(20, dates), 4).foreach { ds =>
