@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Statistical / temporal analytics operators (SURVEY §2 D44-D48).
+  *
+  * Cross-engine float discipline: every aggregate that feeds a derived
+  * statistic is an EXACT decimal (or integer) sum, so the reduction is
+  * order-independent under any partitioning; the floating-point math
+  * happens once, on the final scalars, with the same expression shape
+  * the oracle uses — identical inputs + identical IEEE-754 ops =
+  * identical bits. Summing doubles directly would tie the result to
+  * partition count.
+  */
+object Analytics {
+
+  // --------------------------------------------------------------- D44
+  /** Correlation / covariance / stddev per group, derived from exact
+    * component sums (n, Σx, Σy, Σxy, Σx², Σy²). One shuffle of six
+    * scalars per group; the raw products are computed in double (one
+    * deterministic op each) and pinned to DECIMAL(28,8) before the
+    * order-sensitive summation. At 100 TB this is the only shape that
+    * gives bit-stable statistics: `corr()`'s internal double
+    * accumulation varies with partitioning. */
+  def statsAgg(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 6))).as("sx"),
+        sum(y.cast(DecimalType(18, 6))).as("sy"),
+        sum((x * y).cast(DecimalType(28, 8))).as("sxy"),
+        sum((x * x).cast(DecimalType(28, 8))).as("sxx"),
+        sum((y * y).cast(DecimalType(28, 8))).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        // mirror the oracle's expression tree exactly (see statsAggSql)
+        expr("""round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+               | (sqrt(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) *
+               |  sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))), 6)
+               |""".stripMargin).as("corr_qty_price"),
+        expr("""round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+               | (cast(n as double) * (cast(n as double) - 1.0)), 4)""".stripMargin).as("covar_samp"),
+        expr("""round(sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) /
+               | (cast(n as double) * (cast(n as double) - 1.0))), 6)""".stripMargin).as("stddev_qty"))
+  }
+
+  val statsAggSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS sxy,
+      |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS sxx,
+      |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+      |   (sqrt(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) *
+      |    sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double))), 6)
+      |    AS corr_qty_price,
+      |  round((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+      |   (cast(n as double) * (cast(n as double) - 1.0)), 4) AS covar_samp,
+      |  round(sqrt((cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) /
+      |   (cast(n as double) * (cast(n as double) - 1.0))), 6) AS stddev_qty
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------------- D45
+  /** Time-interval RANGE frame: per-user trailing-1-hour sum over the
+    * event stream. The frame is anchored on exact epoch-microseconds
+    * (events carry µs precision; both engines see identical integers),
+    * and the windowed sum is an exact decimal, so ties in `ts` — which
+    * RANGE frames treat as one peer group — cannot produce
+    * order-dependent output. Scale shape: partitions by user_id
+    * (high cardinality), one sort per partition, no global sort. */
+  def timeRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        round(sum(col("value").cast(DecimalType(18, 6))).over(w), 2)
+          .cast("double").as("trailing_1h"))
+  }
+
+  val timeRangeFrameSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+      |    AS trailing_1h
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------- D46
+  /** Deterministic mode (most frequent value, smallest wins ties) per
+    * group. Built-in `mode()` is tie-nondeterministic, so: count pass
+    * (map-side partials) then an argmax via max-of-struct — both
+    * shuffles carry one row per (group, value), never the fact table,
+    * and there is no per-group sort. */
+  def modeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("cnt"), (-col("l_quantity")).as("nq"))).as("m"))
+      .select(col("l_returnflag"), col("m.cnt").as("mode_n"),
+        (-col("m.nq")).as("mode_qty"))
+
+  val modeAggSql: String =
+    """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      |           FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, cnt AS mode_n, l_quantity AS mode_qty FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |    ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c)
+      |WHERE rn = 1""".stripMargin
+
+  // --------------------------------------------------------------- D47
+  /** Calendar arithmetic: month truncation, end-of-month alignment,
+    * day spans — the date dimension toolkit. All functions chosen to
+    * have identical semantics in both engines (truncation, last_day,
+    * whole-day diffs); everything stays in whole dates/integers. */
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"),
+        col("o_orderdate"))
+      .groupBy(col("month"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")).as("eom"),
+        max(datediff(last_day(col("o_orderdate")), col("o_orderdate")))
+          .cast("int").as("max_days_to_eom"),
+        countDistinct(dayofmonth(col("o_orderdate"))).as("n_distinct_days"))
+
+  val dateArithSql: String =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+      |  COUNT(*) AS n,
+      |  MAX(strftime(last_day(o_orderdate), '%Y-%m-%d')) AS eom,
+      |  CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
+      |    last_day(o_orderdate))) AS INTEGER) AS max_days_to_eom,
+      |  COUNT(DISTINCT day(o_orderdate)) AS n_distinct_days
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- D48
+  /** Array higher-order functions (transform / filter / aggregate) in
+    * one codegen'd projection — the no-UDF idiom for per-row collection
+    * logic. No shuffle at all: a pure map over the scan. */
+  def arrayHof(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(expr("filter(toks, t -> length(t) > 4)")).as("n_long"),
+        expr("aggregate(toks, 0, (acc, t) -> acc + length(t))")
+          .cast("long").as("sum_len"),
+        expr("array_max(transform(toks, t -> length(t)))")
+          .cast("int").as("max_len"))
+
+  val arrayHofSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  len(list_filter(toks, t -> length(t) > 4)) AS n_long,
+      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+      |  CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_len
+      |FROM t""".stripMargin
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TopKAgg, VectorExprs}
+
+/** Corpus-level retrieval / sampling / reporting operators for the
+  * training-data pipeline (SURVEY §2 E36-E39).
+  */
+object CorpusAnalytics {
+
+  // --------------------------------------------------------------- E36
+  /** BM25 scoring of the corpus against a fixed term set (the lexical
+    * retrieval baseline next to the ANN path). Scale shape: tokens are
+    * filtered to the query terms BEFORE any shuffle, so the exchange
+    * carries O(matching tokens), never the corpus; docfreqs (≤ |terms|
+    * rows) and the corpus stats (1 row) come back via broadcast joins.
+    *
+    * Determinism: the per-term partial scores are summed in a FIXED
+    * textual order (one conditional-agg column per term), not with a
+    * data-order `sum()` over doubles, and `ln` is the only non-exact
+    * op — its ≤1-ulp cross-engine wobble is absorbed by the final
+    * round(…, 6). */
+  def bm25Score(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "sort", "merge", "hash", "spark")
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val stats = toks.select(size(col("tk")).as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // identical expression tree to the oracle (see bm25ScoreSql)
+    val sc = expr(
+      """ln((cast(n_docs as double) - cast(df as double) + 0.5) /
+        |   (cast(df as double) + 0.5) + 1.0) *
+        | (cast(tf as double) * 2.2) /
+        | (cast(tf as double) + 1.2 * (0.25 + 0.75 *
+        |   (cast(len as double) / (cast(sum_len as double) / cast(n_docs as double)))))
+        |""".stripMargin)
+    val scored = tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), sc.as("sc"))
+    val per = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_terms_hit"),
+      sum(when(col("term") === "table", col("sc"))).as("s1"),
+      sum(when(col("term") === "sort", col("sc"))).as("s2"),
+      sum(when(col("term") === "merge", col("sc"))).as("s3"),
+      sum(when(col("term") === "hash", col("sc"))).as("s4"),
+      sum(when(col("term") === "spark", col("sc"))).as("s5"))
+    per.select(col("doc_id"), col("n_terms_hit"),
+      round(coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
+        coalesce(col("s3"), lit(0.0)) + coalesce(col("s4"), lit(0.0)) +
+        coalesce(col("s5"), lit(0.0)), 6).as("bm25"))
+  }
+
+  val bm25ScoreSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS sum_len FROM toks),
+      |tf AS (SELECT doc_id, len, term, COUNT(*) AS tf FROM (
+      |         SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM toks)
+      |       WHERE term IN ('table', 'sort', 'merge', 'hash', 'spark')
+      |       GROUP BY 1, 2, 3),
+      |dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT t.doc_id, t.term,
+      |  ln((cast(n_docs as double) - cast(df as double) + 0.5) /
+      |     (cast(df as double) + 0.5) + 1.0) *
+      |   (cast(tf as double) * 2.2) /
+      |   (cast(tf as double) + 1.2 * (0.25 + 0.75 *
+      |     (cast(len as double) / (cast(sum_len as double) / cast(n_docs as double)))))
+      |   AS sc
+      |  FROM tf t JOIN dfs USING (term) CROSS JOIN stats),
+      |per AS (SELECT doc_id, COUNT(*) AS n_terms_hit,
+      |  SUM(CASE WHEN term = 'table' THEN sc END) AS s1,
+      |  SUM(CASE WHEN term = 'sort'  THEN sc END) AS s2,
+      |  SUM(CASE WHEN term = 'merge' THEN sc END) AS s3,
+      |  SUM(CASE WHEN term = 'hash'  THEN sc END) AS s4,
+      |  SUM(CASE WHEN term = 'spark' THEN sc END) AS s5
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_terms_hit,
+      |  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0) +
+      |        coalesce(s4, 0.0) + coalesce(s5, 0.0), 6) AS bm25
+      |FROM per""".stripMargin
+
+  // --------------------------------------------------------------- E37
+  /** Matryoshka truncation: keep the first 16 of 64 embedding dims and
+    * re-normalize — the standard trick for cheap first-stage retrieval
+    * over MRL-trained embeddings. Reports the retained-energy ratio
+    * (‖prefix‖/‖full‖) and the first re-normalized component; a pure
+    * projection, no shuffle, dot products via the codegen float-dot
+    * expression in array order (bit-identical to the oracle's
+    * DOUBLE[] arithmetic). */
+  def matryoshka(s: SparkSession, dir: String): DataFrame = {
+    val tr = slice(col("embedding"), 1, 16)
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      round(sqrt(VectorExprs.floatDot(tr, tr)) /
+        sqrt(VectorExprs.floatDot(col("embedding"), col("embedding"))), 6)
+        .as("energy_ratio"),
+      round(element_at(col("embedding"), 1).cast("double") /
+        sqrt(VectorExprs.floatDot(tr, tr)), 6).as("c0"))
+  }
+
+  val matryoshkaSql: String =
+    """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT vec_id,
+      |  round(sqrt(list_dot_product(e[1:16], e[1:16])) /
+      |        sqrt(list_dot_product(e, e)), 6) AS energy_ratio,
+      |  round(e[1] / sqrt(list_dot_product(e[1:16], e[1:16])), 6) AS c0
+      |FROM d""".stripMargin
+
+  // --------------------------------------------------------------- E38
+  /** Distributed reservoir sample: exactly k docs per stratum, chosen
+    * by rank on a deterministic integer hash — the scalable equivalent
+    * of per-group reservoir sampling (uniform over the stratum, stable
+    * across reruns/partitioning). The per-stratum top-k is a bounded
+    * aggregate pruned to k map-side, NOT a row_number window: with few
+    * strata a window would sort each whole stratum on one reducer. */
+  def reservoirSample(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        ((col("doc_id") * 1103515245L + 12345L) % 2147483648L).as("h"))
+      .groupBy(col("lang"))
+      .agg(TopKAgg.boundedTopK(struct(col("h"), col("doc_id")), k).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), col("t.doc_id").as("doc_id"), col("t.h").as("h"),
+        (col("pos") + 1).cast("int").as("rn"))
+
+  val reservoirSampleSql: String =
+    """SELECT lang, doc_id, h, rn FROM (
+      |  SELECT lang, doc_id, (doc_id * 1103515245 + 12345) % 2147483648 AS h,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id)
+      |      AS INTEGER) AS rn
+      |  FROM documents) WHERE rn <= 20""".stripMargin
+
+  // --------------------------------------------------------------- E39
+  /** Corpus mixture report: docs / exact token counts / token share
+    * per (source, lang) — the mixing table every pretraining run is
+    * steered by. One aggregation shuffle carrying (source, lang)
+    * partials; the share division happens on the tiny grouped result
+    * (the single-partition window is over ≤ |sources|·|langs| rows,
+    * never the corpus). */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), size(split(col("text"), " ")).as("n_toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 6)
+          .as("token_share"))
+  }
+
+  val corpusMixSql: String =
+    """WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,
+      |    SUM(len(string_split(text, ' '))) AS n_tokens
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
+      |    AS token_share
+      |FROM g""".stripMargin
+}

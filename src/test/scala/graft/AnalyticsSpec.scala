@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, CorpusAnalytics, SemiStructured}
+
+/** Specs for the D44-D48 / A9-A10 / E30-E33 additions. The driver's
+  * DuckDB compare is the primary gate; these pin the internal
+  * invariants that the oracle can't see (plan shape, determinism,
+  * mathematical identities). */
+class AnalyticsSpec extends SparkSpec {
+
+  test("statsAgg: correlations are in [-1,1] and match Spark's corr() to 1e-6") {
+    val rows = Analytics.statsAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val c = r.getAs[Any]("corr_qty_price") match {
+        case d: java.lang.Double => d.doubleValue()
+        case b: java.math.BigDecimal => b.doubleValue()
+      }
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - builtin(r.getString(0))) < 1e-6)
+    }
+  }
+
+  test("timeRangeFrame: trailing window includes the current row and only 1h back") {
+    val df = Analytics.timeRangeFrame(spark, sf)
+    val one = df.filter(col("user_id") === 1).orderBy(col("ts_us")).collect()
+    assert(one.nonEmpty)
+    // brute-force recompute for one user
+    val evs = one.map(r => (r.getLong(2), r.getDouble(3)))
+    val vals = Tables.events(spark, sf).filter(col("user_id") === 1)
+      .select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    evs.foreach { case (ts, got) =>
+      val want = vals.filter { case (t, _) => t <= ts && t >= ts - 3600L * 1000000L }
+        .map(_._2).map(BigDecimal(_)).sum
+      assert(math.abs(got - want.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"ts=$ts got=$got want=$want")
+    }
+  }
+
+  test("modeAgg: deterministic argmax — recomputable from the value counts") {
+    Analytics.modeAgg(spark, sf).collect().foreach { r =>
+      val flag = r.getString(0)
+      val counts = Tables.lineitem(spark, sf).filter(col("l_returnflag") === flag)
+        .groupBy(col("l_quantity")).count().collect()
+        .map(x => (x.getDouble(0), x.getLong(1)))
+      val best = counts.minBy { case (q, n) => (-n, q) }
+      assert(r.getLong(1) == best._2 && r.getDouble(2) == best._1)
+    }
+  }
+
+  test("arrayHof: sum_len + (n_tokens - 1) spaces reconstructs n_chars") {
+    val joined = Analytics.arrayHof(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("sum_len") + col("n_tokens") - 1 =!= col("n_chars"))
+    assert(joined.count() == 0)
+  }
+
+  test("xmlRoundtrip preserves counts vs the parquet source") {
+    val r = SemiStructured.xmlRoundtrip(spark, sf).collect().head
+    val want = Tables.events(spark, sf).filter(col("event_type") =!= "error").count()
+    assert(r.getLong(0) == want)
+  }
+
+  test("variantExtract agrees with string-side JSON parsing") {
+    val v = SemiStructured.variantExtract(spark, sf)
+      .select("event_type", "n", "sum_k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val j = Tables.events(spark, sf)
+      .withColumn("k", expr("from_json(props, 'k BIGINT').k"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v == j)
+  }
+
+  test("bm25: every scored doc contains at least one query term; scores positive") {
+    val scored = CorpusAnalytics.bm25Score(spark, sf)
+    assert(scored.filter(col("bm25") <= 0.0).count() == 0)
+    val hits = Tables.documents(spark, sf)
+      .filter(col("text").rlike("(^| )(table|sort|merge|hash|spark)( |$)")).count()
+    assert(scored.count() == hits)
+  }
+
+  test("matryoshka: energy ratio in (0,1], c0 is a unit-vector component") {
+    val rows = CorpusAnalytics.matryoshka(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val er = r.getDouble(1); val c0 = r.getDouble(2)
+      assert(er > 0.0 && er <= 1.0 + 1e-9)
+      assert(c0 >= -1.0 - 1e-9 && c0 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("reservoirSample: exactly min(k, |stratum|) per lang, no Window in the plan") {
+    val k = 3
+    val got = CorpusAnalytics.reservoirSample(spark, sf, k)
+    val sizes = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val per = got.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, n) => assert(per(l) == math.min(k.toLong, n)) }
+    // a second run returns the identical sample (deterministic hash rank)
+    assert(got.except(CorpusAnalytics.reservoirSample(spark, sf, k)).count() == 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort leaked into plan:\n$plan")
+  }
+
+  test("corpusMix: token shares sum to 1") {
+    val total = CorpusAnalytics.corpusMix(spark, sf)
+      .agg(sum(col("token_share"))).collect().head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-3)
+  }
+}
