@@ -169,4 +169,87 @@ object Analytics {
       |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
       |  CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_len
       |FROM t""".stripMargin
+
+  // --------------------------------------------------------------- D49
+  /** Binned range join — the large×large interval-join plan. D27's
+    * broadcast nested-loop is only sane while one side fits in memory;
+    * when both sides are big, the standard scale trick is to quantize:
+    * explode each interval to the fixed-width bins it overlaps (≤2
+    * here: bin width = max interval length), tag each point with its
+    * bin, equi-join on the bin key (a plain shuffled hash join —
+    * partitionable, AQE-skew-splittable), and clear false positives
+    * with the residual range predicate. Each matching pair surfaces
+    * exactly once because a point lives in exactly one bin. */
+  def binnedRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = 5.0
+    val iv = Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_totalprice") / 1000.0).as("lo"),
+        ((col("o_totalprice") / 1000.0) + w).as("hi"))
+      .withColumn("bin",
+        explode(sequence(floor(col("lo") / w).cast("long"),
+          floor(col("hi") / w).cast("long"))))
+    val pts = Tables.events(s, dir).select(col("event_id"), col("value"))
+      .withColumn("bin", floor(col("value") / w).cast("long"))
+    iv.join(pts, "bin")
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_orderkey")).as("n_intervals"),
+        countDistinct(col("event_id")).as("n_points"),
+        Relational.dsum(col("value")).as("sum_value"))
+  }
+
+  val binnedRangeJoinSql: String =
+    """WITH iv AS (SELECT o_orderkey, o_totalprice / 1000.0 AS lo,
+      |    (o_totalprice / 1000.0) + 5.0 AS hi FROM orders)
+      |SELECT COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT o_orderkey) AS n_intervals,
+      |  COUNT(DISTINCT event_id) AS n_points,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      |FROM iv JOIN events ON value >= lo AND value < hi""".stripMargin
+
+  // --------------------------------------------------------------- C14
+  /** Table profiler: per-column NDV / null count / most frequent value
+    * (ANALYZE-style stats, the input to salting and broadcast
+    * decisions). Columns are stacked into (col_name, value) rows in
+    * one projection, then two grouped passes: value counts, then a
+    * per-column rollup with a deterministic argmax (min-of-struct on
+    * (-count, value) — smallest value wins ties). Scales: both
+    * shuffles carry (column, value) partials, never raw rows twice. */
+  def tableProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(expr(
+        """stack(3,
+          |  'l_returnflag', CAST(l_returnflag AS STRING),
+          |  'l_linestatus', CAST(l_linestatus AS STRING),
+          |  'l_linenumber', CAST(l_linenumber AS STRING)) AS (col_name, val)
+          |""".stripMargin))
+      .groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(when(col("val").isNotNull, 1)).as("ndv"),
+        coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+        min(when(col("val").isNotNull,
+          struct((-col("cnt")).as("nc"), col("val")))).as("m"))
+      .select(col("col_name"), col("ndv"), col("n_nulls"),
+        col("m.val").as("top_value"), (-col("m.nc")).as("top_count"))
+
+  val tableProfileSql: String =
+    """WITH stacked AS (
+      |  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem),
+      |c AS (SELECT col_name, val, COUNT(*) AS cnt FROM stacked GROUP BY 1, 2),
+      |agg AS (SELECT col_name,
+      |    COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS ndv,
+      |    CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN cnt END), 0) AS BIGINT) AS n_nulls
+      |  FROM c GROUP BY 1),
+      |top AS (SELECT col_name, val AS top_value, cnt AS top_count FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+      |      ORDER BY cnt DESC, val ASC) AS rn FROM c WHERE val IS NOT NULL)
+      |  WHERE rn = 1)
+      |SELECT col_name, ndv, n_nulls, top_value, top_count
+      |FROM agg JOIN top USING (col_name)""".stripMargin
 }

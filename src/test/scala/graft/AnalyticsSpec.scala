@@ -110,6 +110,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window sort leaked into plan:\n$plan")
   }
 
+  test("binnedRangeJoin: matches the direct non-equi join, no nested-loop in plan") {
+    val binned = Analytics.binnedRangeJoin(spark, sf)
+    val iv = Tables.orders(spark, sf).select(col("o_orderkey"),
+      (col("o_totalprice") / 1000.0).as("lo"),
+      ((col("o_totalprice") / 1000.0) + 5.0).as("hi"))
+    val direct = Tables.events(spark, sf).select(col("event_id"), col("value"))
+      .join(iv, col("value") >= col("lo") && col("value") < col("hi"))
+      .agg(count(lit(1)), countDistinct(col("o_orderkey")),
+        countDistinct(col("event_id"))).collect().head
+    val got = binned.collect().head
+    assert(got.getLong(0) == direct.getLong(0))
+    assert(got.getLong(1) == direct.getLong(1))
+    assert(got.getLong(2) == direct.getLong(2))
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"bin join fell back to NL:\n$plan")
+  }
+
+  test("tableProfile: ndv and top frequency match direct per-column queries") {
+    val prof = Analytics.tableProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("l_returnflag", "l_linestatus", "l_linenumber"))
+    val li = Tables.lineitem(spark, sf)
+    Seq("l_returnflag", "l_linestatus", "l_linenumber").foreach { c =>
+      val ndv = li.select(col(c)).filter(col(c).isNotNull).distinct().count()
+      assert(prof(c).getLong(1) == ndv, s"ndv($c)")
+      val top = li.groupBy(col(c).cast("string").as("v")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .minBy { case (v, n) => (-n, v) }
+      assert((prof(c).getString(3), prof(c).getLong(4)) == top, s"top($c)")
+    }
+  }
+
   test("corpusMix: token shares sum to 1") {
     val total = CorpusAnalytics.corpusMix(spark, sf)
       .agg(sum(col("token_share"))).collect().head.getDouble(0)
