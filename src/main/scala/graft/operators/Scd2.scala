@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SCD Type-2 merge (SURVEY §2 C15): dimension versioning with
+  * validity intervals — the warehouse-standard upgrade of C9's SCD-1
+  * overwrite (reference behavior: etl_pipeline.py's if_exists-replace
+  * load keeps no history).
+  *
+  * Scale shape: one equi-join between the current dimension and the
+  * incoming snapshot on the business key (updates are normally a
+  * day's trickle → broadcast; a full-reload worst case degrades to a
+  * shuffled hash join, still partitionable). Rows are never compared
+  * column-by-column in the driver; the change predicate is a single
+  * codegen'd expression.
+  */
+object Scd2 {
+
+  /** Merge an update snapshot into a current SCD-2 dimension.
+    *
+    * @param current  existing dimension with `validFrom`/`validTo`/
+    *                 `isCurrent` columns (validTo null on open rows)
+    * @param updates  new attribute snapshot keyed by `key` (no SCD cols)
+    * @param key      business key column name
+    * @param changed  predicate over (current, updates) attribute pairs:
+    *                 true when the incoming row differs → version bump
+    * @param effectiveDate ISO date the new versions start
+    */
+  def merge(current: DataFrame, updates: DataFrame, key: String,
+            changed: Column, effectiveDate: String): DataFrame = {
+    val attrCols = updates.columns.filterNot(_ == key)
+    val cur = current
+    val upd = broadcast(updates.select(
+      col(key).as("u_key") +: attrCols.map(c => col(c).as(s"u_$c")): _*))
+    val joined = cur.join(upd, cur(key) === col("u_key"), "left")
+    // open rows whose attributes changed close at effectiveDate...
+    val closedOrKept = joined.select(
+      (cur.columns.filterNot(Seq("valid_to", "is_current").contains(_)).map(cur(_)) ++ Seq(
+        when(col("u_key").isNotNull && col("is_current") && changed,
+          lit(effectiveDate)).otherwise(col("valid_to")).as("valid_to"),
+        when(col("u_key").isNotNull && col("is_current") && changed,
+          lit(false)).otherwise(col("is_current")).as("is_current"))): _*)
+    // ...and the changed updates re-enter as the new current version
+    val fresh = joined
+      .filter(col("u_key").isNotNull && col("is_current") && changed)
+      .select(col("u_key").as(key) +:
+        attrCols.map(c => col(s"u_$c").as(c)) :+
+        lit(effectiveDate).as("valid_from") :+
+        lit(null).cast("string").as("valid_to") :+
+        lit(true).as("is_current"): _*)
+    closedOrKept.unionByName(fresh)
+  }
+
+  /** Driver query: seed an SCD-2 customer dimension from the snapshot,
+    * apply a deterministic update wave (every 10th key gets +100
+    * balance, every 50th is unchanged → must NOT version), and emit
+    * the full merged history. */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit("2024-01-01").as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      lit(true).as("is_current"))
+    val updates = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 50 === 0, col("c_acctbal"))
+          .otherwise(round(col("c_acctbal") + 100.0, 2)).as("c_acctbal"))
+    merge(base, updates, "c_custkey",
+      changed = col("c_acctbal") =!= col("u_c_acctbal"),
+      effectiveDate = "2024-02-01")
+  }
+
+  val scd2MergeSql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 50 = 0 THEN c_acctbal
+      |         ELSE round(c_acctbal + 100.0, 2) END AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |changed AS (
+      |  SELECT c.c_custkey FROM customer c JOIN upd u USING (c_custkey)
+      |  WHERE c.c_acctbal <> u.c_acctbal)
+      |SELECT c.c_custkey, c.c_name, c.c_acctbal,
+      |  '2024-01-01' AS valid_from,
+      |  CASE WHEN ch.c_custkey IS NOT NULL THEN '2024-02-01' END AS valid_to,
+      |  ch.c_custkey IS NULL AS is_current
+      |FROM customer c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+      |UNION ALL
+      |SELECT u.c_custkey, u.c_name, u.c_acctbal,
+      |  '2024-02-01', NULL, TRUE
+      |FROM upd u JOIN changed ch ON u.c_custkey = ch.c_custkey""".stripMargin
+}

@@ -309,4 +309,59 @@ class PlanSpec extends SparkSpec {
         graft.functions.RollingHash.rollingHash(col("text")).as("f")))
     assert(p.contains("*("), p) // codegen stage marker in executedPlan
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    val out = "/tmp/graft_sink/dpp_events"
+    Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    // the dim must come from storage (not literals — Catalyst would
+    // constant-fold those into a static partition filter) with the
+    // selective predicate on a NON-key column, so pruning can only
+    // happen at runtime via the DPP subquery
+    val dimPath = "/tmp/graft_sink/dpp_dim"
+    Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+      .withColumn("tag", when(col("day") === "2024-01-15", 1L).otherwise(0L))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = spark.read.parquet(out)
+      .join(dim.filter(col("tag") === 1L), "day")
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val p = plan(q)
+    // the fact scan's partition filter carries a runtime (dynamic)
+    // pruning subquery fed by the dim side — at 100 TB this is what
+    // keeps a date-dim join from scanning every partition
+    assert(p.contains("dynamicpruning"), p)
+  }
+
+  test("identical aggregation subtrees reuse one exchange in a self-join") {
+    def agg = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("spend"))
+    val q = agg.as("a").join(agg.as("b"), "o_custkey")
+      .agg(count(lit(1)).as("n"))
+    val p = plan(q)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"self-join recomputed the aggregate instead of reusing the exchange:\n$p")
+  }
+
+  test("scd2 merge: one open row per key, versioned keys carry a closed row") {
+    val df = operators.Scd2.scd2Merge(spark, sf).cache()
+    try {
+      val perKeyOpen = df.filter(col("is_current"))
+        .groupBy(col("c_custkey")).count().filter(col("count") =!= 1)
+      assert(perKeyOpen.count() == 0)
+      // closed rows exist exactly for changed keys (%10 but not %50)
+      val closed = df.filter(!col("is_current"))
+      assert(closed.filter(col("valid_to").isNull).count() == 0)
+      assert(closed.filter(col("c_custkey") % 10 =!= 0).count() == 0)
+      assert(closed.filter(col("c_custkey") % 50 === 0).count() == 0)
+      val nChanged = Tables.customer(spark, sf)
+        .filter(col("c_custkey") % 10 === 0 && col("c_custkey") % 50 =!= 0).count()
+      assert(closed.count() == nChanged)
+      // the update side broadcasts: the dimension never shuffles on the key
+      val p = plan(operators.Scd2.scd2Merge(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally df.unpersist()
+  }
 }
