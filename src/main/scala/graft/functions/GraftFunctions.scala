@@ -73,10 +73,12 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point: SQL functions + the top-k
-  * window rewrite ([[graft.plans.TopKRewrite]]). */
+  * window rewrite ([[graft.plans.TopKRewrite]]) + the bounded range
+  * join binning rewrite ([[graft.plans.RangeBinRewrite]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinRewrite)
   }
 }

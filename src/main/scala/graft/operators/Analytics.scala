@@ -207,6 +207,64 @@ object Analytics {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
       |FROM iv JOIN events ON value >= lo AND value < hi""".stripMargin
 
+  // --------------------------------------------------------------- D50
+  /** LOCF gap-fill (last observation carried forward): per-user event
+    * values with planted nulls are forward-filled with
+    * `last_value(..., ignoreNulls)` over an unbounded-preceding ROWS
+    * frame — the standard time-series imputation. Partitioned by
+    * user_id (high cardinality): per-partition sorts, no global sort.
+    * Ordering key includes event_id so peers are total-ordered and the
+    * fill is deterministic under ties. */
+  def locfFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("v", when(col("value") >= 50.0, col("value")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("v").isNull.as("was_gap"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+  }
+
+  val locfFillSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  (CASE WHEN value >= 50.0 THEN value END) IS NULL AS was_gap,
+      |  LAST_VALUE(CASE WHEN value >= 50.0 THEN value END IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------- D51
+  /** Dynamic pivot: when the pivot values aren't known ahead, a first
+    * cheap pass collects the distinct spine (bounded by construction —
+    * a guard raises if it explodes) and the second pass pivots against
+    * that explicit list, keeping the main job a single shuffle. This
+    * is the production two-pass shape; D15 is the known-values form. */
+  def dynamicPivot(s: SparkSession, dir: String, maxValues: Int = 100): DataFrame = {
+    val spine = Tables.events(s, dir)
+      .select(col("event_type")).distinct()
+      .limit(maxValues + 1).collect().map(_.getString(0)).sorted
+    require(spine.length <= maxValues,
+      s"pivot spine exceeds $maxValues distinct values — pivot is the wrong shape")
+    Tables.events(s, dir)
+      .groupBy(col("user_id")).pivot("event_type", spine)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .agg(count(lit(1)).as("n_users"),
+        spine.map(v => sum(col(s"`$v`")).as(s"n_$v")): _*)
+  }
+
+  val dynamicPivotSql: String =
+    """SELECT COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      |FROM events""".stripMargin
+
   // --------------------------------------------------------------- C14
   /** Table profiler: per-column NDV / null count / most frequent value
     * (ANALYZE-style stats, the input to salting and broadcast

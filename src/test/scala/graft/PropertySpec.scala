@@ -144,4 +144,29 @@ class PropertySpec extends SparkSpec {
       out.foreach { case (got, truth) => assert(got == truth, s"$got != $truth") }
     }
   }
+
+  test("RangeBinRewrite join equals the nested-loop join on random intervals/points") {
+    val gen: Gen[(List[(Long, Double)], List[(Long, Double)], Double)] = for {
+      w <- Gen.oneOf(0.5, 1.0, 3.0, 7.5)
+      nIv <- Gen.choose(1, 120)
+      nPt <- Gen.choose(1, 200)
+      iv <- Gen.listOfN(nIv, Gen.choose(-10000, 10000).map(_ / 16.0))
+      pt <- Gen.listOfN(nPt, Gen.choose(-10000, 10000).map(_ / 16.0))
+    } yield (iv.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      pt.zipWithIndex.map { case (v, i) => (i.toLong, v) }, w)
+    samples(gen, 6).foreach { case (ivRows, ptRows, w) =>
+      val iv = ivRows.toDF("iv_id", "lo")
+      val pt = ptRows.toDF("pt_id", "p")
+      def cond = pt("p") >= iv("lo") && pt("p") < (iv("lo") + w)
+      val expected = iv.join(pt, cond)
+        .select(col("iv_id"), col("pt_id")).as[(Long, Long)].collect().toSet
+      spark.experimental.extraOptimizations = Seq(plans.RangeBinRewrite)
+      try {
+        val got = iv.join(pt, cond)
+          .select(col("iv_id"), col("pt_id")).as[(Long, Long)].collect().toSet
+        assert(got == expected,
+          s"w=$w missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      } finally spark.experimental.extraOptimizations = Nil
+    }
+  }
 }
