@@ -181,7 +181,9 @@ object Analytics {
     * with the residual range predicate. Each matching pair surfaces
     * exactly once because a point lives in exactly one bin. */
   def binnedRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val w = 5.0
+    // width 0.5 keeps the pair count (~density x width x |points|)
+    // bench-sized; the plan shape is identical at any width
+    val w = 0.5
     val iv = Tables.orders(s, dir).select(col("o_orderkey"),
         (col("o_totalprice") / 1000.0).as("lo"),
         ((col("o_totalprice") / 1000.0) + w).as("hi"))
@@ -200,7 +202,7 @@ object Analytics {
 
   val binnedRangeJoinSql: String =
     """WITH iv AS (SELECT o_orderkey, o_totalprice / 1000.0 AS lo,
-      |    (o_totalprice / 1000.0) + 5.0 AS hi FROM orders)
+      |    (o_totalprice / 1000.0) + 0.5 AS hi FROM orders)
       |SELECT COUNT(*) AS n_pairs,
       |  COUNT(DISTINCT o_orderkey) AS n_intervals,
       |  COUNT(DISTINCT event_id) AS n_points,

@@ -114,7 +114,7 @@ class AnalyticsSpec extends SparkSpec {
     val binned = Analytics.binnedRangeJoin(spark, sf)
     val iv = Tables.orders(spark, sf).select(col("o_orderkey"),
       (col("o_totalprice") / 1000.0).as("lo"),
-      ((col("o_totalprice") / 1000.0) + 5.0).as("hi"))
+      ((col("o_totalprice") / 1000.0) + 0.5).as("hi"))
     val direct = Tables.events(spark, sf).select(col("event_id"), col("value"))
       .join(iv, col("value") >= col("lo") && col("value") < col("hi"))
       .agg(count(lit(1)), countDistinct(col("o_orderkey")),

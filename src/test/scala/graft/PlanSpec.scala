@@ -345,6 +345,27 @@ class PlanSpec extends SparkSpec {
       s"self-join recomputed the aggregate instead of reusing the exchange:\n$p")
   }
 
+  test("bm25 broadcasts docfreqs and corpus stats — no term-keyed fact shuffle join") {
+    val p = plan(operators.CorpusAnalytics.bm25Score(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("time-interval range frame partitions by user, never a global sort") {
+    val p = plan(operators.Analytics.timeRangeFrame(spark, sf))
+    assert(p.contains("Window"), p)
+    // a Window over an empty partition spec would show Exchange SinglePartition
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("deterministic mode runs as two partial-capable aggregations, no window") {
+    val p = plan(operators.Analytics.modeAgg(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert("partial_count|partial_min|partial_max".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("scd2 merge: one open row per key, versioned keys carry a closed row") {
     val df = operators.Scd2.scd2Merge(spark, sf).cache()
     try {
