@@ -246,6 +246,28 @@ object EventStream {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** F10: stream-stream LEFT OUTER interval join — the abandonment
+    * view of F7: clicks that never converted surface with null
+    * purchase columns, but only once the watermark proves no purchase
+    * can still arrive inside the horizon (outer rows emit on state
+    * eviction, never speculatively). Same bounded-state requirements
+    * as the inner form. */
+  def attributeOrAbandon(clicks: DataFrame, purchases: DataFrame,
+                         horizonSeconds: Long = 1800,
+                         watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"),
+      "leftOuter")
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** F3: continuous file-drop ingest — the reference's daily CSV loop
     * as a stream. New `events_<date>.csv[.gz]` files appearing in
     * `dropDir` are read incrementally, column-cleaned, and tagged with

@@ -228,6 +228,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("F10: left-outer interval join emits abandoned clicks after the watermark") {
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStream.attributeOrAbandon(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      horizonSeconds = 1800, watermarkDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("f10")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((1L, ts("2024-01-15 10:00:00")), (2L, ts("2024-01-15 10:00:00")))
+      purchases.addData((1L, ts("2024-01-15 10:20:00"), 5.0)) // converts
+      q.processAllAvailable()
+      // nothing abandoned yet: user 2's horizon is still open
+      val early = spark.table("f10").filter(col("purchase_value").isNull).count()
+      assert(early == 0)
+      // advance BOTH watermarks far past click+horizon+delay → user 2's
+      // click state evicts and must emit exactly one null-padded row
+      clicks.addData((9L, ts("2024-01-15 13:00:00")))
+      purchases.addData((9L, ts("2024-01-15 13:00:01"), 1.0))
+      q.processAllAvailable()
+      clicks.addData((10L, ts("2024-01-15 14:00:00")))
+      purchases.addData((10L, ts("2024-01-15 14:00:01"), 1.0))
+      q.processAllAvailable()
+      val abandoned = spark.table("f10")
+        .filter(col("purchase_value").isNull)
+        .select("user_id").as[Long].collect().toSet
+      assert(abandoned == Set(2L), s"got $abandoned")
+      val converted = spark.table("f10")
+        .filter(col("purchase_value").isNotNull)
+        .select("user_id").as[Long].collect().toSet
+      assert(converted.contains(1L))
+    } finally q.stop()
+  }
+
   test("F8: restart from checkpoint resumes ingest without reprocessing") {
     val drop = Files.createTempDirectory("graft_ckpt_drop").toString
     val out = Files.createTempDirectory("graft_ckpt_out").toString
