@@ -267,6 +267,83 @@ object Analytics {
       |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       |FROM events""".stripMargin
 
+  // --------------------------------------------------------------- D53
+  /** Time-series resample: one day of events regridded to an hourly
+    * per-user matrix — every (user, hour) cell exists even when no
+    * event landed in it (n = 0), and the value column is LOCF-filled
+    * from the last non-empty hour. The scaffold is built from the
+    * day's distinct users × 24 hour slots (a bounded explode, NOT a
+    * join against a generated calendar table), aggregation happens
+    * BEFORE the scaffold join so the exchange carries per-cell
+    * partials, and the fill window partitions by user. */
+  def resampleDay(s: SparkSession, dir: String, day: String = "2024-01-15"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evs = Tables.events(s, dir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+    val perCell = evs
+      .groupBy(col("user_id"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), Relational.dsum(col("value")).as("sum_value"))
+    val scaffold = evs.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(23))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(perCell, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("v_filled"))
+  }
+
+  val resampleDaySql: String =
+    """WITH evs AS (SELECT * FROM events
+      |    WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'),
+      |cell AS (SELECT user_id, hour(ts) AS hour, COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      |  FROM evs GROUP BY 1, 2),
+      |scaffold AS (SELECT DISTINCT user_id, h.hour
+      |  FROM evs, (SELECT unnest(range(0, 24)) AS hour) h)
+      |SELECT s.user_id, CAST(s.hour AS INTEGER) AS hour,
+      |  COALESCE(c.n, 0) AS n,
+      |  LAST_VALUE(c.sum_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM scaffold s LEFT JOIN cell c
+      |  ON s.user_id = c.user_id AND s.hour = c.hour""".stripMargin
+
+  // --------------------------------------------------------------- D54
+  /** Funnel analysis: how far does each user get through
+    * view → click → purchase (stages must happen in order)? One
+    * aggregation pass computes each user's earliest timestamp per
+    * stage (conditional min — no joins, no window), then the ordered
+    * reach conditions and the per-stage user counts come from the
+    * per-user scalars. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(s, dir)
+    val per = evs.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+      min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    per.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("n_view_click"),
+      sum(when(col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val funnelSql: String =
+    """WITH per AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |  COUNT(t_view) AS n_view,
+      |  CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_click,
+      |  CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM per""".stripMargin
+
   // --------------------------------------------------------------- C14
   /** Table profiler: per-column NDV / null count / most frequent value
     * (ANALYZE-style stats, the input to salting and broadcast

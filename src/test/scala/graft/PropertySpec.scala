@@ -145,6 +145,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2 merge invariants hold on random update waves") {
+    val gen: Gen[(List[(Long, Double)], List[(Long, Double)])] = for {
+      nDim <- Gen.choose(1, 80)
+      dim <- Gen.listOfN(nDim, Gen.choose(0, 10000).map(_ / 8.0))
+      updKeys <- Gen.someOf(0 until nDim)
+      updVals <- Gen.listOfN(updKeys.size, Gen.oneOf(true, false))
+    } yield (
+      dim.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      updKeys.toList.zip(updVals).map { case (k, change) =>
+        (k.toLong, if (change) dim(k) + 1.0 else dim(k)) })
+    samples(gen, 8).foreach { case (dimRows, updRows) =>
+      val cur = dimRows.toDF("k", "bal")
+        .select(col("k"), col("bal"), lit("2024-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"), lit(true).as("is_current"))
+      val upd = updRows.toDF("k", "bal")
+      val merged = operators.Scd2.merge(cur, upd, "k",
+        changed = col("bal") =!= col("u_bal"), effectiveDate = "2024-02-01")
+        .as[(Long, Double, String, String, Boolean)].collect()
+      val changedKeys = updRows.filter { case (k, v) =>
+        dimRows.exists(d => d._1 == k && d._2 != v) }.map(_._1).toSet
+      // exactly one open row per key; changed keys have a closed row
+      val byKey = merged.groupBy(_._1)
+      byKey.foreach { case (k, rows) =>
+        assert(rows.count(_._5) == 1, s"key $k open rows != 1")
+        val closed = rows.filter(!_._5)
+        if (changedKeys(k)) {
+          assert(closed.length == 1 && closed.head._4 == "2024-02-01")
+          assert(rows.find(_._5).get._3 == "2024-02-01")
+        } else assert(closed.isEmpty, s"key $k spuriously versioned")
+      }
+      assert(merged.length == dimRows.size + changedKeys.size)
+    }
+  }
+
   test("RangeBinRewrite join equals the nested-loop join on random intervals/points") {
     val gen: Gen[(List[(Long, Double)], List[(Long, Double)], Double)] = for {
       w <- Gen.oneOf(0.5, 1.0, 3.0, 7.5)
