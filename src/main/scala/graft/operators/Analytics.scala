@@ -344,6 +344,43 @@ object Analytics {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       |FROM per""".stripMargin
 
+  // --------------------------------------------------------------- D55
+  /** Interval×interval overlap join, binned: the general form of D49.
+    * Both sides explode to width-w bins (w ≥ either interval length →
+    * ≤2 bins each); a pair can now share up to two bins, so exactly-
+    * once emission needs the canonical-bin trick: emit only in
+    * bin == max(floor(a_lo/w), floor(b_lo/w)) — the bin of the overlap
+    * region's left edge, provably shared by every overlapping pair.
+    * Everything else is a plain partitionable equi-join. */
+  def intervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = 0.1
+    def bins(lo: Column, hi: Column) =
+      explode(sequence(floor(lo / w).cast("long"), floor(hi / w).cast("long")))
+    val a = Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_totalprice") / 1000.0).as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + 0.1)
+      .withColumn("bin", bins(col("a_lo"), col("a_hi")))
+    val b = Tables.events(s, dir).select(col("event_id"), col("value").as("b_lo"))
+      .withColumn("b_hi", col("b_lo") + 0.05)
+      .withColumn("bin", bins(col("b_lo"), col("b_hi")))
+    a.join(b, "bin")
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .filter(col("bin") ===
+        greatest(floor(col("a_lo") / w).cast("long"), floor(col("b_lo") / w).cast("long")))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("o_orderkey")).as("n_a"),
+        countDistinct(col("event_id")).as("n_b"))
+  }
+
+  val intervalOverlapJoinSql: String =
+    """WITH a AS (SELECT o_orderkey, o_totalprice / 1000.0 AS a_lo,
+      |    (o_totalprice / 1000.0) + 0.1 AS a_hi FROM orders),
+      |b AS (SELECT event_id, value AS b_lo, value + 0.05 AS b_hi FROM events)
+      |SELECT COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT o_orderkey) AS n_a,
+      |  COUNT(DISTINCT event_id) AS n_b
+      |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi""".stripMargin
+
   // --------------------------------------------------------------- C14
   /** Table profiler: per-column NDV / null count / most frequent value
     * (ANALYZE-style stats, the input to salting and broadcast

@@ -137,6 +137,32 @@ object CorpusAnalytics {
       |      AS INTEGER) AS rn
       |  FROM documents) WHERE rn <= 20""".stripMargin
 
+  // --------------------------------------------------------------- E40
+  /** Global decile assignment (the quality-bucketing step of
+    * stratified corpus mixing): every document gets its corpus-wide
+    * decile by a sort key WITHOUT a single-reducer global sort —
+    * ranks come from [[Relational.globalRank]] (range repartition +
+    * per-partition offset lifting), and the decile is integer
+    * arithmetic on (rank, total). An NTILE window over an empty
+    * partition spec would funnel the whole corpus through one task. */
+  def qualityDeciles(s: SparkSession, dir: String): DataFrame =
+    Relational.globalRank(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        groupCols = Nil, sortCols = Seq("n_chars", "doc_id"))
+      .withColumn("decile", expr("CAST(((rn - 1) * 10) DIV n AS INT) + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+
+  val qualityDecilesSql: String =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents)
+      |SELECT CAST(((rn - 1) * 10) // n AS INTEGER) + 1 AS decile,
+      |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM r GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------------- E39
   /** Corpus mixture report: docs / exact token counts / token share
     * per (source, lang) — the mixing table every pretraining run is
