@@ -22,7 +22,10 @@ object Scd2 {
     *
     * @param current  existing dimension with `validFrom`/`validTo`/
     *                 `isCurrent` columns (validTo null on open rows)
-    * @param updates  new attribute snapshot keyed by `key` (no SCD cols)
+    * @param updates  new attribute snapshot keyed by `key` (no SCD cols).
+    *                 PRECONDITION: one row per key — a snapshot with
+    *                 duplicate keys would fan out the join and version
+    *                 the same dimension row twice in one wave
     * @param key      business key column name
     * @param changed  predicate over (current, updates) attribute pairs:
     *                 true when the incoming row differs → version bump

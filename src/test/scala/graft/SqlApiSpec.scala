@@ -31,6 +31,18 @@ class SqlApiSpec extends SparkSpec {
     }
   }
 
+  test("round-5 ANSI-subset oracles run unchanged on Spark too") {
+    registerViews()
+    // events normalized through Tables.events so ts is a timestamp in SQL
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+    for ((df, sql) <- Seq(
+      operators.Analytics.statsAgg(spark, sf) -> operators.Analytics.statsAggSql,
+      operators.Analytics.modeAgg(spark, sf) -> operators.Analytics.modeAggSql,
+      operators.Analytics.funnel(spark, sf) -> operators.Analytics.funnelSql)) {
+      assert(asSets(spark.sql(sql)) == asSets(df), s"SQL diverged for: $sql")
+    }
+  }
+
   test("custom expressions are callable from SQL after registration") {
     registerViews()
     graft.functions.GraftFunctions.register(spark)
