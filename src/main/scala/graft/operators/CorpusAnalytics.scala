@@ -163,6 +163,30 @@ object CorpusAnalytics {
       |  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM r GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- E41
+  /** SemDeDup over the corpus with planted EXACT duplicates (vec_id +
+    * 10000, identical vector): cluster assignment depends on k-means,
+    * so the survivor set is rows-only at the driver; the GATE below
+    * pins the formal guarantee as an exact oracle row. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    Similarity.semDeDup(base.unionByName(copies), threshold = 0.999)
+  }
+
+  /** Exact-oracle gate: identical vectors share a cell, so EVERY
+    * planted copy must drop and EVERY base row must survive. */
+  def semDedupGate(s: SparkSession, dir: String): DataFrame = {
+    val kept = semDedup(s, dir)
+    kept.agg(
+      sum(when(col("vec_id") < 10000L, 1L).otherwise(0L)).as("n_base_kept"),
+      sum(when(col("vec_id") >= 10000L, 1L).otherwise(0L)).as("n_copies_kept"))
+  }
+
+  val semDedupGateSql: String =
+    """SELECT COUNT(*) AS n_base_kept, CAST(0 AS BIGINT) AS n_copies_kept
+      |FROM embeddings""".stripMargin
+
   // --------------------------------------------------------------- E39
   /** Corpus mixture report: docs / exact token counts / token share
     * per (source, lang) — the mixing table every pretraining run is

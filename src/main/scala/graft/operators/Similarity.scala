@@ -185,4 +185,31 @@ object Similarity {
       .select(col("q_id"), col("t.vec_id").as("vec_id"),
         (-col("t.neg_cos")).as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
+
+  /** SemDeDup (E41): semantic dedup at corpus scale — coarse-quantize
+    * into k-means cells, generate candidate pairs only WITHIN a cell
+    * (the shuffle key is the cell id, so the all-pairs problem becomes
+    * per-cell pairs, AQE-splittable on oversized cells), and greedily
+    * drop the higher-id member of every pair with cosine ≥ threshold.
+    * Identical vectors always land in the same cell, so exact
+    * duplicates are removed with certainty; near-dups split across a
+    * cell boundary can escape — the documented recall trade of the
+    * cluster-then-prune family, pinned by the planted-copy gate. */
+  def semDeDup(vecs: DataFrame, threshold: Double, nCells: Int = 16,
+               iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(vecs, nCells, iters)
+    val assigned = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assignCell(col("embedding"), centroids))
+      .withColumn("nrm", norm("embedding"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val drops = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

@@ -142,6 +142,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("semDeDup drops every planted exact duplicate, keeps every base row") {
+    val kept = operators.CorpusAnalytics.semDedup(spark, sf)
+    val nBase = Tables.embeddings(spark, sf).count()
+    assert(kept.filter(col("vec_id") < 10000L).count() == nBase)
+    assert(kept.filter(col("vec_id") >= 10000L).count() == 0)
+    // candidate pairs are generated per cell — an equi-join, never a
+    // cartesian of the corpus with itself
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
   test("corpusMix: token shares sum to 1") {
     val total = CorpusAnalytics.corpusMix(spark, sf)
       .agg(sum(col("token_share"))).collect().head.getDouble(0)
