@@ -76,6 +76,59 @@ object Scd2 {
       effectiveDate = "2024-02-01")
   }
 
+  // --------------------------------------------------------------- C18
+  /** Reconciliation report between two versions of a table (the
+    * check you run after a migration/backfill): per-nation row counts
+    * and exact balance sums for the before/after snapshots, full-outer
+    * joined so rows appearing on only one side still surface, with a
+    * per-group match verdict. Both sides aggregate BEFORE the join —
+    * the exchange carries one row per group per side, never raw rows. */
+  def reconReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("c_acctbal").cast(DecimalType(18, 6))).as(s"sum_$tag"))
+    val before = Tables.customer(s, dir)
+    val after = before
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 0, round(col("c_acctbal") + 100.0, 2))
+          .otherwise(col("c_acctbal")))
+      .filter(col("c_custkey") % 97 =!= 0) // planted missing rows
+    summarize(before, "before")
+      .join(summarize(after, "after"), Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        round(coalesce(col("sum_before"), lit(0)).cast(DecimalType(18, 6)), 2)
+          .cast("double").as("sum_before"),
+        round(coalesce(col("sum_after"), lit(0)).cast(DecimalType(18, 6)), 2)
+          .cast("double").as("sum_after"),
+        (coalesce(col("n_before"), lit(0L)) === coalesce(col("n_after"), lit(0L)) &&
+          coalesce(col("sum_before"), lit(0)).cast(DecimalType(18, 6)) ===
+            coalesce(col("sum_after"), lit(0)).cast(DecimalType(18, 6)))
+          .as("matches"))
+  }
+
+  val reconReportSql: String =
+    """WITH before_t AS (SELECT c_nationkey, COUNT(*) AS n_before,
+      |    SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sum_before
+      |  FROM customer GROUP BY 1),
+      |after_t AS (SELECT c_nationkey, COUNT(*) AS n_after,
+      |    SUM(CAST(CASE WHEN c_custkey % 10 = 0
+      |      THEN round(c_acctbal + 100.0, 2) ELSE c_acctbal END
+      |      AS DECIMAL(18,6))) AS sum_after
+      |  FROM customer WHERE c_custkey % 97 <> 0 GROUP BY 1)
+      |SELECT COALESCE(b.c_nationkey, a.c_nationkey) AS c_nationkey,
+      |  COALESCE(n_before, 0) AS n_before,
+      |  COALESCE(n_after, 0) AS n_after,
+      |  CAST(ROUND(COALESCE(sum_before, 0), 2) AS DOUBLE) AS sum_before,
+      |  CAST(ROUND(COALESCE(sum_after, 0), 2) AS DOUBLE) AS sum_after,
+      |  (COALESCE(n_before, 0) = COALESCE(n_after, 0) AND
+      |   COALESCE(sum_before, 0) = COALESCE(sum_after, 0)) AS matches
+      |FROM before_t b FULL OUTER JOIN after_t a
+      |  ON b.c_nationkey = a.c_nationkey""".stripMargin
+
   val scd2MergeSql: String =
     """WITH upd AS (
       |  SELECT c_custkey, c_name,
