@@ -429,4 +429,31 @@ object Analytics {
       |  WHERE rn = 1)
       |SELECT col_name, ndv, n_nulls, top_value, top_count
       |FROM agg JOIN top USING (col_name)""".stripMargin
+
+  // --------------------------------------------------------------- D56
+  /** Distribution-position windows: `cume_dist` (fraction of the
+    * user's events at or below this value) and `ntile`-free percentile
+    * position per user. Partitioned by user id — a high-cardinality
+    * key, so the window parallelizes across users and no reducer sees
+    * more than one user's rows (the per-group single-reducer-sort trap
+    * only bites on few-valued partition keys; for corpus-wide
+    * distribution positions use Relational.globalRank / the decile
+    * operator instead). cume_dist is an exact integer ratio evaluated
+    * in double — deterministic cross-engine on identical inputs. */
+  def cumeDist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      round(cume_dist().over(w), 6).as("cd"),
+      round(percent_rank().over(w), 6).as("pr"))
+  }
+
+  val cumeDistSql: String =
+    """SELECT user_id, event_id,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pr
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)""".stripMargin
 }

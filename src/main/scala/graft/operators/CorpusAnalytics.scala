@@ -214,4 +214,50 @@ object CorpusAnalytics {
       |  round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
       |    AS token_share
       |FROM g""".stripMargin
+
+  // --------------------------------------------------------------- E44
+  /** Source novelty curve: how many distinct 3-grams each source is
+    * the FIRST to contribute, under a deterministic ingestion order
+    * (lexical source id) — the marginal-diversity signal data-curation
+    * uses to decide whether adding a source is worth its tokens
+    * (a source whose grams are all already covered adds volume, not
+    * diversity).
+    *
+    * Scale shape: per-doc distinct grams explode once and are
+    * distinct-ed per (source, gram) with map-side combine before the
+    * only gram-keyed exchange; `min(source)` per gram is an algebraic
+    * aggregate (partials combine map-side), and the final counts are
+    * per-source (≤ |sources| rows). Nothing shuffles the corpus
+    * itself, and no step is quadratic in sources. For 100 TB, swap the
+    * gram string for xxhash64(gram) exactly as boilerplateScore's
+    * hashGrams mode — 8-byte exchange keys, collision probability
+    * G²/2⁶⁵ irrelevant for a novelty ratio. */
+  def sourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs
+      .select(col("source"), explode(Dedup.wordShingles("text", 3)).as("gram"))
+      .distinct()
+    val first = grams.groupBy(col("gram")).agg(min(col("source")).as("source"))
+    val novelty = first.groupBy(col("source")).agg(count(lit(1)).as("new_grams"))
+    grams.groupBy(col("source")).agg(count(lit(1)).as("distinct_grams"))
+      .join(novelty, Seq("source"), "left")
+      .withColumn("new_grams", coalesce(col("new_grams"), lit(0L)))
+      .select(col("source"), col("distinct_grams"), col("new_grams"),
+        round(col("new_grams").cast("double") / col("distinct_grams"), 6)
+          .as("novelty_ratio"))
+  }
+
+  val sourceNoveltySql: String =
+    """WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT DISTINCT source, UNNEST(CASE WHEN len(toks) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' ')))
+      |  ELSE [array_to_string(toks, ' ')] END) AS gram FROM d),
+      |f AS (SELECT gram, MIN(source) AS source FROM g GROUP BY gram),
+      |n AS (SELECT source, COUNT(*) AS new_grams FROM f GROUP BY source),
+      |t AS (SELECT source, COUNT(*) AS distinct_grams FROM g GROUP BY source)
+      |SELECT source, distinct_grams, COALESCE(new_grams, 0) AS new_grams,
+      |  ROUND(CAST(COALESCE(new_grams, 0) AS DOUBLE) / distinct_grams, 6)
+      |    AS novelty_ratio
+      |FROM t LEFT JOIN n USING (source)""".stripMargin
 }

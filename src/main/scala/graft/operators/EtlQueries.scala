@@ -414,6 +414,28 @@ object EtlQueries {
       |  COUNT(DISTINCT source) AS n_sources
       |FROM documents WHERE lang = 'en'""".stripMargin
 
+  // ----------------------------------------------------------- C19
+  /** Write-audit-publish round-trip (see
+    * [[graft.sinks.Sinks.writeAuditPublish]]): stage events, audit the
+    * staged files, publish atomically, and emit the manifest read back
+    * from the PUBLISHED location — row count and engine-portable
+    * checksum are oracle-pinned, so a publish that dropped or mangled
+    * rows fails the hash compare. */
+  def publishManifest(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    graft.sinks.Sinks.writeAuditPublish(Tables.events(s, dir),
+      stagingPath = s"$base/events_staging",
+      publishPath = s"$base/events_published",
+      keyCol = "event_id")
+  }
+
+  val publishManifestSql: String =
+    """SELECT COUNT(*) AS row_count,
+      |  CAST(SUM((event_id % 1000003) * 2654435761 % 1000000007) AS BIGINT)
+      |    AS checksum,
+      |  TRUE AS published
+      |FROM events""".stripMargin
+
   // ----------------------------------------------------------- C3
   /** Day-range run: one audit row per day, reference schema. */
   def processingLog(s: SparkSession, dir: String): DataFrame = {

@@ -247,6 +247,35 @@ class SinksSpec extends SparkSpec {
     assert(afterReplay.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("write-audit-publish: atomic replace on success, untouched on audit failure") {
+    val staging = "/tmp/graft_sink/wap/staging"
+    val publish = "/tmp/graft_sink/wap/published"
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    val m1 = Sinks.writeAuditPublish(v1, staging, publish, keyCol = "id").head()
+    assert(m1.getAs[Long]("row_count") == 3L)
+    assert(m1.getAs[Boolean]("published"))
+    // staging renamed away, data readable at publish, manifest hidden from scans
+    assert(!new File(staging).exists())
+    assert(spark.read.parquet(publish).count() == 3L)
+    assert(new File(publish, "_MANIFEST.json").exists())
+
+    // failed audit: staging stays for inspection, v1 stays published
+    val empty = v1.filter(col("id") < 0L)
+    intercept[IllegalArgumentException] {
+      Sinks.writeAuditPublish(empty, staging, publish, keyCol = "id")
+    }
+    assert(new File(staging).exists(), "staging must survive a failed audit")
+    assert(spark.read.parquet(publish).count() == 3L,
+      "published version must be untouched by a failed audit")
+
+    // a second successful publish atomically replaces the first
+    val v2 = v1.union(Seq((4L, "d")).toDF("id", "payload"))
+    val m2 = Sinks.writeAuditPublish(v2, staging, publish, keyCol = "id").head()
+    assert(m2.getAs[Long]("row_count") == 4L)
+    assert(spark.read.parquet(publish).count() == 4L)
+    assert(m2.getAs[Long]("checksum") != m1.getAs[Long]("checksum"))
+  }
+
   test("mergeSchema read null-pads columns added over time") {
     val v1 = "/tmp/graft_sink/evolve/day=1"
     val v2 = "/tmp/graft_sink/evolve/day=2"
