@@ -260,4 +260,42 @@ object CorpusAnalytics {
       |  ROUND(CAST(COALESCE(new_grams, 0) AS DOUBLE) / distinct_grams, 6)
       |    AS novelty_ratio
       |FROM t LEFT JOIN n USING (source)""".stripMargin
+
+  // --------------------------------------------------------------- E45
+  /** Quality-weighted mixture sampling: corpus-wide quality deciles
+    * (E40's distributed rank — no single-reducer NTILE) drive
+    * per-decile keep fractions of decile/10, so the top decile is kept
+    * in full and the bottom at 10% — the static quality-upweighting
+    * mixture a pretraining data build applies after scoring. Membership
+    * uses the engine-portable hash sampler (E32), so the EXACT kept
+    * set — not just its expectation — is deterministic and
+    * oracle-pinned per decile. Both building blocks scale (rank via
+    * range repartition + offset lifting; the sampler is a pure
+    * projection), and the composition adds only the per-decile
+    * aggregate. */
+  def qualityMixSample(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Relational.globalRank(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      groupCols = Nil, sortCols = Seq("n_chars", "doc_id"))
+    val bucket = pmod((col("doc_id") % 1000003L) * 2654435761L, lit(10000L))
+    ranked
+      .withColumn("decile", expr("CAST(((rn - 1) * 10) DIV n AS INT) + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(bucket < col("decile") * 1000L, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  val qualityMixSampleSql: String =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents),
+      |d AS (SELECT doc_id,
+      |    CAST(((rn - 1) * 10) // n AS INTEGER) + 1 AS decile,
+      |    ((doc_id % 1000003) * 2654435761) % 10000 AS b
+      |  FROM r)
+      |SELECT decile, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN b < decile * 1000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept
+      |FROM d GROUP BY decile""".stripMargin
 }

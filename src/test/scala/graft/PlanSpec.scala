@@ -366,6 +366,51 @@ class PlanSpec extends SparkSpec {
     assert("partial_count|partial_min|partial_max".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("hll rollup merges shard sketches — the union level consumes sketches, not data") {
+    val p = plan(operators.Sketches.hllRollup(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // two-level sketch aggregation: per-shard build, then union-merge
+    assert(p.contains("hll_sketch_agg"), p)
+    assert(p.contains("hll_union_agg"), p)
+    // the base table feeds exactly two aggregation branches (sketch
+    // build + the exact-count gate) — a third scan would mean the
+    // merge level rescanned data instead of consuming sketches
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size == 2, p)
+  }
+
+  test("source novelty shuffles grams with map-side partials, never the corpus") {
+    val p = plan(operators.CorpusAnalytics.sourceNovelty(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // min-per-gram and the per-source counts are algebraic: partials
+    // combine before every exchange
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("partial_count"), p)
+    // the raw document text never crosses an exchange — grams are
+    // exploded and projected before the first shuffle
+    val exchanges = "Exchange [^\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.contains("text#"), e))
+  }
+
+  test("cume_dist partitions by the high-cardinality user key, no single reducer") {
+    val p = plan(operators.Analytics.cumeDist(spark, sf))
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("quality mixture sampling ranks in parallel and keeps exactly decile/10") {
+    val rows = operators.CorpusAnalytics.qualityMixSample(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    // keep fraction rises with decile; top decile kept in full
+    rows.foreach { case (d, n, k) =>
+      assert(k <= n)
+      if (d == 10) assert(k == n, s"decile 10 must keep all: $k of $n")
+    }
+    val p = plan(operators.CorpusAnalytics.qualityMixSample(spark, sf))
+    // ranks come from globalRank's range repartition, not a global sort
+    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"), p)
+  }
+
   test("scd2 merge: one open row per key, versioned keys carry a closed row") {
     val df = operators.Scd2.scd2Merge(spark, sf).cache()
     try {
