@@ -46,6 +46,21 @@ object GraftFunctions {
     "bounded_top_k" -> { args =>
       BoundedTopK(args(0), intArg(args(1), "k")).toAggregateExpression()
     },
+    // mergeable Datasketches aggregates (value level + sketch level):
+    // theta supports set ops across sketches, KLL is the mergeable
+    // quantile counterpart of approx_percentile
+    "theta_sketch_agg" -> { args =>
+      ThetaSketchAgg(args(0), intArg(args(1), "lgK")).toAggregateExpression()
+    },
+    "theta_union_agg" -> { args =>
+      ThetaUnionAgg(args(0), intArg(args(1), "lgK")).toAggregateExpression()
+    },
+    "kll_agg" -> { args =>
+      KllDoublesAgg(args(0), intArg(args(1), "k")).toAggregateExpression()
+    },
+    "kll_merge_agg" -> { args =>
+      KllMergeAgg(args(0), intArg(args(1), "k")).toAggregateExpression()
+    },
     // Spark ships these but leaves them out of the SQL registry; the
     // engine exposes them (args: hashed key, estimated items, num bits)
     "bloom_agg" -> { args =>

@@ -456,4 +456,125 @@ object Analytics {
       |  ROUND(PERCENT_RANK() OVER w, 6) AS pr
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)""".stripMargin
+
+  // --------------------------------------------------------------- D57
+  /** Gaps-and-islands: per-user consecutive-active-day streaks via the
+    * classic day − row_number() anchor (consecutive days share an
+    * anchor; a gap starts a new island). The window partitions by
+    * user_id — high cardinality, so the sort parallelizes across the
+    * cluster and no partition exceeds one user's distinct days. The
+    * distinct collapses the raw stream FIRST, so the window input is
+    * (users × active days), not raw events. */
+  def islands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("anchor",
+        datediff(col("day"), lit("1970-01-01")) - row_number().over(w))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+  }
+
+  val islandsSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (SELECT user_id, day,
+      |        CAST(day - DATE '1970-01-01' AS BIGINT)
+      |          - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+      |      FROM d),
+      |i AS (SELECT user_id, anchor, COUNT(*) AS len FROM r GROUP BY 1, 2)
+      |SELECT user_id, MAX(len) AS longest_streak,
+      |  COUNT(*) AS n_streaks, CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM i GROUP BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- D58
+  /** Ratio-to-report: each event type's share of its day's total
+    * value. The share is computed on the AGGREGATE (days × types
+    * rows), never on raw events — aggregate first, then a window over
+    * the tiny frame; sums are exact decimal so the reduction is
+    * order-independent, and the one float division happens on final
+    * scalars with the oracle's expression shape. */
+  def ratioToReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("v"))
+    val w = Window.partitionBy(col("day"))
+    agg.select(col("day"), col("event_type"),
+      round(col("v"), 2).cast("double").as("sum_value"),
+      round(col("v").cast("double") / sum(col("v")).over(w).cast("double"), 6)
+        .as("share"))
+  }
+
+  val ratioToReportSql: String =
+    """WITH a AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type,
+      |  CAST(ROUND(v, 2) AS DOUBLE) AS sum_value,
+      |  ROUND(CAST(v AS DOUBLE) / CAST(SUM(v) OVER (PARTITION BY day) AS DOUBLE), 6)
+      |    AS share
+      |FROM a""".stripMargin
+
+  // --------------------------------------------------------------- D59
+  /** Equi-width histogram of order totals: one groupBy on the bin id
+    * (map-side partials — the exchange carries #bins rows), exact
+    * decimal sums. The bin function is a pure projection, so the scan
+    * prunes to the one column it needs. */
+  def histogram(s: SparkSession, dir: String, width: Double = 50000.0): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        Relational.dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("bin_lo", (col("bin") * width).cast("double"))
+
+  def histogramSql(width: Double = 50000.0): String =
+    s"""SELECT bin, COUNT(*) AS n,
+       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+       |  CAST(bin * $width AS DOUBLE) AS bin_lo
+       |FROM (SELECT CAST(FLOOR(o_totalprice / $width) AS BIGINT) AS bin,
+       |        o_totalprice FROM orders)
+       |GROUP BY bin""".stripMargin
+
+  // --------------------------------------------------------------- D60
+  /** Markov transition matrix over per-user event sequences: lag
+    * window partitioned by user (high cardinality — parallelizes; ties
+    * broken by event_id so the sequence is total-ordered), then one
+    * aggregation of the (prev, next) pairs. The transition probability
+    * is derived on the 25-row aggregate via a window, not on raw
+    * pairs. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(seq).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    pairs.select(col("prev_type"), col("event_type"), col("n"),
+      round(col("n").cast("double") / sum(col("n")).over(byPrev).cast("double"), 6)
+        .as("p"))
+  }
+
+  val transitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |a AS (SELECT prev_type, event_type, COUNT(*) AS n FROM s
+      |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n,
+      |  ROUND(CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+      |FROM a""".stripMargin
 }

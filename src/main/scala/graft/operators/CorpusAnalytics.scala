@@ -298,4 +298,54 @@ object CorpusAnalytics {
       |  CAST(SUM(CASE WHEN b < decile * 1000 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_kept
       |FROM d GROUP BY decile""".stripMargin
+
+  // --------------------------------------------------------------- E48
+  /** Vocabulary coverage curve: what fraction of all token
+    * OCCURRENCES do the top-N most frequent terms cover, for a ladder
+    * of N — the tokenizer-design / vocab-sizing diagnostic (a BPE
+    * vocab is worth building exactly up to where this curve flattens).
+    *
+    * Scale shape: one token explode → term-count aggregate (map-side
+    * partials), then the top-`cuts.max` terms come out via the repo's
+    * `BoundedTopK` — map-side pruning to ≤ max(N) terms per partition,
+    * O(max N) exchange, no full vocabulary sort. The coverage join
+    * runs on (max N terms × |cuts|) rows; the corpus total is one
+    * aggregate scalar carried by a broadcast cross join. Ties rank by
+    * (count desc, term asc) in both engines. */
+  def vocabCoverage(s: SparkSession, dir: String,
+                    cuts: Seq[Int] = Seq(10, 20, 50, 100)): DataFrame = {
+    import s.implicits._
+    require(cuts.nonEmpty && cuts.forall(_ > 0))
+    val tc = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val ranked = tc
+      .agg(TopKAgg.boundedTopK(
+        struct((-col("n")).as("negn"), col("term")), cuts.max).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).as("rk"), (-col("t.negn")).as("n"))
+    val total = tc.agg(sum(col("n")).cast("long").as("total_tokens"))
+    ranked.join(broadcast(cuts.toDF("n_top")), col("rk") <= col("n_top"))
+      .groupBy(col("n_top")).agg(sum(col("n")).cast("long").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("n_top"), col("covered_tokens"), col("total_tokens"),
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+      |           FROM documents),
+      |tc AS (SELECT term, COUNT(*) AS n FROM t WHERE len(term) > 0
+      |       GROUP BY term),
+      |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rk
+      |      FROM tc),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM tc)
+      |SELECT v.n_top, CAST(SUM(r.n) AS BIGINT) AS covered_tokens,
+      |  tot.total_tokens,
+      |  ROUND(CAST(SUM(r.n) AS DOUBLE) / tot.total_tokens, 6) AS coverage
+      |FROM (VALUES (10), (20), (50), (100)) AS v(n_top)
+      |JOIN r ON r.rk <= v.n_top CROSS JOIN tot
+      |GROUP BY v.n_top, tot.total_tokens""".stripMargin
 }

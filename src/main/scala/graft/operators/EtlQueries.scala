@@ -480,4 +480,33 @@ object EtlQueries {
       |UNION ALL SELECT 'range_o_totalprice', range_o_totalprice FROM w
       |UNION ALL SELECT 'domain_o_orderstatus', domain_o_orderstatus FROM w
       |UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey FROM w""".stripMargin
+
+  // ----------------------------------------------------------- C20
+  /** Incremental ingest ledger: which drop files has the warehouse
+    * NOT loaded yet? The catalog side is the distributed listing
+    * (A1); the ledger side is the audit table the reference appends
+    * per run (`data_processing_log.date_of_data`,
+    * etl_pipeline.py:519-530) — here the first 15 days stand in for
+    * it. The new-work set is a broadcast ANTI join of the catalog
+    * against the loaded-day ledger: the 100M-file catalog never
+    * shuffles (the ledger is days-sized), and re-running after a
+    * partial load is idempotent by construction — exactly the
+    * "process only what's new" restart discipline the reference's
+    * day-range loop approximates by hand. */
+  def incrementalLedger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val drop = EtlStage.stageEventsCsv(s, dir)
+    val ledger = (1 to 15).map(d => f"2024-01-$d%02d").toDF("loaded_date")
+    FileCatalog.catalog(s, drop)
+      .join(broadcast(ledger),
+        col("extracted_date") === col("loaded_date"), "left_anti")
+      .groupBy(col("extracted_date").as("day"))
+      .agg(count(lit(1)).as("n_new_files"))
+  }
+
+  val incrementalLedgerSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(1 AS BIGINT) AS n_new_files
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') > '2024-01-15'
+      |GROUP BY 1""".stripMargin
 }

@@ -430,4 +430,38 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), p)
     } finally df.unpersist()
   }
+
+  test("gaps-and-islands windows partition by user — no single reducer") {
+    val p = plan(operators.Analytics.islands(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("ratio-to-report windows run over the day aggregate, not raw events") {
+    val p = plan(operators.Analytics.ratioToReport(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // aggregate (with map-side partials) must sit BELOW the window
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("partial_sum")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected partial aggregation below the window:\n$p")
+  }
+
+  test("histogram is one partial-capable aggregation over a pruned scan") {
+    val p = plan(operators.Analytics.histogram(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window") && !p.contains("Sort"), p)
+    // bin arithmetic is a projection: the scan reads only o_totalprice
+    assert("ReadSchema: [^\n]*o_totalprice".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("o_orderdate"), p)
+  }
+
+  test("transition matrix: lag partitions by user, probability over the aggregate") {
+    val p = plan(operators.Analytics.transitions(spark, sf))
+    assert(!p.contains("SinglePartition") ||
+      // the 25-row probability window may legally collapse to one
+      // partition AFTER the pair aggregate; the raw-events lag must not
+      p.indexOf("SinglePartition") > p.indexOf("partial_count"), p)
+  }
 }
