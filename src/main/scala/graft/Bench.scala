@@ -19,19 +19,28 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // name-sorted so each query keeps the same warm-up context across
-    // rounds — Map iteration order shifts when queries are added, and
-    // that re-attributes JIT/codegen warm-up to different queries,
-    // which reads as phantom per-query regressions round-over-round
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two passes per query, name-sorted: an untimed warm-up run, then
+    // the timed run. The warm-up absorbs the one-time whole-stage-
+    // codegen (Janino) compile of each query's generated code — a
+    // per-JVM constant that previously landed on whichever query ran
+    // a given expression shape first (e.g. bigram_counts: 3.2 s cold,
+    // 0.58 s steady) and read as phantom regressions whenever the
+    // query set changed. `queries` is the steady-state time — the
+    // per-iteration cost that multiplies at 100 TB; `queries_cold`
+    // keeps the first-run times so the compile constant stays visible.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val cold = named.map { case (name, fn) => name -> once(fn) }
+    val results = named.map { case (name, fn) => name -> once(fn) }
+    def js(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -577,4 +577,67 @@ object Analytics {
       |  ROUND(CAST(n AS DOUBLE) /
       |    CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
       |FROM a""".stripMargin
+
+  // --------------------------------------------------------------- D61
+  /** Interpolated (percentile_cont / type-7) quantiles, distributed:
+    * h = (n−1)·p picks bracketing ranks ⌊h⌋+1 and min(⌊h⌋+2, n); the
+    * ranks come from `Relational.globalRank` (range repartition +
+    * offset lifting — D19's machinery), so no group ever funnels
+    * through one reducer. The two bracket rows per (group, p) are
+    * selected by rank equality and folded with one conditional
+    * aggregation; the interpolation arithmetic runs once per output
+    * row, with the frac=0 case short-circuited so a top-rank bracket
+    * (hi undefined) cannot null the result. Exact-rank selection
+    * (D19) stays the bit-stable default; this is the SQL-standard
+    * PERCENTILE_CONT counterpart, oracle-mirrored expression for
+    * expression. */
+  def quantilesInterp(s: SparkSession, dir: String,
+                      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val ranked = Relational.globalRank(
+      Tables.lineitem(s, dir)
+        .select(col("l_linestatus"), col("l_extendedprice").as("value")),
+      groupCols = Seq("l_linestatus"), sortCols = Seq("value"))
+    def loRank(p: Double): Column = floor((col("n") - 1) * p).cast("long") + 1L
+    def hiRank(p: Double): Column = least(loRank(p) + 1L, col("n"))
+    // one row per matched (p, side); a row can serve several ps
+    val tagged = ranked.select(col("l_linestatus"), col("rn"), col("n"), col("value"),
+      explode(filter(array(ps.map(p =>
+        when(col("rn") === loRank(p) || col("rn") === hiRank(p), lit(p))): _*),
+        x => x.isNotNull)).as("p"))
+    val h = (col("n") - 1) * col("p")
+    val frac = h - floor(h)
+    val lo = col("lo"); val hi = col("hi")
+    tagged
+      .groupBy(col("l_linestatus"), col("p"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rn") === floor((col("n") - 1) * col("p")).cast("long") + 1L,
+          col("value"))).as("lo"),
+        min(when(col("rn") ===
+          least(floor((col("n") - 1) * col("p")).cast("long") + 2L, col("n")),
+          col("value"))).as("hi"))
+      .select(col("l_linestatus"), col("p"),
+        round(when(frac === 0.0, lo).otherwise(lo + frac * (hi - lo)), 6)
+          .as("value"))
+  }
+
+  val quantilesInterpSql: String =
+    """WITH w AS (SELECT l_linestatus, l_extendedprice AS value,
+      |    ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY l_extendedprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+      |  FROM lineitem),
+      |ps AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS p),
+      |c AS (SELECT w.l_linestatus, ps.p, MAX(w.n) AS n,
+      |    MIN(CASE WHEN rn = CAST(FLOOR((n-1)*p) AS BIGINT) + 1
+      |             THEN value END) AS lo,
+      |    MIN(CASE WHEN rn = LEAST(CAST(FLOOR((n-1)*p) AS BIGINT) + 2, n)
+      |             THEN value END) AS hi
+      |  FROM w JOIN ps
+      |    ON rn = CAST(FLOOR((n-1)*p) AS BIGINT) + 1
+      |    OR rn = LEAST(CAST(FLOOR((n-1)*p) AS BIGINT) + 2, n)
+      |  GROUP BY 1, 2)
+      |SELECT l_linestatus, p,
+      |  ROUND(CASE WHEN (n-1)*p - FLOOR((n-1)*p) = 0 THEN lo
+      |        ELSE lo + ((n-1)*p - FLOOR((n-1)*p)) * (hi - lo) END, 6) AS value
+      |FROM c""".stripMargin
 }

@@ -348,4 +348,49 @@ object CorpusAnalytics {
       |FROM (VALUES (10), (20), (50), (100)) AS v(n_top)
       |JOIN r ON r.rk <= v.n_top CROSS JOIN tot
       |GROUP BY v.n_top, tot.total_tokens""".stripMargin
+
+  // --------------------------------------------------------------- E49
+  /** Strided source interleave: a deterministic global training order
+    * that spreads every source evenly through the epoch —
+    * position = (rank_within_source − 1) · n_sources + source_index —
+    * so no contiguous stretch of the shuffled corpus is dominated by
+    * one source (the failure mode of naive concatenation that E30's
+    * uniform shuffle fixes statistically; this fixes it by
+    * construction, the round-robin mixing a dataloader expects).
+    *
+    * Scale shape: within-source ranks come from `globalRank` (range
+    * repartition + offset lifting — parallel in the source's size);
+    * the source→index map is the distinct source list, driver-sized
+    * by definition (capped + fail-fast like the CMS probe list) and
+    * broadcast back. Positions are collision-free and dense in
+    * [0, N) by arithmetic, not by a global sort. */
+  def sourceInterleave(s: SparkSession, dir: String,
+                       maxSources: Int = 10000): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val srcRows = docs.select(col("source")).distinct()
+      .limit(maxSources + 1).collect()
+    require(srcRows.length <= maxSources,
+      s"more than maxSources=$maxSources sources — assign indices via " +
+        "globalRank over the distinct frame instead of the driver map")
+    val idx = srcRows.map(_.getString(0)).sorted.zipWithIndex
+    val nSources = idx.length.toLong
+    val ranked = Relational.globalRank(docs,
+      groupCols = Seq("source"), sortCols = Seq("doc_id"))
+    ranked.join(broadcast(idx.toSeq.toDF("source", "sidx")), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        ((col("rn") - 1L) * nSources + col("sidx")).as("position"))
+  }
+
+  val sourceInterleaveSql: String =
+    """WITH s AS (SELECT source,
+      |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+      |    COUNT(*) OVER () AS ns
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |r AS (SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source,
+      |  CAST((r.rk - 1) * s.ns + s.sidx AS BIGINT) AS position
+      |FROM r JOIN s USING (source)""".stripMargin
 }

@@ -281,4 +281,38 @@ object EventStream {
       .csv(dropDir)
       .transform(graft.operators.Cleaning.cleanColumnNames)
       .withColumn("source_file", element_at(split(input_file_name(), "/"), -1))
+
+  /** F11: incremental sketch-table maintenance — the streaming arm of
+    * the E46 mergeable-sketch pattern. Each micro-batch is reduced to
+    * per-key Theta sketches (kilobytes), which are UNIONED into the
+    * persisted sketch table via `theta_union_agg`; the base events are
+    * never re-read, so "distinct users per type, all time" stays
+    * queryable at per-batch cost forever. The rewrite of the table is
+    * keys-sized, not data-sized — the same incremental-maintenance
+    * contract as the C13 aggregate sink, except sketches make even
+    * DISTINCT mergeable. The swap is atomic (tmp dir + rename), so a
+    * crash mid-publish leaves the previous table live, and replaying a
+    * batch is idempotent because union is. */
+  def sketchTableSink(events: DataFrame, tablePath: String, lgK: Int = 12):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(events, "sketch_table") { (batch, _) =>
+      import graft.functions.SketchFns._
+      val spark = batch.sparkSession
+      val batchSk = batch.groupBy(col("event_type"))
+        .agg(thetaSketch(col("user_id"), lgK).as("sk"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(tablePath)
+      val merged =
+        if (fs.exists(dst))
+          spark.read.parquet(tablePath).unionByName(batchSk)
+            .groupBy(col("event_type"))
+            .agg(thetaUnion(col("sk"), lgK).as("sk"))
+        else batchSk
+      val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp_sketch")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"sketch table swap failed: $tmp -> $dst")
+    }
 }

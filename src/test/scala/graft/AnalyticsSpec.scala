@@ -158,4 +158,43 @@ class AnalyticsSpec extends SparkSpec {
       .agg(sum(col("token_share"))).collect().head.getDouble(0)
     assert(math.abs(total - 1.0) < 1e-3)
   }
+
+  test("quantilesInterp equals Spark's exact percentile (same R-7 interpolation)") {
+    val ours = Analytics.quantilesInterp(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_linestatus"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("qs"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zip(Seq(0.25, 0.5, 0.75, 0.95)).map {
+          case (v, p) => (r.getString(0), p) -> v
+        }
+      }.toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-4, s"$k: $v vs ${builtin(k)}")
+    }
+    // the distributed plan: ranks come from range repartition, and no
+    // per-group single-reducer sort exists anywhere
+    val plan = Analytics.quantilesInterp(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RangePartitioning") || plan.contains("rangepartitioning"), plan)
+  }
+
+  test("sourceInterleave: collision-free positions, one residue class per source") {
+    val rows = CorpusAnalytics.sourceInterleave(spark, sf).collect()
+    val nSources = rows.map(_.getString(1)).distinct.length.toLong
+    // collision-free
+    val positions = rows.map(_.getAs[Long]("position"))
+    assert(positions.distinct.length == rows.length)
+    // the spread-by-construction property: each source owns exactly one
+    // residue class mod n_sources, so no n_sources-wide window ever
+    // holds two docs of one source
+    val residues = rows.groupBy(_.getString(1))
+      .map { case (src, rs) => src -> rs.map(_.getAs[Long]("position") % nSources).distinct }
+    residues.foreach { case (src, cls) =>
+      assert(cls.length == 1, s"source $src spans residues $cls")
+    }
+    assert(residues.values.map(_.head).toSeq.distinct.length == nSources)
+  }
 }

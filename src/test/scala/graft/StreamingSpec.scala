@@ -314,4 +314,29 @@ class StreamingSpec extends SparkSpec {
       assert(out.filter(col("source_file") === "events_2024-01-16.csv").count() == 1)
     } finally q.stop()
   }
+
+  test("F11: incremental sketch table — two batches union to the true distinct") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{Sketches => Th}
+    val table = Files.createTempDirectory("graft_sketch_table").toString + "/t"
+    val in = MemoryStream[(String, Long)]
+    val q = EventStream.sketchTableSink(
+      in.toDF().toDF("event_type", "user_id"), table)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sketch_ckpt").toString)
+      .start()
+    try {
+      in.addData((0 until 300).map(i => ("click", i.toLong)): _*)
+      q.processAllAvailable()
+      // overlapping second batch: 150..449 — union must dedup to 450
+      in.addData((150 until 450).map(i => ("click", i.toLong)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(table).collect()
+    assert(rows.length == 1)
+    val est = Th.wrapSketch(
+      Memory.wrap(rows(0).getAs[Array[Byte]]("sk"))).getEstimate
+    // 450 < 2^12 nominal entries → the union is in exact mode
+    assert(math.round(est) == 450, s"expected exact 450 distinct, got $est")
+  }
 }
