@@ -621,6 +621,68 @@ object Analytics {
           .as("value"))
   }
 
+  // --------------------------------------------------------------- D62
+  /** Period-over-period comparison: month-over-month revenue deltas.
+    * The lag window runs over the MONTH AGGREGATE (≈ tens of rows —
+    * aggregate first, window on the rollup, the D58 discipline), so
+    * the single-partition window is legal at any fact size: its input
+    * is bounded by the calendar, not the data. Sums are exact decimal;
+    * the delta/percent arithmetic happens once per month row with the
+    * oracle's expression shape. */
+  def periodDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(Relational.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .select(col("month"), col("n_orders"), col("revenue"), col("prev_revenue"),
+        round(col("revenue") - col("prev_revenue"), 2).as("delta"),
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0, 4)
+          .as("pct_change"))
+  }
+
+  val periodDeltaSql: String =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT *, LAG(revenue) OVER (ORDER BY month) AS prev_revenue FROM m)
+      |SELECT month, n_orders, revenue, prev_revenue,
+      |  ROUND(revenue - prev_revenue, 2) AS delta,
+      |  ROUND((revenue - prev_revenue) / prev_revenue * 100.0, 4) AS pct_change
+      |FROM l""".stripMargin
+
+  // --------------------------------------------------------------- D63
+  /** Retention cohort matrix: users bucketed by first-activity day,
+    * then distinct active users per (cohort, age-in-days). The
+    * classic product-analytics rollup, shaped for scale: the raw
+    * stream collapses to distinct (user, day) FIRST; cohorts are a
+    * min-aggregate on that frame; the join back is user-keyed (high
+    * cardinality — shuffles partition evenly, AQE handles any hot
+    * user); the matrix aggregate is cohort×age-sized. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(cohorts, Seq("user_id"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val retentionSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort,
+      |  CAST(d.day - c.cohort_day AS INTEGER) AS age_days,
+      |  COUNT(DISTINCT d.user_id) AS n_active
+      |FROM d JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val quantilesInterpSql: String =
     """WITH w AS (SELECT l_linestatus, l_extendedprice AS value,
       |    ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY l_extendedprice) AS rn,
