@@ -107,72 +107,110 @@ object Similarity {
 
   // ------------------------------------------------------------- IVF
 
-  /** Deterministic k-means centroids (Lloyd, fixed iterations, seeded
-    * by the k lowest-id vectors). The assignment step is a per-row
-    * argmax over k broadcast centroids — `greatest` over
-    * (score, cell) structs, each score one codegen dot product; the
-    * update step averages per (cell, dimension) and collects k·dim
-    * doubles to the driver, never vectors. */
+  /** Cell count for a corpus of `n` vectors: one k-means cell per
+    * `targetCellSize` members, clamped to [1, maxCells]. Every entry
+    * point that clusters derives k from the data through this — a
+    * fixed k (the old default of 16) makes within-cell work O((n/k)²)
+    * per cell and cannot survive a 100× corpus growth. */
+  def cellCount(n: Long, targetCellSize: Long, maxCells: Int = 1 << 17): Int =
+    math.min(maxCells.toLong,
+      math.max(1L, (n + targetCellSize - 1) / targetCellSize)).toInt
+
+  /** Deterministic k-means (Lloyd, fixed iterations) returning the
+    * centroids as a DataFrame `(cell: long, centroid: array<float>)` —
+    * the driver NEVER materializes k·dim values, so k can grow with
+    * the corpus (k ≈ 10⁵ × dim ≈ 10³ stays on executors). Seeds are
+    * the k vectors with the smallest `xxhash64(vec_id)` — a
+    * deterministic uniform sample, immune to sorted/clustered id
+    * layouts that made lowest-id seeding degenerate. Each Lloyd step
+    * is fully distributed: assignment via [[assignCells]] (broadcast
+    * hash join + map-side-collapsing argmax), the new means aggregated
+    * per (cell, dimension) into a k-row frame that is
+    * `localCheckpoint`ed to break the iterative lineage. Cells that
+    * lose every member keep their previous centroid. */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int = 3,
-                      embCol: String = "embedding"): Array[Array[Float]] = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    var centroids: Array[Array[Float]] = vecs
-      .select(col("vec_id"), col(embCol)).orderBy(col("vec_id")).limit(k)
-      .select(col(embCol)).as[Array[Float]].collect()
-    require(centroids.length == k, s"corpus smaller than k=$k")
+                      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = vecs.select(col("vec_id"), col(embCol).as("__emb"))
+    val w = Window.orderBy(col("__h"), col("vec_id")) // ≤ k rows
+    var cents = base
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("cell"),
+        col("__emb").as("centroid"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val assigned = vecs.select(col(embCol).as("emb"))
-        .withColumn("cell", assignCell(col("emb"), centroids))
-      val dims = assigned
-        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      dims.foreach(r => next(r.getAs[Long]("cell").toInt)(r.getAs[Int]("pos")) =
-        r.getAs[Double]("m").toFloat)
-      centroids = next // cells that lost every member keep their old centroid
+      val means = assignCells(base, cents, "__emb")
+        .select(col("cell"), posexplode(col("__emb")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          t => t.getField("m").cast("float")).as("mean"))
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mean"), col("centroid")).as("centroid"))
+        .localCheckpoint()
     }
-    centroids
+    cents
   }
 
-  /** Nearest-centroid id by max (v·c − |c|²/2), i.e. min L2 distance;
-    * ties broken to the lower cell id. */
-  def assignCell(emb: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
-      struct(
-        (VectorExprs.floatDot(emb, typedLit(c)) - lit(halfNorm)).as("s"),
-        lit(-i).as("neg_cell"))
-    }
-    (-greatest(scored: _*).getField("neg_cell")).cast("long")
+  /** Nearest-centroid assignment, distributed end to end: fan each
+    * vector out against the broadcast centroid frame on a constant
+    * join key (a broadcast HASH join — never a nested loop), score
+    * with max (v·c − |c|²/2) ≡ min L2, and collapse the k-way fan-out
+    * with an argmax aggregate. The partial aggregate runs before the
+    * exchange (the broadcast join preserves the streamed side's
+    * partitioning), so the shuffle carries ONE row per vector, not k.
+    * Ties break to the lower cell id. Input must carry (vec_id,
+    * embCol); output is (vec_id, embCol, cell). */
+  def assignCells(vecs: DataFrame, centroids: DataFrame,
+                  embCol: String = "embedding"): DataFrame = {
+    // the constant key is built from a column (pmod(hash, 1) ≡ 0) so the
+    // optimizer cannot fold the equi-condition away and degrade the
+    // broadcast HASH join into a nested loop
+    val cents = centroids.select(col("cell").as("__cell"), col("centroid"),
+        (VectorExprs.floatDot(col("centroid"), col("centroid")) / lit(2.0)).as("__half"))
+      .withColumn("__one", pmod(xxhash64(col("__cell")), lit(1L)))
+    vecs.select(col("vec_id"), col(embCol))
+      .withColumn("__one", pmod(xxhash64(col("vec_id")), lit(1L)))
+      .join(broadcast(cents), Seq("__one"))
+      .withColumn("__s", VectorExprs.floatDot(col(embCol), col("centroid")) - col("__half"))
+      .groupBy(col("vec_id"))
+      .agg(first(col(embCol)).as(embCol),
+        max(struct(col("__s").as("s"), (-col("__cell")).as("neg_cell"))).as("__b"))
+      .select(col("vec_id"), col(embCol),
+        (-col("__b").getField("neg_cell")).cast("long").as("cell"))
   }
 
   /** IVF ANN (E7 scale path): coarse-quantize the corpus into k-means
     * cells, then answer each query by brute-forcing only the `nProbe`
-    * closest cells — the shuffle carries corpus rows once (cell
-    * assignment is a projection) and the candidate join fans each
-    * query out to nProbe cells instead of the whole corpus. Final
-    * per-query top-k via the bounded aggregate (no window sort).
-    * Approximate: recall depends on nProbe/nCells (spec-checked, so
-    * rows-only at the driver). */
+    * closest cells — the candidate join fans each query out to nProbe
+    * cells instead of the whole corpus. `nCells` defaults to 0 =
+    * derived from the corpus size via [[cellCount]] (one cell per
+    * `targetCellSize` vectors), so the per-cell scan stays bounded as
+    * the corpus grows. Final per-query top-k via the bounded aggregate
+    * (no window sort). Approximate: recall depends on nProbe/nCells
+    * (gate-checked, so rows-only at the driver). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(corpus, nCells, iters)
-    val indexed = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", assignCell(col("embedding"), centroids))
-      .withColumn("c_nrm", norm("embedding"))
-    // per-query probe list: nProbe best cells by the same score
-    val probeScores = centroids.zipWithIndex.map { case (c, i) =>
-      val halfNorm = c.map(x => x.toDouble * x.toDouble).sum / 2.0
-      struct(
-        (VectorExprs.floatDot(col("q_emb"), typedLit(c)) - lit(halfNorm)).as("s"),
-        lit(i.toLong).as("cell"))
-    }
+              nCells: Int = 0, nProbe: Int = 4, iters: Int = 3,
+              targetCellSize: Long = 64L): DataFrame = {
+    val c0 = corpus.select(col("vec_id"), col("embedding"))
+    val kCells = if (nCells > 0) nCells else cellCount(c0.count(), targetCellSize)
+    val cents = kmeansCentroids(c0, kCells, iters)
+    val indexed = assignCells(c0, cents).withColumn("c_nrm", norm("embedding"))
+    // per-query probe list: nProbe best cells by the same score, via
+    // the same broadcast join + bounded aggregate — no centroid collect
+    val centsP = cents.select(col("cell").as("__cell"), col("centroid"),
+        (VectorExprs.floatDot(col("centroid"), col("centroid")) / lit(2.0)).as("__half"))
+      .withColumn("__one", pmod(xxhash64(col("__cell")), lit(1L)))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("q_nrm", norm("q_emb"))
-      .withColumn("probe", slice(reverse(array_sort(array(probeScores: _*))), 1, nProbe))
+      .withColumn("__one", pmod(xxhash64(col("q_id")), lit(1L)))
+      .join(broadcast(centsP), Seq("__one"))
+      .withColumn("__s", VectorExprs.floatDot(col("q_emb"), col("centroid")) - col("__half"))
+      .groupBy(col("q_id"))
+      .agg(first(col("q_emb")).as("q_emb"), first(col("q_nrm")).as("q_nrm"),
+        graft.functions.TopKAgg.boundedTopK(
+          struct((-col("__s")).as("neg_s"), col("__cell").as("cell")), nProbe).as("probe"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         explode(col("probe").getField("cell")).as("cell"))
     indexed.join(broadcast(q), "cell")
@@ -186,26 +224,51 @@ object Similarity {
         (-col("t.neg_cos")).as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
-  /** SemDeDup (E41): semantic dedup at corpus scale — coarse-quantize
-    * into k-means cells, generate candidate pairs only WITHIN a cell
-    * (the shuffle key is the cell id, so the all-pairs problem becomes
-    * per-cell pairs, AQE-splittable on oversized cells), and greedily
-    * drop the higher-id member of every pair with cosine ≥ threshold.
-    * Identical vectors always land in the same cell, so exact
-    * duplicates are removed with certainty; near-dups split across a
-    * cell boundary can escape — the documented recall trade of the
-    * cluster-then-prune family, pinned by the planted-copy gate. */
-  def semDeDup(vecs: DataFrame, threshold: Double, nCells: Int = 16,
-               iters: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(vecs, nCells, iters)
-    val assigned = vecs.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", assignCell(col("embedding"), centroids))
-      .withColumn("nrm", norm("embedding"))
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+  /** Cell assignment plus the skew cap semDeDup's pair stage needs:
+    * any cell larger than `maxCellSize` is hash-split on the embedding
+    * CONTENT into ceil(n/maxCellSize) subcells, so the within-group
+    * pair count a downstream self-join can emit is bounded even when
+    * one cell attracts half the corpus. Hashing content (not vec_id)
+    * keeps byte-identical vectors in one subcell; callers are expected
+    * to have removed exact duplicates first, so the values being split
+    * are distinct and the hash spreads them uniformly. Output:
+    * (vec_id, embedding, nrm, cell, subcell). */
+  def semAssign(reps: DataFrame, cents: DataFrame, maxCellSize: Long): DataFrame = {
+    val assigned = assignCells(reps, cents).withColumn("nrm", norm("embedding"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    assigned.join(counts, Seq("cell"))
+      .withColumn("__splits", greatest(lit(1L),
+        ceil(col("__n").cast("double") / lit(maxCellSize.toDouble)).cast("long")))
+      .withColumn("subcell", pmod(xxhash64(col("embedding")), col("__splits")))
+      .drop("__n", "__splits")
+  }
+
+  /** SemDeDup (E41): semantic dedup at corpus scale. Three stages,
+    * each bounded: (1) an exact-duplicate pre-pass — group by the
+    * embedding value, keep the minimum vec_id — so byte-identical
+    * vectors are removed with CERTAINTY in one linear shuffle,
+    * independent of any cell structure; (2) k-means cells over the
+    * distinct survivors, k derived from the corpus size
+    * ([[cellCount]]) and oversized cells content-hash-split
+    * ([[semAssign]]) so the pair stage is never quadratic in a skewed
+    * cell; (3) candidate pairs only WITHIN a (cell, subcell) group,
+    * greedily dropping the higher-id member of every pair with cosine
+    * ≥ threshold. Near-dups split across a cell/subcell boundary can
+    * escape — the documented recall trade of the cluster-then-prune
+    * family, pinned by the planted-copy gate. */
+  def semDeDup(vecs: DataFrame, threshold: Double,
+               targetCellSize: Long = 256L, maxCellSize: Long = 4096L,
+               iters: Int = 3, nCells: Int = 0): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("embedding"))
+    val reps = base.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val k = if (nCells > 0) nCells else cellCount(reps.count(), targetCellSize)
+    val assigned = semAssign(reps, kmeansCentroids(reps, k, iters), maxCellSize)
+    val a = assigned.select(col("cell"), col("subcell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+    val b = assigned.select(col("cell"), col("subcell"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    val drops = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val drops = a.join(b, Seq("cell", "subcell")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_b").as("vec_id")).distinct()

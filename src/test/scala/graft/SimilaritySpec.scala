@@ -72,4 +72,67 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(r1.forall { case (q, v, c) => q == v && c == 1.0 })
   }
+
+  test("cellCount scales k with the corpus, clamped to [1, maxCells]") {
+    assert(Similarity.cellCount(0L, 256L) == 1)
+    assert(Similarity.cellCount(255L, 256L) == 1)
+    assert(Similarity.cellCount(257L, 256L) == 2)
+    assert(Similarity.cellCount(1L << 40, 256L) == (1 << 17)) // clamp
+    // 100× the corpus → 100× the cells, per-cell size constant
+    assert(Similarity.cellCount(100L * 256L * 50L, 256L) ==
+      100 * Similarity.cellCount(256L * 50L, 256L))
+  }
+
+  test("kmeans centroids stay a DataFrame end to end; assignment is a broadcast HASH join") {
+    val cents = Similarity.kmeansCentroids(vecs, k = 8, iters = 2)
+    assert(cents.columns.toSeq == Seq("cell", "centroid"))
+    assert(cents.count() == 8)
+    val assigned = Similarity.assignCells(vecs, cents)
+    val p = assigned.queryExecution.executedPlan.toString
+    // the centroid fan-out must be a broadcast hash join — never a
+    // nested loop / cartesian, and k·dim never funnels through a
+    // driver-side literal (a collected literal would show as no join)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // every vector lands in exactly one existing cell
+    assert(assigned.count() == vecs.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+  }
+
+  test("semDeDup survives a planted 50% skew cell: exact dups certain, subcells capped") {
+    import spark.implicits._
+    val dim = 8
+    val n = 1000
+    // one identical vector repeated n/2 times (ids 0..499) + n/2 distinct
+    // random-ish vectors (ids 500..999): half the corpus in one cell
+    val rows = (0 until n).map { i =>
+      val v: Array[Float] =
+        if (i < n / 2) Array.tabulate(dim)(d => (d + 1).toFloat)
+        else { // seeded gaussians: P(cos ≥ 0.9999) per pair ≈ 1e-13 at dim 8
+          val r = new scala.util.Random(i)
+          Array.fill(dim)(r.nextGaussian().toFloat)
+        }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.semDeDup(df, threshold = 0.9999,
+      targetCellSize = 64L, maxCellSize = 50L)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    // exact duplicates removed with certainty: only the min id survives
+    assert(keptIds.contains(0L))
+    assert((1L until (n / 2).toLong).forall(!keptIds.contains(_)),
+      "a planted exact duplicate survived")
+    // the distinct half survives (sin-spaced vectors are far from each other)
+    assert((500L until n.toLong).count(keptIds.contains) == n / 2)
+    // and the skew cap engaged: after the exact-dup pre-pass the pair
+    // stage never sees a (cell, subcell) group larger than ~maxCellSize
+    val reps = df.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val k = Similarity.cellCount(reps.count(), 64L)
+    val groups = Similarity
+      .semAssign(reps, Similarity.kmeansCentroids(reps, k, 3), maxCellSize = 50L)
+      .groupBy(col("cell"), col("subcell")).count()
+      .select(max(col("count"))).as[Long].collect().head
+    assert(groups <= 100L, s"subcell split failed to cap group size: $groups")
+  }
 }
