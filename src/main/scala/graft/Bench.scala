@@ -29,18 +29,29 @@ object Bench {
     // per-iteration cost that multiplies at 100 TB; `queries_cold`
     // keeps the first-run times so the compile constant stays visible.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that throws must turn the bench RED, not read as a fast
+    // run: record the error per query and exit nonzero at the end.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200))
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    val cold = named.map { case (name, fn) => name -> once(fn) }
-    val results = named.map { case (name, fn) => name -> once(fn) }
+    val cold = named.map { case (name, fn) => name -> once(name, fn) }
+    val results = named.map { case (name, fn) => name -> once(name, fn) }
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"sf":"$sfDir"}""")
+    val errJs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"errors":$errJs,"rc":${if (errors.isEmpty) 0 else 1},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
