@@ -362,8 +362,11 @@ object CorpusAnalytics {
     * repartition + offset lifting — parallel in the source's size);
     * the source→index map is the distinct source list, driver-sized
     * by definition (capped + fail-fast like the CMS probe list) and
-    * broadcast back. Positions are collision-free and dense in
-    * [0, N) by arithmetic, not by a global sort. */
+    * broadcast back. Positions are collision-free by arithmetic (one
+    * residue class mod n_sources per source), not by a global sort;
+    * with unequal source sizes the position space has gaps (up to
+    * (max_count − 1) · n_sources), so consume it by SORTING on
+    * position, not by indexing a dense array with it. */
   def sourceInterleave(s: SparkSession, dir: String,
                        maxSources: Int = 10000): DataFrame = {
     import s.implicits._

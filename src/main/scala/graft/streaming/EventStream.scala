@@ -290,9 +290,14 @@ object EventStream {
     * queryable at per-batch cost forever. The rewrite of the table is
     * keys-sized, not data-sized — the same incremental-maintenance
     * contract as the C13 aggregate sink, except sketches make even
-    * DISTINCT mergeable. The swap is atomic (tmp dir + rename), so a
-    * crash mid-publish leaves the previous table live, and replaying a
-    * batch is idempotent because union is. */
+    * DISTINCT mergeable. Publish is tmp-write + delete + rename with a
+    * RECOVERY rule closing the non-atomic window: a crash between the
+    * delete and the rename leaves the table at `.tmp_sketch` only, and
+    * the next batch first renames that orphan back into place before
+    * merging — so accumulated sketches survive every crash point, and
+    * replaying a batch is idempotent because union is. (A reader racing
+    * the swap itself can observe a missing table for the rename
+    * instant; the maintained table's only writer is this sink.) */
   def sketchTableSink(events: DataFrame, tablePath: String, lgK: Int = 12):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     foreachBatchSink(events, "sketch_table") { (batch, _) =>
@@ -300,16 +305,22 @@ object EventStream {
       val spark = batch.sparkSession
       val batchSk = batch.groupBy(col("event_type"))
         .agg(thetaSketch(col("user_id"), lgK).as("sk"))
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       val dst = new org.apache.hadoop.fs.Path(tablePath)
+      // resolve the filesystem FROM the path: tablePath may live on a
+      // different scheme (s3a://, hdfs://) than the default FS
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp_sketch")
+      // crash recovery: a previous publish that died between delete(dst)
+      // and rename(tmp, dst) left the whole accumulated table in tmp —
+      // restore it before merging, or every prior sketch is lost
+      if (!fs.exists(dst) && fs.exists(tmp) && !fs.rename(tmp, dst))
+        throw new java.io.IOException(s"sketch table recovery failed: $tmp -> $dst")
       val merged =
         if (fs.exists(dst))
           spark.read.parquet(tablePath).unionByName(batchSk)
             .groupBy(col("event_type"))
             .agg(thetaUnion(col("sk"), lgK).as("sk"))
         else batchSk
-      val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp_sketch")
       merged.write.mode("overwrite").parquet(tmp.toString)
       fs.delete(dst, true)
       if (!fs.rename(tmp, dst))

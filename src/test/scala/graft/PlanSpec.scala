@@ -459,6 +459,9 @@ class PlanSpec extends SparkSpec {
 
   test("transition matrix: lag partitions by user, probability over the aggregate") {
     val p = plan(operators.Analytics.transitions(spark, sf))
+    // the anchor must exist, or the position comparison below is vacuous
+    // (indexOf == -1 would let ANY SinglePartition placement pass)
+    assert(p.indexOf("partial_count") >= 0, p)
     assert(!p.contains("SinglePartition") ||
       // the 25-row probability window may legally collapse to one
       // partition AFTER the pair aggregate; the raw-events lag must not

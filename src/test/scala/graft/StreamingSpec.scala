@@ -339,4 +339,46 @@ class StreamingSpec extends SparkSpec {
     // 450 < 2^12 nominal entries → the union is in exact mode
     assert(math.round(est) == 450, s"expected exact 450 distinct, got $est")
   }
+
+  test("F11: sketch table survives a crash between delete and rename (orphaned tmp)") {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{Sketches => Th}
+    val table = Files.createTempDirectory("graft_sketch_rec").toString + "/t"
+    // batch 1 accumulates 300 users, then we simulate the crash window:
+    // publish died AFTER delete(dst) and BEFORE rename(tmp, dst) — the
+    // whole accumulated table exists only at .tmp_sketch
+    val in1 = MemoryStream[(String, Long)]
+    val q1 = EventStream.sketchTableSink(
+      in1.toDF().toDF("event_type", "user_id"), table)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sketch_rec_ck1").toString)
+      .start()
+    try {
+      in1.addData((0 until 300).map(i => ("click", i.toLong)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(table)
+    val tmp = new org.apache.hadoop.fs.Path(table + ".tmp_sketch")
+    val fs = dst.getFileSystem(conf)
+    assert(fs.rename(dst, tmp), "test setup: simulate crash window")
+    // next batch (disjoint users 1000..1099) must FIRST recover the
+    // orphan, then merge — not rebuild from the current batch alone
+    val in2 = MemoryStream[(String, Long)]
+    val q2 = EventStream.sketchTableSink(
+      in2.toDF().toDF("event_type", "user_id"), table)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sketch_rec_ck2").toString)
+      .start()
+    try {
+      in2.addData((1000 until 1100).map(i => ("click", i.toLong)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(table).collect()
+    assert(rows.length == 1)
+    val est = Th.wrapSketch(
+      Memory.wrap(rows(0).getAs[Array[Byte]]("sk"))).getEstimate
+    assert(math.round(est) == 400,
+      s"recovery lost accumulated sketches: expected 400 distinct, got $est")
+  }
 }
