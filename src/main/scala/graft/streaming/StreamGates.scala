@@ -1,0 +1,230 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.Tables
+
+/** Driver-visible CORRECTNESS gates for the Structured Streaming
+  * surface (SURVEY.md §2 F1/F4/F6/F8/F11). Each gate runs the REAL
+  * streaming builder from [[EventStream]] over a bounded, deterministic
+  * slice of the events table staged as a multi-file parquet drop,
+  * drains it with `Trigger.AvailableNow` (several micro-batches via
+  * `maxFilesPerTrigger=1`), and reduces "stream result == batch
+  * result" to exact-oracle rows DuckDB can recompute: counts from the
+  * slice plus TRUE booleans for the set comparisons.
+  *
+  * The slice is `event_id < 2000` — fixed across scale factors, so the
+  * gates pin SEMANTICS (cross-batch state, resume-from-checkpoint,
+  * sketch-union idempotence) at constant cost; throughput of the
+  * streaming operators is not what a micro-batch drain of 2000 rows
+  * measures, which is why the bench reports `stream_*` queries under a
+  * separate section rather than in the headline total.
+  */
+object StreamGates {
+
+  private val SliceRows = 2000L
+
+  private def slice(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < SliceRows)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Stage `df` as `nFiles` parquet files so AvailableNow +
+    * maxFilesPerTrigger=1 drains it in several micro-batches. */
+  private def stage(df: DataFrame, dir: String, nFiles: Int,
+                    mode: String = "overwrite"): Unit =
+    df.repartition(nFiles).write.mode(mode).parquet(dir)
+
+  private def fileStream(s: SparkSession, dir: String,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+
+  private def drain(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val q = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Exact multiset equality of two bounded frames. */
+  private def setEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def uniq(name: String): String =
+    name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  // ------------------------------------------------------------- F1
+  /** Tumbling-window aggregation: the streaming
+    * [[EventStream.windowedCounts]] drained over the staged slice must
+    * equal the same aggregation run in batch (counts compared exactly;
+    * the double-typed sum is compared after round(6) so state-order
+    * float accumulation can't flip the gate). */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val in = tempDir("graft_sg_tumble_in")
+    stage(ev, in, nFiles = 3)
+    val qn = uniq("sg_tumbling")
+    drain(EventStream.windowedCounts(fileStream(s, in, ev.schema))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", tempDir("graft_sg_tumble_ck")))
+    val got = s.table(qn)
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
+    val want = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val nWindows = want.count()
+    val nEvents = ev.count()
+    Seq(("stream_tumbling", nWindows, nEvents, setEqual(got, want)))
+      .toDF("metric", "n_windows", "n_events", "stream_matches_batch")
+  }
+
+  // ------------------------------------------------------------- F4
+  /** Streaming dedup across micro-batches: every event is staged TWICE
+    * (two file sets, so duplicates arrive in different batches) and
+    * [[EventStream.dedupStream]] must emit each event exactly once —
+    * the watermark horizon is set past the slice's time span so no
+    * duplicate can slip in behind an expired watermark. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val in = tempDir("graft_sg_dedup_in")
+    stage(ev, in, nFiles = 2)
+    stage(ev, in, nFiles = 2, mode = "append") // the duplicates
+    val qn = uniq("sg_dedup")
+    drain(EventStream.dedupStream(fileStream(s, in, ev.schema),
+        idCols = Seq("event_id"), watermarkDelay = "3650 days")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tempDir("graft_sg_dedup_ck")))
+    val got = s.table(qn).select(ev.columns.map(col): _*)
+    val nUnique = ev.count()
+    Seq(("stream_dedup", 2L * nUnique, nUnique, setEqual(got, ev)))
+      .toDF("metric", "n_in", "n_unique", "stream_matches_batch")
+  }
+
+  // ------------------------------------------------------------- F6
+  /** foreachBatch warehouse sink: the staged slice drained through
+    * [[EventStream.foreachBatchSink]] into an append-only parquet
+    * "warehouse" must reproduce the batch slice exactly, across ≥ 2
+    * micro-batches (maxFilesPerTrigger=1 over 3 files). */
+  def streamWarehouse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val in = tempDir("graft_sg_wh_in")
+    val out = tempDir("graft_sg_wh_out") + "/wh"
+    stage(ev, in, nFiles = 3)
+    drain(EventStream.foreachBatchSink(fileStream(s, in, ev.schema), uniq("sg_wh")) {
+        (batch, _) => batch.write.mode("append").parquet(out)
+      }.option("checkpointLocation", tempDir("graft_sg_wh_ck")))
+    val warehouse = s.read.parquet(out)
+    val nBatches = warehouse.select(col("batch_id")).distinct().count()
+    val got = warehouse.select(ev.columns.map(col): _*)
+    Seq(("stream_warehouse", ev.count(), nBatches >= 2L, setEqual(got, ev)))
+      .toDF("metric", "n_rows", "multi_batch", "stream_matches_batch")
+  }
+
+  // ------------------------------------------------------------- F8
+  /** Checkpointed restart: drain the first half of the slice, stop,
+    * drop the second half's files into the SAME input dir, and restart
+    * from the SAME checkpoint. The restarted query must process ONLY
+    * the new files (second-run delta == second-half count — file-source
+    * offsets survived the restart) and the final warehouse must equal
+    * the whole slice. */
+  def streamRestart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val part1 = ev.filter(col("event_id") < SliceRows / 2)
+    val part2 = ev.filter(col("event_id") >= SliceRows / 2)
+    val in = tempDir("graft_sg_restart_in")
+    val out = tempDir("graft_sg_restart_out") + "/wh"
+    val ck = tempDir("graft_sg_restart_ck")
+    stage(part1, in, nFiles = 2)
+    def run(): Unit =
+      drain(EventStream.foreachBatchSink(fileStream(s, in, ev.schema), uniq("sg_restart")) {
+          (batch, _) => batch.write.mode("append").parquet(out)
+        }.option("checkpointLocation", ck))
+    run()
+    val afterFirst = s.read.parquet(out).count()
+    stage(part2, in, nFiles = 2, mode = "append")
+    run() // restart from the same checkpoint
+    val warehouse = s.read.parquet(out)
+    val got = warehouse.select(ev.columns.map(col): _*)
+    val delta = warehouse.count() - afterFirst
+    Seq(("stream_restart", afterFirst, delta, setEqual(got, ev)))
+      .toDF("metric", "n_first_run", "n_second_run", "stream_matches_batch")
+  }
+
+  // ------------------------------------------------------------- F11
+  /** Incremental sketch table: [[EventStream.sketchTableSink]] drained
+    * over the slice (several micro-batches, so the union/merge/publish
+    * path is exercised) must land, per event_type, a Theta estimate
+    * that equals the EXACT batch distinct-user count — the slice keeps
+    * every group under 2^12 nominal entries, where the sketch is in
+    * exact mode, so this is a full-oracle row set, not a tolerance. */
+  def streamSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{Sketches => Th}
+    import s.implicits._
+    val ev = slice(s, dir)
+    val in = tempDir("graft_sg_sketch_in")
+    val table = tempDir("graft_sg_sketch_tbl") + "/t"
+    stage(ev, in, nFiles = 3)
+    drain(EventStream.sketchTableSink(
+        fileStream(s, in, ev.schema).select(col("event_type"), col("user_id")), table)
+      .option("checkpointLocation", tempDir("graft_sg_sketch_ck")))
+    // the sketch table is |event_type|-sized — bounded driver read
+    val rows = s.read.parquet(table).collect().map { r =>
+      val est = Th.wrapSketch(
+        Memory.wrap(r.getAs[Array[Byte]]("sk"))).getEstimate
+      (r.getAs[String]("event_type"), math.round(est))
+    }.toSeq
+    rows.toDF("event_type", "n_distinct_users")
+  }
+
+  // ------------------------------------------------- oracle SQL (DuckDB)
+
+  val streamTumblingSql: String =
+    """SELECT 'stream_tumbling' AS metric,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT date_trunc('hour', ts), event_type
+      |     FROM events WHERE event_id < 2000)) AS n_windows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  TRUE AS stream_matches_batch
+      |FROM events WHERE event_id < 2000""".stripMargin
+
+  val streamDedupSql: String =
+    """SELECT 'stream_dedup' AS metric,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS n_in,
+      |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+      |  TRUE AS stream_matches_batch
+      |FROM events WHERE event_id < 2000""".stripMargin
+
+  val streamWarehouseSql: String =
+    """SELECT 'stream_warehouse' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS multi_batch,
+      |  TRUE AS stream_matches_batch
+      |FROM events WHERE event_id < 2000""".stripMargin
+
+  val streamRestartSql: String =
+    """SELECT 'stream_restart' AS metric,
+      |  CAST(SUM(CASE WHEN event_id < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_first_run,
+      |  CAST(SUM(CASE WHEN event_id >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_second_run,
+      |  TRUE AS stream_matches_batch
+      |FROM events WHERE event_id < 2000""".stripMargin
+
+  val streamSketchSql: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      |  AS n_distinct_users
+      |FROM events WHERE event_id < 2000 GROUP BY 1""".stripMargin
+}
