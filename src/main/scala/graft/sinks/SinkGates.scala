@@ -1,0 +1,321 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Driver-visible CORRECTNESS gates for the sink/layout surface
+  * (SURVEY.md §2 C6-C9, C11-C13, C16-C17, D21) in the
+  * `publish_manifest` style: each gate runs the real sink/layout
+  * machinery against /tmp scratch space and reduces its invariant to
+  * rows a SQL oracle recomputes exactly — counts and checksums from
+  * the source tables plus TRUE booleans for the structural checks
+  * (files pruned, plan reused an exchange, a rerun changed nothing).
+  */
+object SinkGates {
+
+  private def base(dir: String, name: String): String =
+    s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  /** Order-insensitive arithmetic checksum — same hash family as
+    * [[Sinks.writeAuditPublish]], recomputable in ANSI SQL. */
+  private def checksum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(pmod((c.cast("long") % 1000003L) * 2654435761L, lit(1000000007L)))
+
+  private val checksumSqlOf: String => String = c =>
+    s"SUM((($c % 1000003) * 2654435761) % 1000000007)"
+
+  // ------------------------------------------------------------- C6
+  /** Small-files compaction: compact lineitem clustered by l_shipdate
+    * into deliberately small files, then verify (a) nothing was lost
+    * (count + key checksum vs the source) and (b) the layout actually
+    * clusters — a one-month probe's rows live in a strict subset of
+    * the files, which is what lets footer stats skip whole files at
+    * 100 TB. */
+  def compactGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_shipdate"), col("l_quantity"))
+    val out = base(dir, "compact")
+    Sinks.compact(li, out, Seq("l_shipdate"), targetFileBytes = 256L * 1024)
+    val back = s.read.parquet(out)
+    val agg = back.agg(count(lit(1)).as("n"),
+      checksum(col("l_orderkey")).as("ck")).head()
+    val nFiles = back.select(input_file_name()).distinct().count()
+    val probeFiles = back
+      .filter(col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+      .select(input_file_name()).distinct().count()
+    Seq(("compact", agg.getLong(0), agg.getLong(1),
+        nFiles > 1L && probeFiles < nFiles))
+      .toDF("metric", "n_rows", "key_checksum", "clustered")
+  }
+
+  val compactGateSql: String =
+    s"""SELECT 'compact' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(${checksumSqlOf("l_orderkey")} AS BIGINT) AS key_checksum,
+       |  TRUE AS clustered
+       |FROM lineitem""".stripMargin
+
+  // ------------------------------------------------------------- C7
+  /** Idempotent daily load: write events partitioned by day, then
+    * RERUN one day's load — dynamic partition overwrite must replace
+    * only that partition, so count and checksum stay exactly the
+    * source's (an append-mode rerun would duplicate the day). */
+  def idempotentLoadGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("day"))
+    val out = base(dir, "idempotent")
+    Sinks.writeParquetIdempotent(ev, out, Seq("day"))
+    // the rerun: same day, same data — must be a no-op overall
+    Sinks.writeParquetIdempotent(
+      ev.filter(col("day") === "2024-01-15"), out, Seq("day"))
+    val back = s.read.parquet(out)
+    val agg = back.agg(count(lit(1)).as("n"),
+      checksum(col("event_id")).as("ck")).head()
+    Seq(("idempotent_load", agg.getLong(0), agg.getLong(1)))
+      .toDF("metric", "n_rows", "key_checksum")
+  }
+
+  val idempotentLoadGateSql: String =
+    s"""SELECT 'idempotent_load' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(${checksumSqlOf("event_id")} AS BIGINT) AS key_checksum
+       |FROM events""".stripMargin
+
+  // ------------------------------------------------------------- C8
+  /** Single-pass audit accounting: `processDayTo` counts the sunk rows
+    * with an `observe` metric DURING the one sink action; the audit
+    * total must equal both the files on disk and the oracle's count of
+    * that day. */
+  def etlAuditGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val drop = graft.EtlStage.stageEventsCsv(s, dir)
+    val out = base(dir, "etl_audit")
+    val entry = graft.EtlPipeline.processDayTo(s, drop, "2024-01-15",
+      sink = df => df.write.mode("overwrite").parquet(out)).get
+    val sunk = s.read.parquet(out).count()
+    Seq(("etl_audit", entry.total_row_count, entry.total_row_count == sunk))
+      .toDF("metric", "total_rows", "audit_matches_sink")
+  }
+
+  val etlAuditGateSql: String =
+    """SELECT 'etl_audit' AS metric, CAST(COUNT(*) AS BIGINT) AS total_rows,
+      |  TRUE AS audit_matches_sink
+      |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'""".stripMargin
+
+  // ------------------------------------------------------------- C9
+  /** Parquet upsert: seed the dataset with customer, upsert a delta
+    * (every custkey % 10 == 0, acctbal shifted) — the merged table must
+    * keep every key exactly once with exactly the delta's rows updated. */
+  def upsertGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val out = base(dir, "upsert")
+    Sinks.writeParquet(cust, out)
+    val delta = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+    Sinks.upsertParquet(delta, out, Seq("c_custkey"))
+    val back = s.read.parquet(out)
+    val nUpdated = back.alias("b")
+      .join(cust.alias("c"), "c_custkey")
+      .filter(col("b.c_acctbal") =!= col("c.c_acctbal")).count()
+    val agg = back.agg(count(lit(1)).as("n"),
+      checksum(col("c_custkey")).as("ck")).head()
+    Seq(("upsert", agg.getLong(0), agg.getLong(1), nUpdated))
+      .toDF("metric", "n_rows", "key_checksum", "n_updated")
+  }
+
+  val upsertGateSql: String =
+    s"""SELECT 'upsert' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(${checksumSqlOf("c_custkey")} AS BIGINT) AS key_checksum,
+       |  CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_updated
+       |FROM customer""".stripMargin
+
+  // ------------------------------------------------------------ C11
+  /** Exactly-once JDBC load: the staging + transactional-publish +
+    * audit-mark protocol must publish a batch once, treat a replay of
+    * the same batchId as a no-op, and accept the next batchId. */
+  def exactlyOnceJdbcGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val db = "eo_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val cfg = Sinks.JdbcConfig(
+      url = s"jdbc:derby:memory:$db;create=true",
+      table = "nation_load", user = "app", password = "app",
+      numPartitions = 2)
+    val nation = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    // Derby needs the target table to exist for INSERT..SELECT publish
+    Sinks.writeJdbc(nation.limit(0), cfg, overwrite = true)
+    val first = Sinks.writeJdbcExactlyOnce(nation, cfg, batchId = 1L)
+    val replay = Sinks.writeJdbcExactlyOnce(nation, cfg, batchId = 1L)
+    val second = Sinks.writeJdbcExactlyOnce(nation, cfg, batchId = 2L)
+    val n = graft.sources.Readers.jdbc(s, cfg.url, cfg.table, "app", "app",
+      partitionColumn = None).count()
+    Seq(("exactly_once_jdbc", n / 2, first && !replay && second))
+      .toDF("metric", "n_rows_per_batch", "exactly_once")
+  }
+
+  val exactlyOnceJdbcGateSql: String =
+    """SELECT 'exactly_once_jdbc' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows_per_batch,
+      |  TRUE AS exactly_once
+      |FROM nation""".stripMargin
+
+  // ------------------------------------------------------------ C12
+  /** Z-order clustered write: after the morton rewrite on
+    * (l_partkey, l_suppkey), a selective probe on EITHER column must
+    * touch a strict subset of the files — the two-dimensional locality
+    * a linear sort can only give one column. */
+  def zorderGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val out = base(dir, "zorder")
+    // small target so even sf0.01 lands ≥16 files: with fewer, the
+    // 2-bit-per-dim z prefix can't isolate either dimension's low range
+    Sinks.writeZOrdered(li, out, "l_partkey", "l_suppkey",
+      targetFileBytes = 16L * 1024)
+    val back = s.read.parquet(out)
+    val nFiles = back.select(input_file_name()).distinct().count()
+    def filesTouched(c: String, bound: Long) = back
+      .filter(col(c) < bound).select(input_file_name()).distinct().count()
+    val aCount = back.filter(col("l_partkey") < 100L).count()
+    val bCount = back.filter(col("l_suppkey") < 5L).count()
+    Seq(("zorder", back.count(), aCount, bCount,
+        nFiles > 1L &&
+          filesTouched("l_partkey", 100L) < nFiles &&
+          filesTouched("l_suppkey", 5L) < nFiles))
+      .toDF("metric", "n_rows", "n_match_a", "n_match_b", "both_dims_prune")
+  }
+
+  val zorderGateSql: String =
+    """SELECT 'zorder' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_partkey < 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_match_a,
+      |  CAST(SUM(CASE WHEN l_suppkey < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_match_b,
+      |  TRUE AS both_dims_prune
+      |FROM lineitem""".stripMargin
+
+  // ------------------------------------------------------------ C13
+  /** Incremental aggregate maintenance: fold orders into the stored
+    * rollup in TWO increments (never rescanning the first), then emit
+    * the maintained table itself — the oracle recomputes it from
+    * scratch, so any drift in the fold shows as a value mismatch. */
+  def aggMaintainGate(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+      .withColumn("n_rows", lit(1L))
+    val out = base(dir, "agg_maintain")
+    // fresh fold every run: the gate is the two-increment maintenance
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val inc1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val inc2 = orders.filter(col("o_orderkey") % 2 === 1)
+    Sinks.maintainAggregate(inc1, out, Seq("o_orderpriority"), Seq("n_rows", "o_custkey"))
+    Sinks.maintainAggregate(inc2, out, Seq("o_orderpriority"), Seq("n_rows", "o_custkey"))
+    s.read.parquet(out)
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("o_custkey").as("custkey_sum"))
+  }
+
+  val aggMaintainGateSql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------ C16
+  /** Dynamic partition pruning: a day-partitioned fact joined to a
+    * filtered dim must carry a runtime pruning subquery in the fact
+    * scan — at 100 TB this is what keeps a date-dim join from reading
+    * every partition. The join result count cross-checks the oracle. */
+  def dppGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = base(dir, "dpp_fact")
+    val ev = Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("event_id"), col("event_type"), col("day"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    val dim = ev.select(col("day")).distinct()
+      .withColumn("tag", when(col("day") === "2024-01-15", 1L).otherwise(0L))
+    val q = s.read.parquet(out)
+      .join(dim.filter(col("tag") === 1L), "day")
+      .agg(count(lit(1)).as("n"))
+    val n = q.collect().head.getLong(0)
+    val plan = q.queryExecution.executedPlan.toString
+    Seq(("dpp", n, plan.contains("dynamicpruning")))
+      .toDF("metric", "n_rows", "dpp_used")
+  }
+
+  val dppGateSql: String =
+    """SELECT 'dpp' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS dpp_used
+      |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'""".stripMargin
+
+  // ------------------------------------------------------------ C17
+  /** Exchange reuse: identical aggregation subtrees in a self-join
+    * must execute ONE exchange (ReusedExchange/ReusedQueryStage), not
+    * recompute the aggregate per branch. */
+  def exchangeReuseGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def agg = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("spend"))
+    val q = agg.alias("a").join(agg.alias("b"), "o_custkey")
+      .agg(count(lit(1)).as("n"))
+    // collect() THIS plan (head() would execute a separate limited
+    // query and leave q's adaptive plan unfinalized)
+    val n = q.collect().head.getLong(0)
+    val plan = q.queryExecution.executedPlan.toString
+    Seq(("exchange_reuse", n,
+        plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")))
+      .toDF("metric", "n_rows", "exchange_reused")
+  }
+
+  val exchangeReuseGateSql: String =
+    """SELECT 'exchange_reuse' AS metric,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_rows,
+      |  TRUE AS exchange_reused
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------------------ D21
+  /** Bucketed co-located join: orders and lineitem bucketed on the
+    * join key must sort-merge-join with the bucketing standing in for
+    * the shuffle — exactly one exchange in the plan (the final
+    * aggregation), with broadcast disabled so the join path is real. */
+  def bucketedJoinGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (tOrders, tLine) = (s"bg_orders_$safe", s"bg_lineitem_$safe")
+    s.sql(s"DROP TABLE IF EXISTS $tOrders")
+    s.sql(s"DROP TABLE IF EXISTS $tLine")
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").mode("overwrite")
+      .option("path", base(dir, "bg_orders")).saveAsTable(tOrders)
+    Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .write.bucketBy(8, "l_orderkey").mode("overwrite")
+      .option("path", base(dir, "bg_lineitem")).saveAsTable(tLine)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = s.table(tLine)
+        .join(s.table(tOrders), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val n = q.collect().head.getLong(0)
+      val plan = q.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      Seq(("bucketed_join", n,
+          plan.contains("SortMergeJoin") && nExchanges == 0))
+        .toDF("metric", "n_rows", "join_shuffle_free")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  val bucketedJoinGateSql: String =
+    """SELECT 'bucketed_join' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS join_shuffle_free
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+}
