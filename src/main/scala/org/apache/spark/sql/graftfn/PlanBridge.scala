@@ -16,4 +16,25 @@ object PlanBridge {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** InternalRow-level mapPartitions: run `f` directly over the
+    * plan's Tungsten rows and re-wrap the result as a DataFrame with
+    * `outSchema` — NO external-Row round-trip (the
+    * `Dataset.mapPartitions` + `Encoders.row` form deserializes and
+    * re-serializes every field of every row; for a pass that only
+    * APPENDS a value, that cost dominates). Partitioning is preserved.
+    *
+    * Contract is the standard operator contract: rows handed to `f`
+    * may be backed by reused buffers — copy anything retained across
+    * `next()` calls — and rows emitted by `f` may themselves reuse
+    * buffers (consumers materialize at buffering boundaries). */
+  def internalMapPartitions(df: DataFrame,
+      outSchema: org.apache.spark.sql.types.StructType)(
+      f: Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+         Iterator[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val rdd = ds.queryExecution.toRdd
+      .mapPartitions(f, preservesPartitioning = true)
+    ds.sparkSession.internalCreateDataFrame(rdd, outSchema)
+  }
 }

@@ -47,6 +47,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("globalRank ranks stay contiguous at a scale where partitions split groups") {
+    // regression: the offsets branch must reuse the SAME range shuffle
+    // as the rank pass — a re-executed repartitionByRange re-samples
+    // its boundaries and shifts boundary rows between __pids, which
+    // showed up as duplicate/missing ranks (maxrn > cnt) at sf0.01
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_linestatus"), col("l_extendedprice"))
+    val g = operators.Relational
+      .globalRank(df, Seq("l_linestatus"), Seq("l_extendedprice"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), max(col("rn")).as("maxrn"),
+        countDistinct(col("rn")).as("ndist"), max(col("n")).as("nval"))
+      .collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"maxrn != cnt for ${r.getString(0)}")
+      assert(r.getLong(1) == r.getLong(3), s"duplicate ranks for ${r.getString(0)}")
+      assert(r.getLong(1) == r.getLong(4), s"group size wrong for ${r.getString(0)}")
+    }
+  }
+
   test("BoundedTopK equals sorted-take on random data at any k") {
     val gen = for { rows <- smallData; k <- Gen.choose(1, 8) } yield (rows, k)
     samples(gen, 8).foreach { case (rows, k) =>
