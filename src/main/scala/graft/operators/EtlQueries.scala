@@ -165,6 +165,43 @@ object EtlQueries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events""".stripMargin
 
+  // ----------------------------------------------------------- A4b
+  /** CSV row-level quarantine gate: a staged drop with three injected
+    * malformed rows (non-numeric id / trailing garbage) must split
+    * into exactly the clean slice (count + value sum vs the oracle)
+    * and exactly three quarantined raw records — bad ROWS never cost
+    * the file, and good rows never leak into quarantine. */
+  def csvQuarantineGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/quarantine"
+    val ev = Tables.events(s, dir).filter(col("event_id") < 500)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.coalesce(1).write.mode("overwrite")
+      .options(graft.sources.Readers.csvOptions).csv(out)
+    val bad = java.nio.file.Paths.get(out, "bad_rows.csv")
+    java.nio.file.Files.write(bad, java.util.Arrays.asList(
+      "event_id,event_type,value",
+      "not_a_number,click,1.0",
+      "12.5,signup,oops",
+      "xyz,purchase,"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val (good, quarantined) =
+      graft.sources.Readers.csvWithQuarantine(s, Seq(out), schema)
+    val g = good.agg(count(lit(1)).as("n"),
+      graft.operators.Relational.dsum(col("value")).as("sum_value")).head()
+    Seq(("csv_quarantine", g.getLong(0), g.getDouble(1), quarantined.count()))
+      .toDF("metric", "n_good", "sum_value", "n_quarantined")
+  }
+
+  val csvQuarantineGateSql: String =
+    """SELECT 'csv_quarantine' AS metric, COUNT(*) AS n_good,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+      |  CAST(3 AS BIGINT) AS n_quarantined
+      |FROM events WHERE event_id < 500""".stripMargin
+
   // ----------------------------------------------------------- A6
   /** JSON payload parsing: events.props is a JSON object; parse with
     * an explicit schema (`from_json` — codegen, no UDF) and aggregate

@@ -189,6 +189,56 @@ object StreamGates {
     rows.toDF("event_type", "n_distinct_users")
   }
 
+  // ------------------------------------------------------------- F3
+  /** File-drop ingest: [[EventStream.fileDropStream]] drained over the
+    * staged date-named CSV drop (plain + gzipped files, the
+    * reference's daily loop as a stream) must ingest every event,
+    * clean the column names, and tag provenance — row count and
+    * distinct source-file count both recomputable from the events
+    * table (one staged file per day). */
+  def streamFileDrop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val drop = graft.EtlStage.stageEventsCsv(s, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType), StructField("ts_us", LongType)))
+    val qn = uniq("sg_filedrop")
+    drain(EventStream.fileDropStream(s, drop, schema, maxFilesPerTrigger = 7)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tempDir("graft_sg_filedrop_ck")))
+    val got = s.table(qn)
+    val agg = got.agg(count(lit(1)).as("n"),
+      countDistinct(col("source_file")).as("n_files"),
+      countDistinct(col("user_id")).as("n_users")).head()
+    Seq(("stream_filedrop", agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+      .toDF("metric", "n_rows", "n_files", "n_users")
+  }
+
+  // ------------------------------------------------------------- F5
+  /** Stream-static broadcast enrichment: each micro-batch of the
+    * staged slice joins the (small) static dim via
+    * [[EventStream.enrichWithDim]]; the enriched aggregate must equal
+    * the same join run in batch — full-oracle rows, since the dim
+    * attribute (type length) is recomputable in SQL. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = slice(s, dir)
+    val in = tempDir("graft_sg_enrich_in")
+    stage(ev, in, nFiles = 3)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_len", length(col("event_type")).cast("int"))
+    val qn = uniq("sg_enrich")
+    drain(EventStream.enrichWithDim(fileStream(s, in, ev.schema), dim, "event_type")
+      .groupBy(col("event_type"), col("type_len"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", tempDir("graft_sg_enrich_ck")))
+    s.table(qn).select(col("event_type"), col("type_len"), col("n"))
+  }
+
   // ------------------------------------------------- oracle SQL (DuckDB)
 
   val streamTumblingSql: String =
@@ -227,4 +277,15 @@ object StreamGates {
     """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
       |  AS n_distinct_users
       |FROM events WHERE event_id < 2000 GROUP BY 1""".stripMargin
+
+  val streamFileDropSql: String =
+    """SELECT 'stream_filedrop' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_files,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events""".stripMargin
+
+  val streamEnrichSql: String =
+    """SELECT event_type, CAST(len(event_type) AS INTEGER) AS type_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events WHERE event_id < 2000 GROUP BY 1, 2""".stripMargin
 }
