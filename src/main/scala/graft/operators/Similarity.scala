@@ -127,11 +127,29 @@ object Similarity {
     * hash join + map-side-collapsing argmax), the new means aggregated
     * per (cell, dimension) into a k-row frame that is
     * `localCheckpoint`ed to break the iterative lineage. Cells that
-    * lose every member keep their previous centroid. */
+    * lose every member keep their previous centroid.
+    *
+    * Training is BOUNDED: when the corpus exceeds `maxTrain`, Lloyd
+    * runs on a deterministic xxhash64(vec_id) sample of ~max(maxTrain,
+    * 4k) vectors (the coarse-quantizer-on-a-sample discipline of every
+    * production IVF build) — per-iteration cost then caps at
+    * O(maxTrain·k·dim) no matter how large the corpus grows, while the
+    * FINAL full-corpus assignment stays with the caller. Pass `n` if
+    * the caller already counted the corpus, else it is counted here. */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int = 3,
-                      embCol: String = "embedding"): DataFrame = {
+                      embCol: String = "embedding",
+                      maxTrain: Long = 100000L, n: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = vecs.select(col("vec_id"), col(embCol).as("__emb"))
+    val all = vecs.select(col("vec_id"), col(embCol).as("__emb"))
+    val total = if (n >= 0) n else all.count()
+    val cap = math.max(maxTrain, 4L * k)
+    val base =
+      if (total <= cap) all
+      else { // keep each vector with probability cap/total, by stable hash
+        val den = 1L << 20
+        val num = math.min(den, den * cap / total + 1)
+        all.filter(pmod(xxhash64(col("vec_id")), lit(den)) < lit(num))
+      }
     val w = Window.orderBy(col("__h"), col("vec_id")) // ≤ k rows
     var cents = base
       .withColumn("__h", xxhash64(col("vec_id")))
@@ -194,8 +212,9 @@ object Similarity {
               nCells: Int = 0, nProbe: Int = 4, iters: Int = 3,
               targetCellSize: Long = 64L): DataFrame = {
     val c0 = corpus.select(col("vec_id"), col("embedding"))
-    val kCells = if (nCells > 0) nCells else cellCount(c0.count(), targetCellSize)
-    val cents = kmeansCentroids(c0, kCells, iters)
+    val nCorpus = c0.count()
+    val kCells = if (nCells > 0) nCells else cellCount(nCorpus, targetCellSize)
+    val cents = kmeansCentroids(c0, kCells, iters, n = nCorpus)
     val indexed = assignCells(c0, cents).withColumn("c_nrm", norm("embedding"))
     // per-query probe list: nProbe best cells by the same score, via
     // the same broadcast join + bounded aggregate — no centroid collect
@@ -262,8 +281,10 @@ object Similarity {
     val base = vecs.select(col("vec_id"), col("embedding"))
     val reps = base.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"), col("embedding"))
-    val k = if (nCells > 0) nCells else cellCount(reps.count(), targetCellSize)
-    val assigned = semAssign(reps, kmeansCentroids(reps, k, iters), maxCellSize)
+    val nReps = reps.count()
+    val k = if (nCells > 0) nCells else cellCount(nReps, targetCellSize)
+    val assigned =
+      semAssign(reps, kmeansCentroids(reps, k, iters, n = nReps), maxCellSize)
     val a = assigned.select(col("cell"), col("subcell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("subcell"), col("vec_id").as("id_b"),

@@ -211,8 +211,10 @@ class PlanSpec extends SparkSpec {
     for (df <- Seq(Relational.quantiles(spark, sf),
                    Relational.approxQuantileGate(spark, sf))) {
       val p = plan(df).split("== Initial Plan ==")(0)
-      // the sort parallelizes over a range repartition of (group, value)
-      assert(p.contains("rangepartitioning"), p)
+      // ranks ride globalRank's pre-materialized range-partitioned
+      // pass (the exchange lives inside the scanned RDD lineage since
+      // the InternalRow rewrite; PropertySpec pins rank correctness)
+      assert(p.contains("Scan ExistingRDD"), p)
       // no window orders raw values within a 3-partition group — any
       // window left runs over the tiny per-(partition, group) counts
       assert(!"windowspecdefinition\\([^)]*value".r.findAllIn(p).hasNext, p)
@@ -265,7 +267,7 @@ class PlanSpec extends SparkSpec {
   test("corpus shuffle ranks via range repartition, not a global sort") {
     val p = plan(operators.TrainingQueries.corpusShuffle(spark, sf))
       .split("== Initial Plan ==")(0)
-    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     // the only window orders per-partition COUNT rows by __pid — no
     // window (and no single-partition exchange) ever orders documents
     assert(!"windowspecdefinition\\([^)]*(shuffle_key|doc_id)".r.findAllIn(p).hasNext, p)
@@ -407,8 +409,10 @@ class PlanSpec extends SparkSpec {
       if (d == 10) assert(k == n, s"decile 10 must keep all: $k of $n")
     }
     val p = plan(operators.CorpusAnalytics.qualityMixSample(spark, sf))
-    // ranks come from globalRank's range repartition, not a global sort
-    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"), p)
+    // ranks come from globalRank's pre-materialized range-partitioned
+    // pass, not a global sort (no row_number window over documents)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("row_number"), p)
   }
 
   test("scd2 merge: one open row per key, versioned keys carry a closed row") {

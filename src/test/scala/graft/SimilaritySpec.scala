@@ -99,6 +99,25 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.select("cell").distinct().count() <= 8)
   }
 
+  test("kmeans trains on a bounded hash-sample when the corpus exceeds maxTrain") {
+    import spark.implicits._
+    val dim = 4
+    val big = (0 until 2000).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    // cap far below the corpus: training must still yield k centroids
+    // and assignment must still cover every vector with valid cells
+    val cents = Similarity.kmeansCentroids(big, k = 8, iters = 2,
+      maxTrain = 64L, n = 2000L)
+    assert(cents.count() == 8)
+    val assigned = Similarity.assignCells(big, cents)
+    assert(assigned.count() == 2000)
+    val cells = assigned.select("cell").distinct()
+      .as[Long].collect().toSet
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 8))
+  }
+
   test("semDeDup survives a planted 50% skew cell: exact dups certain, subcells capped") {
     import spark.implicits._
     val dim = 8
