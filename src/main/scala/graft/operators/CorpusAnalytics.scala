@@ -396,4 +396,121 @@ object CorpusAnalytics {
       |SELECT r.doc_id, r.source,
       |  CAST((r.rk - 1) * s.ns + s.sidx AS BIGINT) AS position
       |FROM r JOIN s USING (source)""".stripMargin
+
+  // --------------------------------------------------------------- E50
+  /** Paragraph-level dedup (the MassiveText/Gopher corpus-prep step):
+    * chunk every document into fixed non-overlapping token windows
+    * ("paragraphs" — this corpus has no newlines, so windows stand in;
+    * the pipeline shape is identical), keep only the FIRST occurrence
+    * of each distinct chunk corpus-wide (ordered by doc_id, then
+    * position), and reassemble each document from its surviving chunks
+    * in order. Output per document: chunk counts plus the deduped
+    * text's length.
+    *
+    * Scale shape: one shuffle keyed by the chunk value to find first
+    * occurrences (production would key on xxhash128(chunk) to keep the
+    * exchange rows small; the exact string key here keeps the oracle
+    * collision-free), one broadcast-free equi-join back, one doc-keyed
+    * aggregation to reassemble. No window over the corpus. */
+  def paragraphDedup(s: SparkSession, dir: String, window: Int = 20): DataFrame = {
+    val w = window
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(toks) / $w.0) AS INT) - 1),
+           |  i -> array_join(slice(toks, i * $w + 1, $w), ' '))""".stripMargin))
+        .as(Seq("pos", "chunk")))
+    val firsts = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    chunks.join(firsts, "chunk")
+      .withColumn("kept",
+        struct(col("doc_id"), col("pos")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        length(array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("chunk"))))),
+          t => t.getField("chunk")), " ")).as("dedup_len"))
+  }
+
+  val paragraphDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c0 AS (SELECT doc_id, list_transform(
+      |    range(0, CAST(ceil(len(toks) / 20.0) AS INT)),
+      |    i -> struct_pack(pos := i,
+      |      chunk := array_to_string(toks[i*20+1 : i*20+20], ' '))) AS cs
+      |  FROM d),
+      |c AS (SELECT doc_id, unnest(cs, recursive := true) FROM c0),
+      |k AS (SELECT doc_id, pos, chunk,
+      |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1 AS kept
+      |  FROM c)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(length(array_to_string(list_transform(
+      |    list_sort(list(struct_pack(pos := pos, chunk := chunk))
+      |      FILTER (WHERE kept)),
+      |    x -> x.chunk), ' ')), 0) AS BIGINT) AS dedup_len
+      |FROM k GROUP BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- E51
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): featurize every
+    * document as hashed-token bucket counts, estimate the bucket
+    * distribution of a TARGET domain (here: source = 'src0') and of
+    * the raw corpus (Laplace-smoothed), and weight each document by
+    * its log-likelihood ratio Σ_tok log(p_target(b)/p_raw(b)). Docs
+    * with positive weight look more like the target than the average —
+    * the resampling signal a mixture builder thresholds on.
+    *
+    * Determinism/oracle: buckets use the engine-portable polynomial
+    * hash (same family as doc_fingerprint's DuckDB mirror); per-bucket
+    * log-ratios are rounded to 9 decimals and carried as DECIMAL so
+    * the per-doc sums are exact and order-free in both engines.
+    *
+    * Scale shape: token stream → m-bucket aggregate (m=64 rows), the
+    * ratio table broadcasts back, one doc-keyed sum. The corpus text
+    * itself is never shuffled. */
+  def dsirWeights(s: SparkSession, dir: String, m: Int = 64,
+                  targetSource: String = "src0"): DataFrame = {
+    import graft.functions.RollingHash
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", pmod(RollingHash.rollingHash(col("tok")), lit(m.toLong)))
+    val counts = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("r_cnt"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("t_cnt"))
+    val totals = counts.agg(sum(col("r_cnt")).as("r_tot"),
+      sum(col("t_cnt")).as("t_tot"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log((col("t_cnt") + 1.0) / (col("t_tot") + m.toDouble)) -
+              log((col("r_cnt") + 1.0) / (col("r_tot") + m.toDouble)), 9)
+          .cast("decimal(20,10)").as("logratio"))
+    toks.join(broadcast(ratios), "b")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("logratio")).cast("double"), 6).as("dsir_weight"))
+      .select(col("doc_id"), col("dsir_weight"),
+        (col("dsir_weight") > 0.0).as("target_like"))
+  }
+
+  val dsirWeightsSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS b
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |c AS (SELECT b, COUNT(*) AS r_cnt,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_cnt
+      |  FROM t GROUP BY b),
+      |tot AS (SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM c),
+      |ratio AS (SELECT b, CAST(ROUND(
+      |    ln((t_cnt + 1.0) / (t_tot + 64.0)) - ln((r_cnt + 1.0) / (r_tot + 64.0)),
+      |    9) AS DECIMAL(20,10)) AS logratio
+      |  FROM c CROSS JOIN tot),
+      |w AS (SELECT doc_id, CAST(ROUND(SUM(logratio), 6) AS DOUBLE) AS dsir_weight
+      |  FROM t JOIN ratio USING (b) GROUP BY doc_id)
+      |SELECT doc_id, dsir_weight, dsir_weight > 0.0 AS target_like FROM w""".stripMargin
 }

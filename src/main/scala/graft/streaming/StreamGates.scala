@@ -239,6 +239,64 @@ object StreamGates {
     s.table(qn).select(col("event_type"), col("type_len"), col("n"))
   }
 
+  // ------------------------------------------------------------- F7
+  /** Stream-stream interval join: clicks and purchases from the slice
+    * arrive as two independent file streams; the inner interval join
+    * ([[EventStream.attributeWithin]], purchase within 30 min of the
+    * click) must emit exactly the batch join's matches — inner
+    * stream-stream rows emit when both sides are seen, so draining
+    * everything yields the complete result (the watermark only bounds
+    * state). Match count is recomputable in SQL. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val (inC, inP) = (tempDir("graft_sg_join_c"), tempDir("graft_sg_join_p"))
+    stage(clicks, inC, nFiles = 2)
+    stage(purchases, inP, nFiles = 2)
+    val qn = uniq("sg_join")
+    drain(EventStream.attributeWithin(
+        fileStream(s, inC, clicks.schema), fileStream(s, inP, purchases.schema),
+        horizonSeconds = 1800)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tempDir("graft_sg_join_ck")))
+    val got = s.table(qn)
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_value"))
+    val want = EventStream.attributeWithin(clicks, purchases, horizonSeconds = 1800)
+    Seq(("stream_join", want.count(), setEqual(got, want)))
+      .toDF("metric", "n_matches", "stream_matches_batch")
+  }
+
+  // ------------------------------------------------------------- F2
+  /** Stateful sessionization: the slice drained through
+    * [[EventStream.sessionCounts]] (mapGroupsWithState) must land the
+    * same per-user (n_sessions, n_events) as the declarative gap
+    * sessionization computed in SQL. The drop is drained in one
+    * AvailableNow batch so arrival order is the in-order fold the SQL
+    * oracle defines (cross-batch and out-of-order behavior are pinned
+    * separately by StreamingSpec); both counters are monotone, so the
+    * final state per user is the max over the update stream. */
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val in = tempDir("graft_sg_sess_in")
+    stage(ev, in, nFiles = 1)
+    val qn = uniq("sg_sessions")
+    drain(EventStream.sessionCounts(
+        fileStream(s, in, ev.schema).as[EventStream.Ev])
+      .toDF()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", tempDir("graft_sg_sess_ck")))
+    s.table(qn).groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+  }
+
   // ------------------------------------------------- oracle SQL (DuckDB)
 
   val streamTumblingSql: String =
@@ -288,4 +346,25 @@ object StreamGates {
     """SELECT event_type, CAST(len(event_type) AS INTEGER) AS type_len,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM events WHERE event_id < 2000 GROUP BY 1, 2""".stripMargin
+
+  val streamJoinSql: String =
+    """SELECT 'stream_join' AS metric, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |  TRUE AS stream_matches_batch
+      |FROM (SELECT user_id, ts FROM events
+      |      WHERE event_id < 2000 AND event_type = 'click') c
+      |JOIN (SELECT user_id, ts FROM events
+      |      WHERE event_id < 2000 AND event_type = 'purchase') p
+      |ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECOND""".stripMargin
+
+  val streamSessionsSql: String =
+    """WITH e AS (SELECT user_id, ts FROM events WHERE event_id < 2000),
+      |l AS (SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+      |s AS (SELECT user_id, CASE WHEN prev IS NULL
+      |    OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+      |    THEN 1 ELSE 0 END AS brk FROM l)
+      |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY 1""".stripMargin
 }
