@@ -87,13 +87,17 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point: SQL functions + the top-k
-  * window rewrite ([[graft.plans.TopKRewrite]]) + the bounded range
-  * join binning rewrite ([[graft.plans.RangeBinRewrite]]). */
+/** `spark.sql.extensions` entry point — the whole library surface a
+  * cluster can switch on with one config line: SQL functions, the
+  * top-k window rewrite ([[graft.plans.TopKRewrite]]), the bounded
+  * range join binning rewrite ([[graft.plans.RangeBinRewrite]]), and
+  * the native as-of join planner strategy
+  * ([[graft.plans.AsOfJoinStrategy]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
