@@ -48,7 +48,7 @@ object Bench {
       "compact_gate", "idempotent_load_gate", "etl_audit_gate",
       "upsert_gate", "exactly_once_jdbc_gate", "zorder_gate",
       "agg_maintain_gate", "dpp_gate", "exchange_reuse_gate",
-      "bucketed_join_gate", "csv_quarantine_gate")
+      "bucketed_join_gate", "csv_quarantine_gate", "schema_evolved_gate")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val streamGates = all.filter(_._1.startsWith("stream_"))
     val sinkGates = all.filter(q => sinkGateNames(q._1))

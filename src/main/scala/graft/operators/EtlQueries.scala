@@ -202,6 +202,37 @@ object EtlQueries {
       |  CAST(3 AS BIGINT) AS n_quarantined
       |FROM events WHERE event_id < 500""".stripMargin
 
+  // ----------------------------------------------------------- A5c
+  /** Schema-evolved parquet read gate: two generations of the same
+    * table (columns added over time) merged by footer-schema union —
+    * old files come back null-padded in the new column and vice versa,
+    * with nothing dropped. Counts and null accounting are exact. */
+  def schemaEvolvedGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/evolve"
+    val cust = Tables.customer(s, dir)
+    cust.select(col("c_custkey"), col("c_name"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    cust.select(col("c_custkey"), col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    val merged = graft.sources.Readers.parquetMergedSchema(
+      s, s"$base/gen1", s"$base/gen2")
+    merged.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("n_name_null"),
+      sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("n_acct_null"),
+      countDistinct(col("c_custkey")).as("n_keys"))
+      .select(lit("schema_evolved").as("metric"), col("n_rows"),
+        col("n_name_null"), col("n_acct_null"), col("n_keys"))
+  }
+
+  val schemaEvolvedGateSql: String =
+    """SELECT 'schema_evolved' AS metric,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_name_null,
+      |  CAST(COUNT(*) AS BIGINT) AS n_acct_null,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+      |FROM customer""".stripMargin
+
   // ----------------------------------------------------------- A6
   /** JSON payload parsing: events.props is a JSON object; parse with
     * an explicit schema (`from_json` — codegen, no UDF) and aggregate

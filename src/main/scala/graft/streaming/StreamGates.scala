@@ -41,8 +41,10 @@ object StreamGates {
     df.repartition(nFiles).write.mode(mode).parquet(dir)
 
   private def fileStream(s: SparkSession, dir: String,
-                         schema: org.apache.spark.sql.types.StructType): DataFrame =
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+                         schema: org.apache.spark.sql.types.StructType,
+                         maxFiles: Int = 1): DataFrame =
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFiles.toString).parquet(dir)
 
   private def drain(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val q = w.trigger(Trigger.AvailableNow()).start()
@@ -296,6 +298,185 @@ object StreamGates {
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("n_events")).as("n_events"))
   }
+
+  // ------------------------------------------------------------- F9
+  /** transformWithState running totals on the RocksDB state store:
+    * the slice drained through [[EventStream.runningTotals]] must land
+    * per-user totals equal to the SQL aggregate. n_events is strictly
+    * monotone per user across updates, so the final state is the
+    * max-(n_events) update; the float sum is rounded to absorb
+    * accumulation-order ULPs. */
+  def streamRunningTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val in = tempDir("graft_sg_twstate_in")
+    stage(ev, in, nFiles = 3)
+    val qn = uniq("sg_twstate")
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      drain(EventStream.runningTotals(
+          fileStream(s, in, ev.schema).as[EventStream.Ev])
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", tempDir("graft_sg_twstate_ck")))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    s.table(qn).groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        round(col("f.sum_value"), 6).as("sum_value"))
+  }
+
+  val streamRunningTotalsSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id < 2000 GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- F2c
+  /** Closed-session emission: sessions only emit when the event-time
+    * watermark proves them closed, so the drop carries one SENTINEL
+    * event (user −1) three days past the slice — after the data batch
+    * the watermark passes every real session's last activity + gap,
+    * and the engine's trailing no-data batch fires the timeouts that
+    * flush them (the sentinel's own session stays open and is
+    * excluded). The data files drain as ONE batch so the in-batch
+    * fold order is the chronological order the SQL oracle defines.
+    * Output: the closed sessions themselves, full-oracle rows. */
+  def streamClosedSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = Seq((-1L,
+      new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000), 0.0))
+      .toDF("user_id", "ts", "value")
+    val in = tempDir("graft_sg_closed_in")
+    stage(ev.unionByName(sentinel), in, nFiles = 1)
+    val qn = uniq("sg_closed")
+    drain(EventStream.closedSessions(
+        fileStream(s, in, ev.schema, maxFiles = 16).as[EventStream.Ev])
+      .toDF()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tempDir("graft_sg_closed_ck")))
+    s.table(qn).filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("start_sec"), col("end_sec"), col("n_events"))
+  }
+
+  val streamClosedSessionsSql: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events WHERE event_id < 2000),
+      |l AS (SELECT user_id, sec,
+      |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev FROM e),
+      |g AS (SELECT user_id, sec, SUM(CASE WHEN prev IS NULL
+      |    OR sec - prev > 1800 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY sec
+      |          ROWS UNBOUNDED PRECEDING) AS sess FROM l)
+      |SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id, sess""".stripMargin
+
+  // ------------------------------------------------------------- F2b
+  /** Declarative session_window sessions: Append mode emits a session
+    * row exactly once, when the watermark passes its end — the
+    * sentinel event flushes the tail sessions like the F2c gate. The
+    * emitted sessions themselves are the oracle rows: session_window
+    * merges events whose windows overlap (gap 30 min, boundary-equal
+    * windows do NOT merge), which the SQL mirror reproduces at
+    * microsecond precision. */
+  def streamSessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir).select(col("user_id"), col("ts"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = Seq((-1L,
+      new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000), 0.0))
+      .toDF("user_id", "ts", "value")
+    val in = tempDir("graft_sg_sw_in")
+    stage(ev.unionByName(sentinel), in, nFiles = 1)
+    val qn = uniq("sg_sw")
+    drain(EventStream.sessionWindowAgg(
+        fileStream(s, in, ev.schema, maxFiles = 16), gap = "30 minutes")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tempDir("graft_sg_sw_ck")))
+    s.table(qn).filter(col("user_id") >= 0L)
+      .select(col("user_id"),
+        col("sess_start").cast("long").as("start_sec"),
+        col("sess_end").cast("long").as("end_sec"),
+        col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+  }
+
+  val streamSessionWindowsSql: String =
+    """WITH e AS (SELECT user_id, ts, value FROM events WHERE event_id < 2000),
+      |l AS (SELECT user_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+      |g AS (SELECT user_id, ts, value, SUM(CASE WHEN prev IS NULL
+      |    OR epoch_us(ts) - epoch_us(prev) >= 1800 * 1000000
+      |    THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) AS sess FROM l)
+      |SELECT user_id,
+      |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_sec,
+      |  CAST(floor(epoch(MAX(ts))) + 1800 AS BIGINT) AS end_sec,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sess""".stripMargin
+
+  // ------------------------------------------------------------- F10
+  /** Stream-stream LEFT OUTER interval join: abandoned clicks emit
+    * null-padded only on watermark-driven state eviction, so BOTH
+    * streams carry the far-future sentinel — after it, no purchase can
+    * still arrive inside any real click's horizon and the eviction
+    * batch flushes every outer row. Result must equal the batch left
+    * join exactly; matched and abandoned counts are SQL-recomputable. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"), col("value"))
+    def sentinel = Seq((-1L, far, 0.0)).toDF("user_id", "ts", "value")
+    val (inC, inP) = (tempDir("graft_sg_oj_c"), tempDir("graft_sg_oj_p"))
+    stage(side("click").unionByName(sentinel), inC, nFiles = 1)
+    stage(side("purchase").unionByName(sentinel), inP, nFiles = 1)
+    val qn = uniq("sg_outer")
+    drain(EventStream.attributeOrAbandon(
+        fileStream(s, inC, sentinel.schema, maxFiles = 16),
+        fileStream(s, inP, sentinel.schema, maxFiles = 16),
+        horizonSeconds = 1800)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tempDir("graft_sg_oj_ck")))
+    val got = s.table(qn).filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("purchase_value"))
+    val want = EventStream.attributeOrAbandon(
+      side("click"), side("purchase"), horizonSeconds = 1800)
+    val matched = got.filter(col("purchase_ts").isNotNull).count()
+    val abandoned = got.filter(col("purchase_ts").isNull).count()
+    Seq(("stream_outer_join", matched, abandoned, setEqual(got, want)))
+      .toDF("metric", "n_matched", "n_abandoned", "stream_matches_batch")
+  }
+
+  val streamOuterJoinSql: String =
+    """WITH c AS (SELECT user_id, ts FROM events
+      |      WHERE event_id < 2000 AND event_type = 'click'),
+      |p AS (SELECT user_id, ts FROM events
+      |      WHERE event_id < 2000 AND event_type = 'purchase'),
+      |m AS (SELECT c.user_id, c.ts,
+      |    COUNT(p.ts) AS hits
+      |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECOND
+      |  GROUP BY c.user_id, c.ts)
+      |SELECT 'stream_outer_join' AS metric,
+      |  CAST(SUM(hits) AS BIGINT) AS n_matched,
+      |  CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+      |  TRUE AS stream_matches_batch
+      |FROM m""".stripMargin
 
   // ------------------------------------------------- oracle SQL (DuckDB)
 
