@@ -624,70 +624,22 @@ object Relational {
   def globalRank(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
                  nParts: Int = 32, rankCol: String = "rn",
                  countCol: String = "n"): DataFrame = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
-    import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.LongType
-    import org.apache.spark.unsafe.types.UTF8String
     require(sortCols.nonEmpty, "globalRank needs at least one sort column")
     val keyCols = (groupCols ++ sortCols).map(col(_))
-    val parts = df.repartitionByRange(nParts, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val gIdx = groupCols.map(parts.schema.fieldIndex).toArray
-    val gTypes = gIdx.map(parts.schema(_).dataType)
-    // the sequential rank pass runs at the InternalRow (Tungsten)
-    // level: the external-Row form paid a full deserialize/serialize
-    // of every field per row just to APPEND one long. Group-key values
-    // are copied out of the (reused) row buffer because they are held
-    // across next(); equality is value-based for atomic + string keys
-    // (group keys here are strings/longs — nested types would need
-    // ordering-aware comparison).
-    val outSchema = parts.schema.add("__local_rn", LongType, nullable = false)
-    val local = org.apache.spark.sql.graftfn.PlanBridge
-      .internalMapPartitions(parts, outSchema) { it =>
-        val rank = new GenericInternalRow(1)
-        val joined = new JoinedRow
-        var key: Array[Any] = null
-        var r = 0L
-        def keyOf(row: InternalRow): Array[Any] = {
-          val k = new Array[Any](gIdx.length)
-          var i = 0
-          while (i < gIdx.length) {
-            k(i) = row.get(gIdx(i), gTypes(i)) match {
-              case u: UTF8String => u.copy()
-              case a: ArrayData => a.copy()
-              case m: MapData => m.copy()
-              case ir: InternalRow => ir.copy()
-              case other => other
-            }
-            i += 1
-          }
-          k
-        }
-        it.map { row =>
-          if (gIdx.nonEmpty) {
-            val k = keyOf(row)
-            if (key == null || !java.util.Arrays.equals(
-                k.asInstanceOf[Array[AnyRef]], key.asInstanceOf[Array[AnyRef]])) {
-              key = k; r = 0L
-            }
-          }
-          r += 1
-          rank.update(0, r)
-          joined(row, rank)
-        }
-      }
-    // counts MUST come from the ranked frame, not from `parts`: the
-    // ranked frame is one shared RDD, so the offsets job reuses the
-    // SAME range shuffle (map outputs are reused across jobs). A
-    // second execution of repartitionByRange would re-sample its
-    // boundaries (the sampler seed involves the RDD id) and assign
-    // rows near a boundary to DIFFERENT __pids than the rank pass saw,
-    // silently corrupting the offset math. Windows below run over
-    // #partitions × #groups COUNT rows, not data.
-    val counts = local.groupBy((groupCols :+ "__pid").map(col(_)): _*)
+    // ONE explicit range exchange shared by both branches below. The
+    // rank branch is the native LocalRank operator (InternalRow pass;
+    // its required ordering plants the sort above the exchange); the
+    // counts branch aggregates the exchange output DIRECTLY — no sort,
+    // no second rank pass. Because both branches consume the same
+    // canonical exchange subplan, ReuseExchange / AQE stage reuse
+    // makes their partition ids identical by construction (two
+    // executions of repartitionByRange would re-sample boundaries and
+    // disagree on boundary rows — the r6 regression).
+    val parts0 = df.repartitionByRange(nParts, keyCols: _*)
+    val local = graft.plans.LocalRank.withLocalRank(parts0, groupCols, sortCols)
+    val counts = parts0.withColumn("__pid", spark_partition_id())
+      .groupBy((groupCols :+ "__pid").map(col(_)): _*)
       .agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(groupCols.map(col(_)): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

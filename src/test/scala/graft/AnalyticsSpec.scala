@@ -174,14 +174,13 @@ class AnalyticsSpec extends SparkSpec {
     ours.foreach { case (k, v) =>
       assert(math.abs(v - builtin(k)) < 1e-4, s"$k: $v vs ${builtin(k)}")
     }
-    // the distributed plan: ranks ride globalRank's pre-materialized
-    // range-partitioned pass (its exchange lives inside the scanned
-    // RDD lineage since the InternalRow rewrite — PropertySpec pins
-    // rank correctness), so the visible plan must consume that scan
-    // with NO per-group single-reducer sort anywhere
+    // the distributed plan: ranks ride the native LocalRank operator
+    // over a visible range repartition, with NO per-group
+    // single-reducer sort anywhere
     val plan = Analytics.quantilesInterp(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("LocalRank"), plan)
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
     // any window left runs over per-(partition, group) COUNT rows —
     // never over the value column
     assert(!"windowspecdefinition\\([^)]*value".r.findAllIn(plan).hasNext, plan)

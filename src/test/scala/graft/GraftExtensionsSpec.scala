@@ -62,6 +62,9 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(s2.sessionState.planner.strategies
         .contains(graft.plans.AsOfJoinStrategy),
         s2.sessionState.planner.strategies.mkString(", "))
+      assert(s2.sessionState.planner.strategies
+        .contains(graft.plans.LocalRankStrategy),
+        s2.sessionState.planner.strategies.mkString(", "))
     }
   }
 

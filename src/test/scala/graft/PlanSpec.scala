@@ -211,10 +211,10 @@ class PlanSpec extends SparkSpec {
     for (df <- Seq(Relational.quantiles(spark, sf),
                    Relational.approxQuantileGate(spark, sf))) {
       val p = plan(df).split("== Initial Plan ==")(0)
-      // ranks ride globalRank's pre-materialized range-partitioned
-      // pass (the exchange lives inside the scanned RDD lineage since
-      // the InternalRow rewrite; PropertySpec pins rank correctness)
-      assert(p.contains("Scan ExistingRDD"), p)
+      // ranks ride the native LocalRank operator over a visible range
+      // repartition (PropertySpec pins rank correctness)
+      assert(p.contains("LocalRank"), p)
+      assert(p.toLowerCase.contains("rangepartitioning"), p)
       // no window orders raw values within a 3-partition group — any
       // window left runs over the tiny per-(partition, group) counts
       assert(!"windowspecdefinition\\([^)]*value".r.findAllIn(p).hasNext, p)
@@ -267,7 +267,8 @@ class PlanSpec extends SparkSpec {
   test("corpus shuffle ranks via range repartition, not a global sort") {
     val p = plan(operators.TrainingQueries.corpusShuffle(spark, sf))
       .split("== Initial Plan ==")(0)
-    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("LocalRank"), p)
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
     // the only window orders per-partition COUNT rows by __pid — no
     // window (and no single-partition exchange) ever orders documents
     assert(!"windowspecdefinition\\([^)]*(shuffle_key|doc_id)".r.findAllIn(p).hasNext, p)
@@ -409,9 +410,10 @@ class PlanSpec extends SparkSpec {
       if (d == 10) assert(k == n, s"decile 10 must keep all: $k of $n")
     }
     val p = plan(operators.CorpusAnalytics.qualityMixSample(spark, sf))
-    // ranks come from globalRank's pre-materialized range-partitioned
-    // pass, not a global sort (no row_number window over documents)
-    assert(p.contains("Scan ExistingRDD"), p)
+    // ranks come from the native LocalRank over a range repartition,
+    // not a global sort (no row_number window over documents)
+    assert(p.contains("LocalRank"), p)
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
     assert(!p.contains("row_number"), p)
   }
 
