@@ -453,6 +453,51 @@ object CorpusAnalytics {
       |    x -> x.chunk), ' ')), 0) AS BIGINT) AS dedup_len
       |FROM k GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- E52
+  /** Robust per-source outlier fences (Tukey IQR): q1/q3 are EXACT
+    * rank-selected quantiles from the distributed rank operator (no
+    * interpolation, no sketch — the fences must be reproducible), the
+    * fence arithmetic stays exact in binary (×1.5 of an integer-valued
+    * spread), and each source's outlier count comes from one broadcast
+    * join of the 2-row-per-source fence table. The length-outlier trim
+    * every corpus intake applies before quality scoring. */
+  def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("double").as("value"))
+    val qs = Relational.exactQuantiles(docs, Seq("source"), "value",
+      ps = Seq(0.25, 0.75))
+    val fences = qs.groupBy(col("source")).agg(
+        max(when(col("p") === 0.25, col("value"))).as("q1"),
+        max(when(col("p") === 0.75, col("value"))).as("q3"))
+      .select(col("source"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    docs.join(broadcast(fences), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+  }
+
+  val iqrOutliersSql: String =
+    """WITH w AS (SELECT source, CAST(n_chars AS DOUBLE) AS value,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |q AS (SELECT source,
+      |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT) THEN value END) AS q1,
+      |    MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT) THEN value END) AS q3
+      |  FROM w GROUP BY source),
+      |f AS (SELECT source, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+      |  FROM q)
+      |SELECT w.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  MAX(lo) AS lo, MAX(hi) AS hi
+      |FROM w JOIN f ON w.source = f.source
+      |GROUP BY w.source""".stripMargin
+
   // --------------------------------------------------------------- E51
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): featurize every

@@ -86,6 +86,57 @@ object TrainingQueries {
         .select(col("id_a"), col("id_b")))
       .select(col("id").as("doc_id"), col("component"))
 
+  // ----------------------------------------------------------- E53
+  /** Best-of-cluster canonical selection: within every near-dup
+    * cluster keep the LONGEST member (ties to the lower doc_id) — the
+    * keep-best policy real corpus dedup applies instead of
+    * keep-lowest-id, since near-dups usually differ by truncation.
+    * One argmax aggregate per component (max over a (length, −id)
+    * struct — no window over members), lengths joined from the corpus. */
+  def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithMutations(s, dir)
+      .select(col("doc_id"), length(col("text")).as("doc_len"))
+    val clusters = dedupClusters(s, dir)
+    clusters.join(docs, "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("doc_len"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("component"), col("cluster_size"),
+        (-col("best").getField("neg_id")).as("kept_doc_id"),
+        col("best").getField("doc_len").as("kept_len"))
+  }
+
+  val canonicalDocsSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |mut AS (SELECT doc_id + 10000 AS doc_id,
+      |  list_append(toks[1:len(toks)-1], 'zzz') AS toks FROM d),
+      |allv AS (SELECT * FROM d UNION ALL SELECT * FROM mut),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM allv),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION SELECT id_b AS src, id_a AS dst FROM p),
+      |reach AS (SELECT src, dst FROM e
+      |          UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+      |                 WHERE e.dst <> r.src),
+      |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      |         FROM reach GROUP BY src),
+      |lens AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS doc_len
+      |         FROM allv),
+      |ranked AS (SELECT component, doc_id, doc_len,
+      |    ROW_NUMBER() OVER (PARTITION BY component
+      |      ORDER BY doc_len DESC, doc_id ASC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      |  FROM comp JOIN lens USING (doc_id))
+      |SELECT component, CAST(cluster_size AS BIGINT) AS cluster_size,
+      |  doc_id AS kept_doc_id, CAST(doc_len AS INTEGER) AS kept_len
+      |FROM ranked WHERE rk = 1""".stripMargin
+
   val dedupClustersSql: String =
     """WITH RECURSIVE
       |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
