@@ -622,10 +622,16 @@ object Relational {
     * #partitions COUNT rows, never data, so the single-reducer window
     * warning it triggers is inherently bounded. */
   def globalRank(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
-                 nParts: Int = 32, rankCol: String = "rn",
+                 nParts: Int = -1, rankCol: String = "rn",
                  countCol: String = "n"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sortCols.nonEmpty, "globalRank needs at least one sort column")
+    // nParts < 0 → follow the session's shuffle parallelism: a fixed
+    // default (the old 32) would range-partition a 100 TB table into
+    // 32 slices no matter how many executors the cluster has
+    val numParts =
+      if (nParts > 0) nParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val keyCols = (groupCols ++ sortCols).map(col(_))
     // ONE explicit range exchange shared by both branches below. The
     // rank branch is the native LocalRank operator (InternalRow pass;
@@ -636,7 +642,7 @@ object Relational {
     // makes their partition ids identical by construction (two
     // executions of repartitionByRange would re-sample boundaries and
     // disagree on boundary rows — the r6 regression).
-    val parts0 = df.repartitionByRange(nParts, keyCols: _*)
+    val parts0 = df.repartitionByRange(numParts, keyCols: _*)
     val local = graft.plans.LocalRank.withLocalRank(parts0, groupCols, sortCols)
     val counts = parts0.withColumn("__pid", spark_partition_id())
       .groupBy((groupCols :+ "__pid").map(col(_)): _*)
@@ -665,7 +671,7 @@ object Relational {
     * rank neighborhood and the VALUE at any rank is unique regardless
     * of tie order, so the result is exact and deterministic. */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                     ps: Seq[Double], nParts: Int = 32): DataFrame = {
+                     ps: Seq[Double], nParts: Int = -1): DataFrame = {
     val ranked = globalRank(df.select((groupCols :+ valueCol).map(col(_)): _*),
       groupCols, Seq(valueCol), nParts)
     val matched = array(ps.map(p =>
@@ -679,7 +685,7 @@ object Relational {
     * family, via [[globalRank]]: rn = 1-based value-ascending rank
     * within line status, n = group size. */
   private[operators] def rankedByGroup(s: SparkSession, dir: String,
-                                       nParts: Int = 32): DataFrame =
+                                       nParts: Int = -1): DataFrame =
     globalRank(
       Tables.lineitem(s, dir)
         .select(col("l_linestatus"), col("l_extendedprice").as("value")),
