@@ -36,6 +36,7 @@ object GraftFunctions {
       UnicodeNormalize(args.head, form)
     },
     "float_vec_dot" -> { args => FloatVecDot(args(0), args(1)) },
+    "deflate_ratio" -> { args => DeflateRatio(args.head) },
     "minhash_band_keys" -> { args =>
       MinHashBandKeys(args(0),
         intArg(args(1), "numBands"), intArg(args(2), "rowsPerBand"))

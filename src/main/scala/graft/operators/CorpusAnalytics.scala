@@ -498,6 +498,46 @@ object CorpusAnalytics {
       |FROM w JOIN f ON w.source = f.source
       |GROUP BY w.source""".stripMargin
 
+  // --------------------------------------------------------------- E54
+  /** Per-document deflate compression ratio — the redundancy signal
+    * quality filters use against templated/generated text (natural
+    * prose compresses far less than repeated boilerplate). The zlib
+    * bytes aren't recomputable in SQL, so the per-doc ratios are
+    * rows-only; [[compressionGate]] pins the signal's separation
+    * property as the exact-oracle companion. */
+  def compressionRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        round(graft.functions.CompressExprs.deflateRatio(col("text")), 6)
+          .as("ratio"))
+
+  /** Exact-oracle gate: text built by repeating one token 100× MUST
+    * compress below every real document — if the planted maximum ever
+    * reaches the real minimum, the signal has no separating power and
+    * the boolean flips. */
+  def compressionGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val real = docs.select(
+      graft.functions.CompressExprs.deflateRatio(col("text")).as("ratio"))
+    val planted = docs.select(
+      graft.functions.CompressExprs.deflateRatio(
+        concat_ws(" ", array_repeat(split(col("text"), " ").getItem(0), 100)))
+        .as("ratio"))
+    val r = real.agg(count(lit(1)).as("n"), min(col("ratio")).as("mn")).head()
+    val p = planted.agg(count(lit(1)).as("n"), max(col("ratio")).as("mx")).head()
+    import s.implicits._
+    Seq(("compression_separation", r.getLong(0), p.getLong(0),
+        p.getDouble(1) < r.getDouble(1)))
+      .toDF("metric", "n_real", "n_planted", "separable")
+  }
+
+  val compressionGateSql: String =
+    """SELECT 'compression_separation' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_real,
+      |  CAST(COUNT(*) AS BIGINT) AS n_planted,
+      |  TRUE AS separable
+      |FROM documents""".stripMargin
+
   // --------------------------------------------------------------- E51
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): featurize every

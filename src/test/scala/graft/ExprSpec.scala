@@ -168,4 +168,30 @@ class ExprSpec extends SparkSpec {
     // invalid form fails fast at construction
     intercept[IllegalArgumentException](normalizeUnicode(col("t"), "NFX"))
   }
+
+  test("deflate_ratio: repetitive text compresses far below varied text; deterministic") {
+    import spark.implicits._
+    import graft.functions.CompressExprs.deflateRatio
+    val rep = ("spam " * 200).trim
+    val varied = (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val r = Seq((rep, varied)).toDF("a", "b")
+      .select(deflateRatio(col("a")).as("ra"), deflateRatio(col("b")).as("rb"))
+      .head()
+    assert(r.getDouble(0) < 0.1, s"repetitive ratio ${r.getDouble(0)}")
+    assert(r.getDouble(1) > r.getDouble(0) * 3,
+      s"no separation: ${r.getDouble(1)} vs ${r.getDouble(0)}")
+    // deterministic across evaluations
+    val again = Seq(rep).toDF("a").select(deflateRatio(col("a"))).head().getDouble(0)
+    assert(again == r.getDouble(0))
+    // empty → 1.0, null passes through
+    val edge = Seq(("", Option.empty[String])).toDF("e", "n")
+      .select(deflateRatio(col("e")), deflateRatio(col("n"))).head()
+    assert(edge.getDouble(0) == 1.0)
+    assert(edge.isNullAt(1))
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    Seq(rep).toDF("t").createOrReplaceTempView("dr_t")
+    assert(spark.sql("SELECT deflate_ratio(t) FROM dr_t")
+      .head().getDouble(0) == r.getDouble(0))
+  }
 }
