@@ -59,6 +59,12 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // release the previous queries' leftovers BEFORE the clock
+      // starts: localCheckpoint blocks (k-means, connected components)
+      // and broadcasts are only dropped by the ContextCleaner after a
+      // driver GC, and letting them pile up across 180+ queries showed
+      // up as multi-second phantom spikes on innocent neighbors
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
