@@ -702,4 +702,42 @@ object Analytics {
       |  ROUND(CASE WHEN (n-1)*p - FLOOR((n-1)*p) = 0 THEN lo
       |        ELSE lo + ((n-1)*p - FLOOR((n-1)*p)) * (hi - lo) END, 6) AS value
       |FROM c""".stripMargin
+
+  // --------------------------------------------------------------- D63
+  /** GROUPS window frame (SQL:2011 `GROUPS BETWEEN k PRECEDING AND
+    * CURRENT ROW`) — the frame neither Spark nor DuckDB implements:
+    * the trailing window counted in PEER GROUPS (distinct order-key
+    * values), not rows and not value range. Emulated with two
+    * windows over the raw rows: dense_rank assigns each peer group
+    * one integer, then a RANGE frame of width k on that rank sums
+    * whole groups. The oracle verifies through an INDEPENDENT
+    * formulation (pre-aggregate each peer group, then a ROWS frame),
+    * so the emulation's group semantics — every peer row carries the
+    * full 3-group sum — is cross-checked, not mirrored. Sums ride
+    * decimals so both engines agree bit-for-bit. Scale: both windows
+    * partition by o_custkey (high cardinality — parallel); the
+    * distinct collapses peers AFTER the frame. */
+  def groupsFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("dr"))
+      .rangeBetween(-2, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("dr", dense_rank().over(w1))
+      .withColumn("g_sum",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w2).cast("double"))
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"), col("g_sum"))
+      .distinct()
+  }
+
+  val groupsFrameSql: String =
+    """WITH d AS (SELECT o_custkey, o_orderdate AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS day_sum
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(SUM(day_sum) OVER (PARTITION BY o_custkey ORDER BY day
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS g_sum
+      |FROM d""".stripMargin
 }
