@@ -473,4 +473,38 @@ class PlanSpec extends SparkSpec {
       // partition AFTER the pair aggregate; the raw-events lag must not
       p.indexOf("SinglePartition") > p.indexOf("partial_count"), p)
   }
+
+  test("canonical selection is an argmax aggregate per component — no member window") {
+    val p = plan(operators.TrainingQueries.canonicalDocs(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // the best member comes from max(struct(len, -id)) with map-side
+    // partials, never a row_number window over cluster members
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("DSIR: the ratio table broadcasts back; document text never shuffles") {
+    val p = plan(operators.CorpusAnalytics.dsirWeights(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // every exchange carries hashed buckets / doc partials — if 'text'
+    // appears in any Exchange's schema the corpus is being shuffled
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), l)
+    }
+  }
+
+  test("iqr fences: quantiles ride LocalRank; the fence table broadcasts") {
+    val p = plan(operators.CorpusAnalytics.iqrOutliers(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("LocalRank"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("groups-frame windows partition by the high-cardinality key, never one reducer") {
+    val p = plan(operators.Analytics.groupsFrame(spark, sf))
+    assert(p.contains("Window"), p) // the emulation IS two windows
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
