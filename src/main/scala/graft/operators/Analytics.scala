@@ -621,7 +621,7 @@ object Analytics {
           .as("value"))
   }
 
-  // --------------------------------------------------------------- D62
+  // --------------------------------------------------------------- D64
   /** Period-over-period comparison: month-over-month revenue deltas.
     * The lag window runs over the MONTH AGGREGATE (≈ tens of rows —
     * aggregate first, window on the rollup, the D58 discipline), so
@@ -656,7 +656,7 @@ object Analytics {
       |  ROUND((revenue - prev_revenue) / prev_revenue * 100.0, 4) AS pct_change
       |FROM l""".stripMargin
 
-  // --------------------------------------------------------------- D63
+  // --------------------------------------------------------------- D65
   /** Retention cohort matrix: users bucketed by first-activity day,
     * then distinct active users per (cohort, age-in-days). The
     * classic product-analytics rollup, shaped for scale: the raw

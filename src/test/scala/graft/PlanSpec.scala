@@ -474,6 +474,28 @@ class PlanSpec extends SparkSpec {
       p.indexOf("SinglePartition") > p.indexOf("partial_count"), p)
   }
 
+  test("period delta: lag window runs over the month aggregate, not raw orders") {
+    val p = plan(operators.Analytics.periodDelta(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // aggregate with map-side partials must sit BELOW the (calendar-
+    // bounded, hence legally single-partition) lag window
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("partial_sum")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected partial month aggregation below the lag window:\n$p")
+  }
+
+  test("retention: distinct collapses (user,day) before cohorts; no window, no single reducer") {
+    val p = plan(operators.Analytics.retention(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // raw events collapse via a partial-capable distinct aggregate
+    assert(p.contains("HashAggregate"), p)
+    // cohort assignment is an aggregate + user-keyed join — never a
+    // min() window over raw events, never a single-partition exchange
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("canonical selection is an argmax aggregate per component — no member window") {
     val p = plan(operators.TrainingQueries.canonicalDocs(spark, sf))
       .split("== Initial Plan ==")(0)
