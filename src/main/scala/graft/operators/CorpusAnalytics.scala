@@ -407,11 +407,15 @@ object CorpusAnalytics {
     * in order. Output per document: chunk counts plus the deduped
     * text's length.
     *
-    * Scale shape: one shuffle keyed by the chunk value to find first
-    * occurrences (production would key on xxhash128(chunk) to keep the
-    * exchange rows small; the exact string key here keeps the oracle
-    * collision-free), one broadcast-free equi-join back, one doc-keyed
-    * aggregation to reassemble. No window over the corpus. */
+    * Scale shape: first-occurrence resolution rides a 128-bit content
+    * key (two independent xxhash64 seeds), so the firsts aggregate and
+    * the kept-flag join exchange 16-byte hashes, never chunk text. The
+    * text itself crosses the wire exactly ONCE, keyed by doc_id, where
+    * the flag join and the reassembly aggregate both consume that one
+    * explicit exchange (HashPartitioning(doc_id) satisfies both the
+    * (doc_id, pos) join and the doc_id aggregate). The DuckDB oracle
+    * resolves on the exact string, so any hash-collision effect would
+    * fail the gate. No window over the corpus. */
   def paragraphDedup(s: SparkSession, dir: String, window: Int = 20): DataFrame = {
     val w = window
     val chunks = Tables.documents(s, dir)
@@ -420,11 +424,17 @@ object CorpusAnalytics {
         s"""transform(sequence(0, CAST(ceil(size(toks) / $w.0) AS INT) - 1),
            |  i -> array_join(slice(toks, i * $w + 1, $w), ' '))""".stripMargin))
         .as(Seq("pos", "chunk")))
-    val firsts = chunks.groupBy(col("chunk"))
+    val keyed = chunks.select(col("doc_id"), col("pos"),
+      xxhash64(col("chunk")).as("h1"),
+      xxhash64(lit(7), col("chunk")).as("h2"))
+    val firsts = keyed.groupBy(col("h1"), col("h2"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    chunks.join(firsts, "chunk")
-      .withColumn("kept",
-        struct(col("doc_id"), col("pos")) === col("first"))
+    val flags = keyed.join(firsts, Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"),
+        (struct(col("doc_id"), col("pos")) === col("first")).as("kept"))
+      .repartition(col("doc_id"))
+    chunks.repartition(col("doc_id"))
+      .join(flags, Seq("doc_id", "pos"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),

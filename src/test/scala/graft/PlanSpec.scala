@@ -474,6 +474,35 @@ class PlanSpec extends SparkSpec {
       p.indexOf("SinglePartition") > p.indexOf("partial_count"), p)
   }
 
+  test("paragraph dedup: chunk text crosses exactly one doc-keyed exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.StringType
+    val df = operators.CorpusAnalytics.paragraphDedup(spark, sf)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val root = df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan
+    val shuffles = nodes(root).collect { case e: ShuffleExchangeLike => e }.distinct
+    assert(shuffles.nonEmpty, root.toString)
+    // the firsts aggregate and the kept-flag join move 16-byte hash
+    // keys; only the one explicit doc_id repartition may carry strings
+    val stringShuffles = shuffles.filter(
+      _.output.exists(_.dataType == StringType))
+    assert(stringShuffles.size == 1,
+      s"expected exactly one text-carrying exchange, got " +
+        s"${stringShuffles.size}:\n$root")
+    assert(stringShuffles.head.outputPartitioning.toString.contains("doc_id"),
+      stringShuffles.head.toString)
+  }
+
   test("period delta: lag window runs over the month aggregate, not raw orders") {
     val p = plan(operators.Analytics.periodDelta(spark, sf))
       .split("== Initial Plan ==")(0)
