@@ -737,6 +737,32 @@ object TrainingQueries {
       |  CAST(16 AS INTEGER) AS feature_dim
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- E12 (real video metadata decode)
+  /** REAL video metadata decode end-to-end: plant a deterministic
+    * minimal MP4 per document (presentation size and duration derived
+    * from doc_id), walk its ISO BMFF `moov`/`mvhd`/`tkhd` boxes on
+    * executors, and emit the recovered width / height / duration_ms —
+    * the oracle recomputes them from doc_id, so a decode that lies
+    * about video geometry fails the hash compare. */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id,
+        Multimodal.syntheticMp4(16 * (1 + (id % 16)).toInt,
+          16 * (1 + (id % 8)).toInt, 1000 + (id % 5000).toInt, id),
+        "video/mp4"))
+    Multimodal.decodeFeatures(s, media)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("duration_ms"), col("feature_dim"))
+  }
+
+  val multimodalVideoSql: String =
+    """SELECT doc_id, CAST(16 * (1 + doc_id % 16) AS INTEGER) AS width,
+      |  CAST(16 * (1 + doc_id % 8) AS INTEGER) AS height,
+      |  CAST(1000 + doc_id % 5000 AS INTEGER) AS duration_ms,
+      |  CAST(16 AS INTEGER) AS feature_dim
+      |FROM documents""".stripMargin
+
   // ----------------------------------------------------------- E30
   /** Deterministic distributed corpus shuffle — the trainer-prep
     * "global shuffle" step: every document gets a reproducible

@@ -93,6 +93,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f.media_len == 250 && f.frame_count == 3) // stub metadata math
   }
 
+  test("planted MP4s decode to real duration and presentation geometry") {
+    import spark.implicits._
+    val media = spark.range(0, 20).as[Long]
+      .map(id => Multimodal.MediaRow(id,
+        Multimodal.syntheticMp4(16 * (1 + (id % 16)).toInt,
+          16 * (1 + (id % 8)).toInt, 1000 + (id % 5000).toInt, id),
+        "video/mp4"))
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.width == 16 * (1 + (f.doc_id % 16)).toInt, s"doc ${f.doc_id} width")
+      assert(f.height == 16 * (1 + (f.doc_id % 8)).toInt, s"doc ${f.doc_id} height")
+      assert(f.duration_ms == 1000 + (f.doc_id % 5000).toInt, s"doc ${f.doc_id} duration")
+      assert(f.frame_count == 0 && f.sample_rate == 0 && f.channels == 0)
+      assert(f.features.length == Multimodal.FeatureDim)
+    }
+  }
+
+  test("an undecodable video payload falls back to the stub, not a crash") {
+    import spark.implicits._
+    // junk bytes, a truncated real MP4, and a moov-less MP4 must all
+    // quarantine to the stub path
+    val real = Multimodal.syntheticMp4(32, 16, 2000, 1L)
+    val payloads = Seq(
+      Array.tabulate(250)(i => (i * 11).toByte),
+      real.take(real.length / 2),
+      real.take(24)) // ftyp only
+    val media = spark.range(0, 3).as[Long]
+      .map(id => Multimodal.MediaRow(id, payloads(id.toInt), "video/mp4"))
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+    feats.foreach { f =>
+      assert(f.width == 0 && f.height == 0 && f.duration_ms == 0, s"doc ${f.doc_id}")
+      assert(f.frame_count == f.media_len / 100 + 1) // stub metadata math
+    }
+  }
+
   test("frame sampling explodes capped, strided frame indexes") {
     val media = Multimodal.toMediaRows(spark,
       Tables.documents(spark, sf).limit(5), "doc_id", "text")
