@@ -100,6 +100,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    ext.injectPlannerStrategy(_ => graft.plans.LocalRankStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }
 }

@@ -624,7 +624,6 @@ object Relational {
   def globalRank(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
                  nParts: Int = -1, rankCol: String = "rn",
                  countCol: String = "n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(sortCols.nonEmpty, "globalRank needs at least one sort column")
     // nParts < 0 → follow the session's shuffle parallelism: a fixed
     // default (the old 32) would range-partition a 100 TB table into
@@ -633,34 +632,14 @@ object Relational {
       if (nParts > 0) nParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val keyCols = (groupCols ++ sortCols).map(col(_))
-    // ONE explicit range exchange shared by both branches below. The
-    // rank branch is the native LocalRank operator (InternalRow pass;
-    // its required ordering plants the sort above the exchange); the
-    // counts branch aggregates the exchange output DIRECTLY — no sort,
-    // no second rank pass. Because both branches consume the same
-    // canonical exchange subplan, ReuseExchange / AQE stage reuse
-    // makes their partition ids identical by construction (two
-    // executions of repartitionByRange would re-sample boundaries and
-    // disagree on boundary rows — the r6 regression).
+    // ONE explicit range exchange, consumed twice INSIDE the native
+    // GlobalRank operator (a counting job straight off the shuffle
+    // output, then the single planned sort + rank pass) — partition
+    // ids coherent by construction, no offsets aggregate, no window,
+    // no broadcast join (see plans/GlobalRank.scala).
     val parts0 = df.repartitionByRange(numParts, keyCols: _*)
-    val local = graft.plans.LocalRank.withLocalRank(parts0, groupCols, sortCols)
-    val counts = parts0.withColumn("__pid", spark_partition_id())
-      .groupBy((groupCols :+ "__pid").map(col(_)): _*)
-      .agg(count(lit(1)).as("__c"))
-    val wOff = Window.partitionBy(groupCols.map(col(_)): _*).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(groupCols.map(col(_)): _*)
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .withColumn(countCol, sum(col("__c")).over(wAll))
-      .select((groupCols.map(n => col(n).as(s"__g_$n")) ++
-        Seq(col("__pid").as("__pid2"), col("__off"), col(countCol))): _*)
-    val cond = groupCols.map(n => col(n) <=> col(s"__g_$n"))
-      .foldLeft(col("__pid") === col("__pid2"))(_ && _)
-    local.join(broadcast(offsets), cond)
-      .withColumn(rankCol, col("__off") + col("__local_rn"))
-      .drop((Seq("__pid", "__pid2", "__local_rn", "__off") ++
-        groupCols.map("__g_" + _)): _*)
+    graft.plans.GlobalRank.withGlobalRank(parts0, groupCols, sortCols,
+      rankCol, countCol)
   }
 
   /** Exact per-group quantiles by rank selection over [[globalRank]]:

@@ -1,0 +1,190 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, Literal, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.execution.{SortExec, SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftfn.PlanBridge
+import org.apache.spark.sql.types.LongType
+
+/** Native distributed global rank as ONE custom physical operator — a
+  * [[LogicalPlan]] node, a [[SparkStrategy]], and a [[SparkPlan]] that
+  * appends every row's 1-based global rank within its group (`rnAttr`)
+  * and its group's total size (`nAttr`).
+  *
+  * Shape: `requiredChildDistribution = OrderedDistribution(group ++
+  * order)` plants ONE range exchange (satisfied for free by an
+  * existing `repartitionByRange`), so every partition holds a
+  * contiguous slice of the key space. `doExecute` then consumes that
+  * exchange twice within the SAME query execution — partition ids are
+  * coherent by construction, the guarantee the earlier two-branch
+  * plan needed ReuseExchange for:
+  *
+  *  1. a lightweight counting job hash-aggregates per-partition group
+  *     counts straight off the (unsorted) shuffle output — no sort,
+  *     no second exchange, no window, and the driver-side merge is
+  *     O(#groups + #partitions) because range partitioning keeps each
+  *     group in consecutive partitions;
+  *  2. the rank pass sorts each partition with a planned [[SortExec]]
+  *     (Tungsten radix sort, spill-aware) and emits `offset + local
+  *     position` in one sequential InternalRow pass, looking up the
+  *     broadcast (offset, total) maps only at group-run boundaries.
+  *
+  * This replaces the previous LocalRank operator + counts-aggregate +
+  * offsets-window + broadcast-join tail: the sort still runs exactly
+  * once over the data, and the per-row broadcast-join probe is gone.
+  * Group cardinality bounds the broadcast exactly as it bounded the
+  * old offsets broadcast. Ranks among `order` ties follow
+  * partition-local order — pass a total order when exact positions
+  * must be deterministic. */
+case class GlobalRankPlan(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
+                          rnAttr: Attribute, nAttr: Attribute,
+                          child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rnAttr :+ nAttr
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(rnAttr, nAttr))
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRankPlan =
+    copy(child = newChild)
+}
+
+object GlobalRankPlan {
+  def create(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
+             rankCol: String, countCol: String, child: LogicalPlan): GlobalRankPlan =
+    GlobalRankPlan(groupExprs, orderExprs,
+      AttributeReference(rankCol, LongType, nullable = false)(),
+      AttributeReference(countCol, LongType, nullable = false)(),
+      child)
+}
+
+case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
+                          rnAttr: Attribute, nAttr: Attribute,
+                          child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rnAttr :+ nAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(rnAttr, nAttr))
+
+  private def sortOrders: Seq[SortOrder] =
+    (groupExprs ++ orderExprs).map(SortOrder(_, Ascending))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(sortOrders) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  // the internal SortExec pass emits each partition in (group ++
+  // order) order — declared so downstream consumers never re-sort
+  override def outputOrdering: Seq[SortOrder] = sortOrders
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    // a constant key expression keeps the no-group case on the same
+    // code path: one global group
+    val keyExprs = if (groupExprs.isEmpty) Seq(Literal(1)) else groupExprs
+    val childRDD = child.execute()
+    val sc = childRDD.sparkContext
+
+    // Pass 1: per-partition group counts, hash-aggregated straight off
+    // the exchange output (UnsafeRow keys — bytes-equality, so SQL
+    // null-safe group semantics hold). An extra job over the same
+    // shuffle files; the data is NOT sorted here, so the sort below
+    // still runs exactly once.
+    val perPart: Array[mutable.HashMap[UnsafeRow, Long]] =
+      sc.runJob(childRDD, (it: Iterator[InternalRow]) => {
+        val proj = UnsafeProjection.create(keyExprs, childOutput)
+        val m = new mutable.HashMap[UnsafeRow, Long]
+        it.foreach { row =>
+          val k = proj(row)
+          m.get(k) match {
+            case Some(c) => m.update(k, c + 1L) // existing stored key kept
+            case None => m.update(k.copy(), 1L) // k is a reused buffer
+          }
+        }
+        m
+      })
+
+    // Driver merge: running prefix sums give each (partition, group)
+    // its offset; the final sums are the group totals. Range
+    // partitioning keeps each group contiguous, so total entries are
+    // O(#groups + #partitions).
+    val running = new mutable.HashMap[UnsafeRow, Long]
+    val offsetsPerPid: Array[Map[UnsafeRow, Long]] = perPart.map { m =>
+      val off = m.iterator.map { case (k, _) => k -> running.getOrElse(k, 0L) }.toMap
+      m.foreach { case (k, c) => running.update(k, running.getOrElse(k, 0L) + c) }
+      off
+    }
+    val bcOff = sc.broadcast(offsetsPerPid)
+    val bcTot = sc.broadcast(running.toMap)
+
+    // Pass 2: planned per-partition sort, then one sequential pass —
+    // broadcast lookups happen only at group-run boundaries. Output
+    // rides an UnsafeProjection: downstream consumers (collect,
+    // exchanges) require UnsafeRow.
+    val outAttrs = output
+    SortExec(sortOrders, global = false, child = child).execute()
+      .mapPartitionsWithIndex({ (pid, it) =>
+        val proj = UnsafeProjection.create(keyExprs, childOutput)
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val myOff = bcOff.value(pid)
+        val totals = bcTot.value
+        val extra = new GenericInternalRow(2)
+        val joined = new JoinedRow
+        var curKey: UnsafeRow = null
+        var off = 0L
+        var total = 0L
+        var local = 0L
+        it.map { row =>
+          val k = proj(row)
+          if (curKey == null || k != curKey) {
+            curKey = k.copy()
+            off = myOff.getOrElse(curKey, 0L)
+            total = totals.getOrElse(curKey, 0L)
+            local = 0L
+          }
+          local += 1L
+          extra.update(0, off + local)
+          extra.update(1, total)
+          outProj(joined(row, extra))
+        }
+      }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GlobalRankExec =
+    copy(child = newChild)
+}
+
+object GlobalRankStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GlobalRankPlan(g, o, rn, n, child) =>
+      GlobalRankExec(g, o, rn, n, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object GlobalRank {
+  /** DataFrame API: appends `rankCol` (1-based global rank within the
+    * group under sortCols order) and `countCol` (group size), both
+    * long. Registers the planner strategy on the session
+    * idempotently. */
+  def withGlobalRank(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
+                     rankCol: String = "rn", countCol: String = "n"): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GlobalRankStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GlobalRankStrategy
+    }
+    val plan = PlanBridge.analyzed(df)
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute = plan.output
+      .find(a => resolver(a.name, n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not found among ${plan.output.map(_.name).mkString(", ")}"))
+    PlanBridge.ofRows(spark,
+      GlobalRankPlan.create(groupCols.map(attr), sortCols.map(attr),
+        rankCol, countCol, plan))
+  }
+}

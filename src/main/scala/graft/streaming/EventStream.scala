@@ -290,14 +290,20 @@ object EventStream {
     * queryable at per-batch cost forever. The rewrite of the table is
     * keys-sized, not data-sized — the same incremental-maintenance
     * contract as the C13 aggregate sink, except sketches make even
-    * DISTINCT mergeable. Publish is tmp-write + delete + rename with a
-    * RECOVERY rule closing the non-atomic window: a crash between the
-    * delete and the rename leaves the table at `.tmp_sketch` only, and
-    * the next batch first renames that orphan back into place before
-    * merging — so accumulated sketches survive every crash point, and
-    * replaying a batch is idempotent because union is. (A reader racing
-    * the swap itself can observe a missing table for the rename
-    * instant; the maintained table's only writer is this sink.) */
+    * DISTINCT mergeable.
+    *
+    * Publish is VERSIONED: each batch writes a complete new
+    * `v_<n>` directory under the table root, then atomically swaps
+    * the `_CURRENT` pointer file onto it. Readers
+    * ([[readSketchTable]]) resolve the pointer, falling back to the
+    * highest `_SUCCESS`-complete version if the pointer is mid-swap
+    * or a crash removed it — so a reader can NEVER observe a missing
+    * or partial table. The previously-current version is retained one
+    * publish for in-flight readers; older versions are garbage-
+    * collected. Crash points: a partial `v_<n>` without `_SUCCESS` is
+    * invisible to resolution and simply overwritten by the next
+    * publish; a lost pointer resolves to the newest complete version;
+    * replaying a batch is idempotent because union is. */
   def sketchTableSink(events: DataFrame, tablePath: String, lgK: Int = 12):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     foreachBatchSink(events, "sketch_table") { (batch, _) =>
@@ -305,25 +311,78 @@ object EventStream {
       val spark = batch.sparkSession
       val batchSk = batch.groupBy(col("event_type"))
         .agg(thetaSketch(col("user_id"), lgK).as("sk"))
-      val dst = new org.apache.hadoop.fs.Path(tablePath)
+      val root = new org.apache.hadoop.fs.Path(tablePath)
       // resolve the filesystem FROM the path: tablePath may live on a
       // different scheme (s3a://, hdfs://) than the default FS
-      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp_sketch")
-      // crash recovery: a previous publish that died between delete(dst)
-      // and rename(tmp, dst) left the whole accumulated table in tmp —
-      // restore it before merging, or every prior sketch is lost
-      if (!fs.exists(dst) && fs.exists(tmp) && !fs.rename(tmp, dst))
-        throw new java.io.IOException(s"sketch table recovery failed: $tmp -> $dst")
-      val merged =
-        if (fs.exists(dst))
-          spark.read.parquet(tablePath).unionByName(batchSk)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = currentSketchVersion(fs, root)
+      val merged = cur match {
+        case Some(n) =>
+          spark.read.parquet(versionDir(root, n).toString)
+            .unionByName(batchSk)
             .groupBy(col("event_type"))
             .agg(thetaUnion(col("sk"), lgK).as("sk"))
-        else batchSk
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dst, true)
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"sketch table swap failed: $tmp -> $dst")
+        case None => batchSk
+      }
+      val next = cur.map(_ + 1L).getOrElse(0L)
+      // overwrite handles a partial v_<next> left by a crashed publish
+      merged.write.mode("overwrite").parquet(versionDir(root, next).toString)
+      // pointer swap: tmp-write + delete + rename. A reader in the
+      // delete→rename instant falls back to the highest complete
+      // version — which is already v_<next>.
+      val ptr = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+      val tmp = new org.apache.hadoop.fs.Path(root, "_CURRENT.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(ptr, false)
+      if (!fs.rename(tmp, ptr))
+        throw new java.io.IOException(s"sketch pointer swap failed: $tmp -> $ptr")
+      // retain the just-replaced version for in-flight readers; GC older
+      cur.foreach(n => listSketchVersions(fs, root)
+        .filter(_ < n).foreach(v => fs.delete(versionDir(root, v), true)))
     }
+
+  private def versionDir(root: org.apache.hadoop.fs.Path, n: Long) =
+    new org.apache.hadoop.fs.Path(root, s"v_$n")
+
+  private def listSketchVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v_").toLong).toOption)
+
+  /** Resolve the current version of a versioned sketch table: the
+    * `_CURRENT` pointer when it names a complete (`_SUCCESS`-marked)
+    * version, else the highest complete version on disk — the
+    * fallback that makes a pointer swap invisible to readers. */
+  def currentSketchVersion(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Option[Long] = {
+    def complete(n: Long): Boolean =
+      try fs.exists(new org.apache.hadoop.fs.Path(versionDir(root, n), "_SUCCESS"))
+      catch { case _: java.io.IOException => false }
+    val pointed =
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, "_CURRENT"))
+        try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    pointed.filter(complete)
+      .orElse(listSketchVersions(fs, root).filter(complete).sorted.lastOption)
+  }
+
+  /** Reader for [[sketchTableSink]] tables: resolves the current
+    * complete version under the root, never a partial or mid-swap
+    * state. */
+  def readSketchTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = currentSketchVersion(fs, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no complete sketch table version under $tablePath"))
+    spark.read.parquet(versionDir(root, n).toString)
+  }
 }

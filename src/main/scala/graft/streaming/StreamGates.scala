@@ -204,8 +204,9 @@ object StreamGates {
     drain(EventStream.sketchTableSink(
         fileStream(s, in, ev.schema).select(col("event_type"), col("user_id")), table)
       .option("checkpointLocation", tempDir("graft_sg_sketch_ck")))
-    // the sketch table is |event_type|-sized — bounded driver read
-    val rows = s.read.parquet(table).collect().map { r =>
+    // the sketch table is |event_type|-sized — bounded driver read,
+    // resolved through the versioned-table pointer
+    val rows = EventStream.readSketchTable(s, table).collect().map { r =>
       val est = Th.wrapSketch(
         Memory.wrap(r.getAs[Array[Byte]]("sk"))).getEstimate
       (r.getAs[String]("event_type"), math.round(est))

@@ -174,12 +174,12 @@ class AnalyticsSpec extends SparkSpec {
     ours.foreach { case (k, v) =>
       assert(math.abs(v - builtin(k)) < 1e-4, s"$k: $v vs ${builtin(k)}")
     }
-    // the distributed plan: ranks ride the native LocalRank operator
+    // the distributed plan: ranks ride the native GlobalRank operator
     // over a visible range repartition, with NO per-group
     // single-reducer sort anywhere
     val plan = Analytics.quantilesInterp(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("LocalRank"), plan)
+    assert(plan.contains("GlobalRank"), plan)
     assert(plan.toLowerCase.contains("rangepartitioning"), plan)
     // any window left runs over per-(partition, group) COUNT rows —
     // never over the value column

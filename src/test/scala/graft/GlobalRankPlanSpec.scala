@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Physical-plan pins for the native GlobalRank operator: the folded
+  * single-operator shape — one range exchange, no offsets aggregate,
+  * no window, no broadcast join — is what keeps the rank math correct
+  * and cheap at ANY scale. */
+class GlobalRankPlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan.toString
+  }
+
+  test("globalRank is one range exchange into one GlobalRank operator") {
+    val p = plan(Relational.globalRank(
+      Tables.lineitem(spark, sf).select(col("l_linestatus"), col("l_extendedprice")),
+      Seq("l_linestatus"), Seq("l_extendedprice")))
+      .split("== Initial Plan ==")(0)
+    // the rank operator plans against a VISIBLE range exchange
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("GlobalRank"), p)
+    // exactly one materialized range shuffle of the data
+    val materialized = p.linesIterator
+      .filter(_.contains("Exchange rangepartitioning"))
+      .filterNot(_.contains("ReusedExchange")).size
+    assert(materialized == 1, s"expected 1 materialized range exchange:\n$p")
+    // the offsets tail is gone: no window, no broadcast join, no
+    // row_number (the single-reducer shape this operator avoids)
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ranks and group sizes are exact on a grouped total order") {
+    val ranked = Relational.globalRank(
+      Tables.orders(spark, sf)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+      Seq("o_orderpriority"), Seq("o_totalprice", "o_orderkey"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val expect = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("xrn", row_number().over(w).cast("long"))
+      .withColumn("xn", count(lit(1))
+        .over(Window.partitionBy(col("o_orderpriority"))))
+    val bad = ranked.join(expect,
+        Seq("o_orderpriority", "o_totalprice", "o_orderkey"))
+      .filter(col("rn") =!= col("xrn") || col("n") =!= col("xn"))
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("\n"))
+  }
+
+  test("ungrouped ranks are a global total order (corpus-shuffle shape)") {
+    val ranked = Relational.globalRank(
+      Tables.documents(spark, sf).select(col("doc_id")),
+      groupCols = Nil, sortCols = Seq("doc_id"),
+      rankCol = "pos", countCol = "n_docs")
+    val rows = ranked.orderBy(col("doc_id")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("pos") == i + 1L, s"row $i")
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+    }
+  }
+}

@@ -63,7 +63,7 @@ class GraftExtensionsSpec extends SparkSpec {
         .contains(graft.plans.AsOfJoinStrategy),
         s2.sessionState.planner.strategies.mkString(", "))
       assert(s2.sessionState.planner.strategies
-        .contains(graft.plans.LocalRankStrategy),
+        .contains(graft.plans.GlobalRankStrategy),
         s2.sessionState.planner.strategies.mkString(", "))
     }
   }

@@ -211,9 +211,9 @@ class PlanSpec extends SparkSpec {
     for (df <- Seq(Relational.quantiles(spark, sf),
                    Relational.approxQuantileGate(spark, sf))) {
       val p = plan(df).split("== Initial Plan ==")(0)
-      // ranks ride the native LocalRank operator over a visible range
+      // ranks ride the native GlobalRank operator over a visible range
       // repartition (PropertySpec pins rank correctness)
-      assert(p.contains("LocalRank"), p)
+      assert(p.contains("GlobalRank"), p)
       assert(p.toLowerCase.contains("rangepartitioning"), p)
       // no window orders raw values within a 3-partition group — any
       // window left runs over the tiny per-(partition, group) counts
@@ -267,7 +267,7 @@ class PlanSpec extends SparkSpec {
   test("corpus shuffle ranks via range repartition, not a global sort") {
     val p = plan(operators.TrainingQueries.corpusShuffle(spark, sf))
       .split("== Initial Plan ==")(0)
-    assert(p.contains("LocalRank"), p)
+    assert(p.contains("GlobalRank"), p)
     assert(p.toLowerCase.contains("rangepartitioning"), p)
     // the only window orders per-partition COUNT rows by __pid — no
     // window (and no single-partition exchange) ever orders documents
@@ -410,9 +410,9 @@ class PlanSpec extends SparkSpec {
       if (d == 10) assert(k == n, s"decile 10 must keep all: $k of $n")
     }
     val p = plan(operators.CorpusAnalytics.qualityMixSample(spark, sf))
-    // ranks come from the native LocalRank over a range repartition,
+    // ranks come from the native GlobalRank over a range repartition,
     // not a global sort (no row_number window over documents)
-    assert(p.contains("LocalRank"), p)
+    assert(p.contains("GlobalRank"), p)
     assert(p.toLowerCase.contains("rangepartitioning"), p)
     assert(!p.contains("row_number"), p)
   }
@@ -545,10 +545,10 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("iqr fences: quantiles ride LocalRank; the fence table broadcasts") {
+  test("iqr fences: quantiles ride GlobalRank; the fence table broadcasts") {
     val p = plan(operators.CorpusAnalytics.iqrOutliers(spark, sf))
       .split("== Initial Plan ==")(0)
-    assert(p.contains("LocalRank"), p)
+    assert(p.contains("GlobalRank"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("row_number"), p)
   }

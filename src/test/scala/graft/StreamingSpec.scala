@@ -332,7 +332,7 @@ class StreamingSpec extends SparkSpec {
       in.addData((150 until 450).map(i => ("click", i.toLong)): _*)
       q.processAllAvailable()
     } finally q.stop()
-    val rows = spark.read.parquet(table).collect()
+    val rows = EventStream.readSketchTable(spark, table).collect()
     assert(rows.length == 1)
     val est = Th.wrapSketch(
       Memory.wrap(rows(0).getAs[Array[Byte]]("sk"))).getEstimate
@@ -340,45 +340,78 @@ class StreamingSpec extends SparkSpec {
     assert(math.round(est) == 450, s"expected exact 450 distinct, got $est")
   }
 
-  test("F11: sketch table survives a crash between delete and rename (orphaned tmp)") {
+  private def sketchEstimate(rows: Array[org.apache.spark.sql.Row]): Long = {
     import org.apache.datasketches.memory.Memory
     import org.apache.datasketches.theta.{Sketches => Th}
-    val table = Files.createTempDirectory("graft_sketch_rec").toString + "/t"
-    // batch 1 accumulates 300 users, then we simulate the crash window:
-    // publish died AFTER delete(dst) and BEFORE rename(tmp, dst) — the
-    // whole accumulated table exists only at .tmp_sketch
-    val in1 = MemoryStream[(String, Long)]
-    val q1 = EventStream.sketchTableSink(
-      in1.toDF().toDF("event_type", "user_id"), table)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_sketch_rec_ck1").toString)
-      .start()
-    try {
-      in1.addData((0 until 300).map(i => ("click", i.toLong)): _*)
-      q1.processAllAvailable()
-    } finally q1.stop()
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(table)
-    val tmp = new org.apache.hadoop.fs.Path(table + ".tmp_sketch")
-    val fs = dst.getFileSystem(conf)
-    assert(fs.rename(dst, tmp), "test setup: simulate crash window")
-    // next batch (disjoint users 1000..1099) must FIRST recover the
-    // orphan, then merge — not rebuild from the current batch alone
-    val in2 = MemoryStream[(String, Long)]
-    val q2 = EventStream.sketchTableSink(
-      in2.toDF().toDF("event_type", "user_id"), table)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_sketch_rec_ck2").toString)
-      .start()
-    try {
-      in2.addData((1000 until 1100).map(i => ("click", i.toLong)): _*)
-      q2.processAllAvailable()
-    } finally q2.stop()
-    val rows = spark.read.parquet(table).collect()
     assert(rows.length == 1)
-    val est = Th.wrapSketch(
-      Memory.wrap(rows(0).getAs[Array[Byte]]("sk"))).getEstimate
-    assert(math.round(est) == 400,
-      s"recovery lost accumulated sketches: expected 400 distinct, got $est")
+    math.round(Th.wrapSketch(
+      Memory.wrap(rows(0).getAs[Array[Byte]]("sk"))).getEstimate)
+  }
+
+  private def runSketchBatch(table: String, users: Range): Unit = {
+    val in = MemoryStream[(String, Long)]
+    val q = EventStream.sketchTableSink(
+      in.toDF().toDF("event_type", "user_id"), table)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sketch_ck").toString)
+      .start()
+    try {
+      in.addData(users.map(i => ("click", i.toLong)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  test("F11: sketch table survives a lost pointer (crash mid-swap)") {
+    val table = Files.createTempDirectory("graft_sketch_rec").toString + "/t"
+    // batch 1 accumulates 300 users, then we simulate the worst swap
+    // crash: the _CURRENT pointer is gone entirely
+    runSketchBatch(table, 0 until 300)
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(root, "_CURRENT"), false),
+      "test setup: simulate pointer lost mid-swap")
+    // a reader with no pointer falls back to the newest complete version
+    assert(sketchEstimate(
+      EventStream.readSketchTable(spark, table).collect()) == 300)
+    // the next batch (disjoint users) must also recover and MERGE —
+    // not rebuild from the current batch alone
+    runSketchBatch(table, 1000 until 1100)
+    assert(sketchEstimate(
+      EventStream.readSketchTable(spark, table).collect()) == 400,
+      "recovery lost accumulated sketches")
+  }
+
+  test("F11: a partial version without _SUCCESS is invisible and gets overwritten") {
+    val table = Files.createTempDirectory("graft_sketch_part").toString + "/t"
+    runSketchBatch(table, 0 until 300)
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a publish that crashed mid-write: v_1 exists, incomplete
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v_1"))
+    assert(sketchEstimate(
+      EventStream.readSketchTable(spark, table).collect()) == 300)
+    runSketchBatch(table, 300 until 450) // publishes a complete v_1
+    assert(sketchEstimate(
+      EventStream.readSketchTable(spark, table).collect()) == 450)
+  }
+
+  test("F11: a reader holding the previous version survives the next publish") {
+    val table = Files.createTempDirectory("graft_sketch_race").toString + "/t"
+    runSketchBatch(table, 0 until 300)
+    // resolve NOW (v_0) — an in-flight reader racing the next publish
+    val held = EventStream.readSketchTable(spark, table)
+    runSketchBatch(table, 300 until 450) // publishes v_1; v_0 retained
+    assert(sketchEstimate(held.collect()) == 300,
+      "in-flight reader lost its version to the publish")
+    assert(sketchEstimate(
+      EventStream.readSketchTable(spark, table).collect()) == 450)
+    // a third publish garbage-collects v_0 (two versions back)
+    runSketchBatch(table, 450 until 500)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "/v_0")),
+      "old versions must be garbage-collected")
+    assert(sketchEstimate(
+      EventStream.readSketchTable(spark, table).collect()) == 500)
   }
 }
