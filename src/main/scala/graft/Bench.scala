@@ -88,8 +88,15 @@ object Bench {
       while (i < reps && !errors.contains(name)) {
         ts += once(name, fn); i += 1
       }
-      val sorted = ts.sorted
-      (sorted(sorted.size / 2), sorted.head)
+      // A query that already errored (e.g. during the cold pass) skips
+      // the reps loop entirely; emit NaN rather than indexing an empty
+      // buffer so the bench still prints its JSON line with the error
+      // recorded and rc=1, instead of dying mid-run.
+      if (ts.isEmpty) (Double.NaN, Double.NaN)
+      else {
+        val sorted = ts.sorted
+        (sorted(sorted.size / 2), sorted.head)
+      }
     }
     val cold = named.map { case (name, fn) => name -> once(name, fn) }
     val timedResults = named.map { case (name, fn) => name -> timed(name, fn) }
@@ -100,8 +107,10 @@ object Bench {
     val streamTimed = streamGates.map { case (name, fn) => name -> timed(name, fn) }
     val streamResults = streamTimed.map { case (n, (med, _)) => n -> med }
     def js(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      rs.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
+      }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).filterNot(_.isNaN).sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
     val errJs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -44,6 +44,7 @@ import org.apache.spark.sql.types.LongType
   * must be deterministic. */
 case class GlobalRankPlan(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
                           rnAttr: Attribute, nAttr: Attribute,
+                          maxGroups: Int,
                           child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rnAttr :+ nAttr
   override def producedAttributes: AttributeSet = AttributeSet(Seq(rnAttr, nAttr))
@@ -53,15 +54,17 @@ case class GlobalRankPlan(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
 
 object GlobalRankPlan {
   def create(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
-             rankCol: String, countCol: String, child: LogicalPlan): GlobalRankPlan =
+             rankCol: String, countCol: String, maxGroups: Int,
+             child: LogicalPlan): GlobalRankPlan =
     GlobalRankPlan(groupExprs, orderExprs,
       AttributeReference(rankCol, LongType, nullable = false)(),
       AttributeReference(countCol, LongType, nullable = false)(),
-      child)
+      maxGroups, child)
 }
 
 case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
                           rnAttr: Attribute, nAttr: Attribute,
+                          maxGroups: Int,
                           child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rnAttr :+ nAttr
@@ -92,7 +95,12 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
     // the exchange output (UnsafeRow keys — bytes-equality, so SQL
     // null-safe group semantics hold). An extra job over the same
     // shuffle files; the data is NOT sorted here, so the sort below
-    // still runs exactly once.
+    // still runs exactly once. Each task fails fast the moment ITS
+    // map exceeds `maxGroups` — a per-partition lower bound on the
+    // global count — so a high-cardinality grouping dies in the
+    // executor with a clear message before any O(#groups) map is ever
+    // collected toward the driver.
+    val cap = maxGroups
     val perPart: Array[mutable.HashMap[UnsafeRow, Long]] =
       sc.runJob(childRDD, (it: Iterator[InternalRow]) => {
         val proj = UnsafeProjection.create(keyExprs, childOutput)
@@ -101,7 +109,13 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
           val k = proj(row)
           m.get(k) match {
             case Some(c) => m.update(k, c + 1L) // existing stored key kept
-            case None => m.update(k.copy(), 1L) // k is a reused buffer
+            case None =>
+              if (m.size >= cap) throw new IllegalStateException(
+                s"GlobalRank: more than $cap distinct group keys in one " +
+                "partition; the driver-side offsets merge is bounded by " +
+                "group cardinality — rank within fewer groups or raise " +
+                "maxGroups if the driver can hold the offsets map")
+              m.update(k.copy(), 1L) // k is a reused buffer
           }
         }
         m
@@ -110,11 +124,18 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
     // Driver merge: running prefix sums give each (partition, group)
     // its offset; the final sums are the group totals. Range
     // partitioning keeps each group contiguous, so total entries are
-    // O(#groups + #partitions).
+    // O(#groups + #partitions). The same `maxGroups` cap guards the
+    // MERGED map: per-partition maps can each be under the cap while
+    // the union is not.
     val running = new mutable.HashMap[UnsafeRow, Long]
     val offsetsPerPid: Array[Map[UnsafeRow, Long]] = perPart.map { m =>
       val off = m.iterator.map { case (k, _) => k -> running.getOrElse(k, 0L) }.toMap
       m.foreach { case (k, c) => running.update(k, running.getOrElse(k, 0L) + c) }
+      if (running.size > cap) throw new IllegalStateException(
+        s"GlobalRank: more than $cap distinct group keys across the input; " +
+        "the per-group offsets merge and totals broadcast are " +
+        "O(#groups) driver memory — rank within fewer groups or raise " +
+        "maxGroups if the driver can hold the offsets map")
       off
     }
     val bcOff = sc.broadcast(offsetsPerPid)
@@ -123,9 +144,16 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
     // Pass 2: planned per-partition sort, then one sequential pass —
     // broadcast lookups happen only at group-run boundaries. Output
     // rides an UnsafeProjection: downstream consumers (collect,
-    // exchanges) require UnsafeRow.
+    // exchanges) require UnsafeRow. The sort consumes the SAME
+    // `childRDD` object pass 1 counted (wrapped in a scan leaf, not a
+    // second `child.execute()`): with one shared RDD the partition
+    // layout is pinned by construction — a re-executed subtree above
+    // the exchange (a projection, a re-sampled repartitionByRange)
+    // can never hand the two passes different partitionings.
     val outAttrs = output
-    SortExec(sortOrders, global = false, child = child).execute()
+    SortExec(sortOrders, global = false,
+        child = PlanBridge.rddScan(childOutput, childRDD,
+          "GlobalRankChild", child.outputPartitioning)).execute()
       .mapPartitionsWithIndex({ (pid, it) =>
         val proj = UnsafeProjection.create(keyExprs, childOutput)
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -159,19 +187,32 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
 
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRankPlan(g, o, rn, n, child) =>
-      GlobalRankExec(g, o, rn, n, planLater(child)) :: Nil
+    case GlobalRankPlan(g, o, rn, n, cap, child) =>
+      GlobalRankExec(g, o, rn, n, cap, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 object GlobalRank {
+  /** Default bound on distinct group keys: the counting pass merges a
+    * per-group offsets map on the driver and broadcasts the totals,
+    * both O(#groups) — the same class of bound as the capped driver
+    * probes in [[graft.operators.Sketches]]. A million (key, long)
+    * entries is tens of MB of driver heap; beyond that the caller is
+    * almost certainly ranking within a high-cardinality key (a
+    * user_id, a doc_id) and needs a window or a join-based plan, not
+    * a broadcast-offsets one. */
+  val DefaultMaxGroups: Int = 1 << 20
+
   /** DataFrame API: appends `rankCol` (1-based global rank within the
     * group under sortCols order) and `countCol` (group size), both
-    * long. Registers the planner strategy on the session
-    * idempotently. */
+    * long. Registers the planner strategy on the session idempotently.
+    * Fails fast (executor-side, before any driver collect) when
+    * distinct group keys exceed `maxGroups` — see [[DefaultMaxGroups]]
+    * for why the bound exists. */
   def withGlobalRank(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
-                     rankCol: String = "rn", countCol: String = "n"): DataFrame = {
+                     rankCol: String = "rn", countCol: String = "n",
+                     maxGroups: Int = DefaultMaxGroups): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GlobalRankStrategy)) {
       spark.experimental.extraStrategies =
@@ -179,12 +220,23 @@ object GlobalRank {
     }
     val plan = PlanBridge.analyzed(df)
     val resolver = spark.sessionState.analyzer.resolver
+    // the appended columns must not shadow an input column: the old
+    // LocalRank tail dropped its helpers, but this operator's output
+    // is child.output :+ rn :+ n, and a duplicate name only explodes
+    // later as an ambiguous-reference error far from the cause
+    Seq(rankCol, countCol).foreach { n =>
+      if (plan.output.exists(a => resolver(a.name, n)))
+        throw new IllegalArgumentException(
+          s"rank/count column '$n' collides with an input column " +
+          s"(${plan.output.map(_.name).mkString(", ")}); pass a " +
+          "different rankCol/countCol")
+    }
     def attr(n: String): Attribute = plan.output
       .find(a => resolver(a.name, n))
       .getOrElse(throw new IllegalArgumentException(
         s"column $n not found among ${plan.output.map(_.name).mkString(", ")}"))
     PlanBridge.ofRows(spark,
       GlobalRankPlan.create(groupCols.map(attr), sortCols.map(attr),
-        rankCol, countCol, plan))
+        rankCol, countCol, maxGroups, plan))
   }
 }

@@ -37,4 +37,18 @@ object PlanBridge {
       .mapPartitions(f, preservesPartitioning = true)
     ds.sparkSession.internalCreateDataFrame(rdd, outSchema)
   }
+
+  /** A leaf [[org.apache.spark.sql.execution.SparkPlan]] over an
+    * already-obtained InternalRow RDD (`RDDScanExec` is
+    * `private[sql]`). Lets a custom physical operator that consumes
+    * its child twice feed BOTH passes the same RDD object — pinning
+    * one partition layout — instead of calling `child.execute()`
+    * twice and trusting every subtree to return identical
+    * partitionings. */
+  def rddScan(output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+              rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+              name: String,
+              partitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning)
+      : org.apache.spark.sql.execution.SparkPlan =
+    org.apache.spark.sql.execution.RDDScanExec(output, rdd, name, partitioning)
 }

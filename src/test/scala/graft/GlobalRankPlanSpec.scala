@@ -55,6 +55,32 @@ class GlobalRankPlanSpec extends SparkSpec {
     assert(bad.isEmpty, bad.limit(5).collect().mkString("\n"))
   }
 
+  test("a high-cardinality group fails fast instead of OOMing the driver") {
+    // o_orderkey is unique per row: every row is its own group, so the
+    // offsets merge would be O(#rows) driver heap. With the cap planted
+    // below the row count the job must die with the documented message
+    // (raised executor-side, before any per-partition map is collected).
+    val e = intercept[Exception] {
+      graft.plans.GlobalRank.withGlobalRank(
+        Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderkey"), Seq("o_totalprice"), maxGroups = 16).count()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("distinct group keys"), messages(e))
+  }
+
+  test("rank/count column names colliding with input columns are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GlobalRank.withGlobalRank(
+        Tables.orders(spark, sf)
+          .select(col("o_orderkey"), col("o_totalprice").as("rn")),
+        Nil, Seq("o_orderkey"))
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+  }
+
   test("ungrouped ranks are a global total order (corpus-shuffle shape)") {
     val ranked = Relational.globalRank(
       Tables.documents(spark, sf).select(col("doc_id")),
