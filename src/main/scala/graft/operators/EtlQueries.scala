@@ -395,6 +395,47 @@ object EtlQueries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events WHERE event_type <> 'error'""".stripMargin
 
+  // ----------------------------------------------------------- A11
+  /** Avro round-trip: the row-oriented interchange format of
+    * Kafka/streaming estates, through the spark-avro source/sink
+    * bundled with Spark 4. The read passes the READER SCHEMA
+    * EXPLICITLY (`avroSchema` option, derived once via
+    * [[org.apache.spark.sql.avro.SchemaConverters]]): at 100 TB the
+    * reader/writer schema agreement is a contract checked per file
+    * open, never a discovery pass, and a writer-side drift surfaces
+    * as a loud incompatibility instead of a silently widened column.
+    * The oracle recomputes the aggregate from the parquet source, so
+    * any loss in the Avro round-trip (timestamp precision, union
+    * handling, row drops) fails the compare. */
+  /** The spark-avro file source rides the full provider class name:
+    * this distribution bundles the avro classes inside spark-sql but
+    * without the `META-INF/services` DataSourceRegister entry, so the
+    * `"avro"` short name does not resolve while the class itself
+    * loads fine. */
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_avro"
+    val src = Tables.events(s, dir)
+    src.write.mode("overwrite").format(AvroProvider).save(out)
+    // default record name/namespace — MUST match what the writer
+    // emitted ("topLevelRecord"): Avro schema resolution is by name
+    val readerSchema = org.apache.spark.sql.avro.SchemaConverters
+      .toAvroType(src.schema, nullable = false).toString
+    s.read.format(AvroProvider).option("avroSchema", readerSchema).load(out)
+      .filter(col("event_type") =!= "error")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("max_ts"))
+  }
+
+  val avroRoundtripSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      |FROM events WHERE event_type <> 'error'""".stripMargin
+
   // ----------------------------------------------------------- A8
   /** Line-oriented text round-trip: the rawest corpus interchange
     * format (one document per line — documents carry no newlines).
