@@ -740,4 +740,66 @@ object Analytics {
       |  CAST(SUM(day_sum) OVER (PARTITION BY o_custkey ORDER BY day
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS g_sum
       |FROM d""".stripMargin
+
+  // --------------------------------------------------------------- D66
+  /** SQL:2011 window-frame EXCLUDE clause (`EXCLUDE CURRENT ROW /
+    * GROUP / TIES`) — Spark has no EXCLUDE at all; DuckDB ships it
+    * natively, so the oracle is the real thing. Emulated by algebra
+    * on a RANGE frame: because a RANGE frame always contains the
+    * current row's ENTIRE peer group, the three excluded sums are
+    *   EXCLUDE CURRENT ROW = frame − current row
+    *   EXCLUDE GROUP       = frame − peer-group
+    *   EXCLUDE TIES        = frame − peer-group + current row
+    * with the SQL empty-frame rule (SUM over zero surviving rows is
+    * NULL) restored from frame/peer counts. The peer-group sum is
+    * itself a RANGE frame of width zero over the SAME partition+order,
+    * so all four window aggregates collapse into ONE physical Window
+    * operator on one hash-exchange+sort (PlanSpec pins it) — no
+    * second shuffle for the peer pass. Sums ride exact decimals and
+    * convert to double once, after the algebra, so both engines round
+    * identically. Scale: partitioned by o_custkey (high cardinality);
+    * nothing is driver-side; the frame is calendar-bounded (30 days)
+    * so state per key is bounded regardless of fact size. */
+  def excludeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).as("day_n"))
+      .withColumn("p", col("o_totalprice").cast(DecimalType(18, 6)))
+    val frame = Window.partitionBy(col("o_custkey")).orderBy(col("day_n"))
+      .rangeBetween(-30, 0)
+    val peers = Window.partitionBy(col("o_custkey")).orderBy(col("day_n"))
+      .rangeBetween(0, 0)
+    base
+      .withColumn("f_sum", sum(col("p")).over(frame))
+      .withColumn("f_cnt", count(lit(1)).over(frame))
+      .withColumn("g_sum", sum(col("p")).over(peers))
+      .withColumn("g_cnt", count(lit(1)).over(peers))
+      .select(col("o_orderkey"),
+        when(col("f_cnt") > 1, col("f_sum") - col("p"))
+          .cast("double").as("ex_cur"),
+        when(col("f_cnt") > col("g_cnt"), col("f_sum") - col("g_sum"))
+          .cast("double").as("ex_grp"),
+        (col("f_sum") - col("g_sum") + col("p"))
+          .cast("double").as("ex_ties"))
+  }
+
+  val excludeFrameSql: String =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+      |    EXCLUDE CURRENT ROW) AS DOUBLE) AS ex_cur,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+      |    EXCLUDE GROUP) AS DOUBLE) AS ex_grp,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+      |    EXCLUDE TIES) AS DOUBLE) AS ex_ties
+      |FROM orders""".stripMargin
 }

@@ -203,4 +203,38 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(residues.values.map(_.head).toSeq.distinct.length == nSources)
   }
+
+  test("excludeFrame: matches a brute-force per-row frame scan, empty frames are NULL") {
+    val got = Analytics.excludeFrame(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[java.lang.Double]("ex_cur")),
+        Option(r.getAs[java.lang.Double]("ex_grp")),
+        r.getAs[Double]("ex_ties"))).toMap
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).as("day_n"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byCust = raw.groupBy(_._2)
+    assert(got.size == raw.length)
+    raw.foreach { case (ok, ck, day, p) =>
+      // brute-force: the RANGE frame is every order of this customer
+      // in [day-30, day]; peers share the exact day
+      val frame = byCust(ck).filter(t => t._3 >= day - 30 && t._3 <= day)
+      val peers = frame.filter(_._3 == day)
+      val fSum = BigDecimal(frame.map(t => BigDecimal(t._4)).sum.toString)
+      val gSum = peers.map(t => BigDecimal(t._4)).sum
+      val (exCur, exGrp, exTies) = got(ok)
+      if (frame.length > 1)
+        assert(math.abs(exCur.get - (fSum - BigDecimal(p)).toDouble) < 1e-6)
+      else assert(exCur.isEmpty, s"order $ok: lone-row frame must give NULL ex_cur")
+      if (frame.length > peers.length)
+        assert(math.abs(exGrp.get - (fSum - gSum).toDouble) < 1e-6)
+      else assert(exGrp.isEmpty, s"order $ok: all-peer frame must give NULL ex_grp")
+      assert(math.abs(exTies - (fSum - gSum + BigDecimal(p)).toDouble) < 1e-6)
+    }
+    // the planted structure must actually exercise all three branches
+    assert(got.values.exists(_._1.isEmpty) && got.values.exists(_._1.isDefined))
+    assert(got.values.exists(_._2.isEmpty) && got.values.exists(_._2.isDefined))
+  }
 }

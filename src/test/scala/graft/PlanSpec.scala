@@ -558,4 +558,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p) // the emulation IS two windows
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("exclude-frame: all four window aggregates share ONE Window operator and exchange") {
+    val p = plan(operators.Analytics.excludeFrame(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // both frames ride the same partition+order, so Catalyst plans a
+    // single Window node on a single hash exchange — the peer-group
+    // pass must not buy a second shuffle
+    assert("(?m)^[^\\n]*Window \\[".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
