@@ -225,6 +225,54 @@ object EventStream {
         write(batch.withColumn("batch_id", lit(batchId)), batchId)
       }
 
+  /** F12: streaming data-quality gate — the C10 expectations
+    * ([[graft.operators.DataQuality]]) applied per micro-batch, with
+    * rows that violate ANY rule quarantined instead of loaded, and a
+    * per-batch audit row (batch id, rows in/good/quarantined, one
+    * count per rule) folded into a processing-log table — the
+    * operational shape a continuous 100 TB ingest actually runs: bad
+    * data never reaches the warehouse, and the log explains every
+    * dropped row without a second scan.
+    *
+    * Per batch the work is ONE marking projection + one aggregation
+    * pass for all rule counters (the C10 single-pass shape) + two
+    * filtered writes; the batch is persisted so the three consumers
+    * share one read of the source files, and the quarantine write
+    * carries a `violated_rules` array naming each failing rule so
+    * triage never re-derives it. All paths are append-mode parquet —
+    * idempotent replay semantics ride on the streaming checkpoint
+    * exactly like [[foreachBatchSink]]. */
+  def qualityGateSink(events: DataFrame,
+                      expects: Seq[graft.operators.DataQuality.Expect],
+                      goodPath: String, quarantinePath: String,
+                      logPath: String, queryName: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(expects.nonEmpty, "qualityGateSink needs at least one rule")
+    val anyBad = expects.map(_.violation).reduce(_ || _)
+    val ruleNames = array(expects.map(e =>
+      when(e.violation, lit(e.name))): _*)
+    events.writeStream
+      .queryName(queryName)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marked = batch.withColumn("__bad", anyBad).persist()
+        try {
+          val aggs = count(lit(1)).as("n_in") +:
+            sum(when(col("__bad"), 1L).otherwise(0L)).as("n_quarantined") +:
+            expects.map(e => sum(when(e.violation, 1L).otherwise(0L)).as(e.name))
+          marked.agg(aggs.head, aggs.tail: _*)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("n_good", col("n_in") - col("n_quarantined"))
+            .write.mode("append").parquet(logPath)
+          marked.filter(!col("__bad")).drop("__bad")
+            .write.mode("append").parquet(goodPath)
+          marked.filter(col("__bad")).drop("__bad")
+            .withColumn("violated_rules", filter(ruleNames, _.isNotNull))
+            .write.mode("append").parquet(quarantinePath)
+        } finally marked.unpersist()
+      }
+  }
+
   /** F7: stream-stream interval join — click→purchase attribution with
     * bounded state: both sides are watermarked and the join condition
     * bounds purchase time to [click, click + `horizonSeconds`], so

@@ -57,7 +57,15 @@ object StreamGates {
     * per operator per batch: at the gates' constant 2000-row slice,
     * 32 partitions is pure startup overhead (~8× the state the data
     * needs). Gates run their drains and comparisons at 4 and restore
-    * the session setting after; results are partitioning-independent. */
+    * the session setting after; results are partitioning-independent.
+    *
+    * The override mutates the SESSION-global shuffle-partitions conf,
+    * so gates assume they run sequentially on their session (true for
+    * Bench and Verify, which iterate queries one at a time): a
+    * concurrent query on the same session during a gate would observe
+    * 4 partitions, and interleaved gates could clobber each other's
+    * restore. Concurrent runners must use separate SparkSessions
+    * (`spark.newSession()`), which scope this conf per session. */
   private def withGateConf[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -213,6 +221,73 @@ object StreamGates {
     }.toSeq
     rows.toDF("event_type", "n_distinct_users")
   }
+
+  // ------------------------------------------------------------- F12
+  /** Streaming data-quality gate: the slice drained through
+    * [[EventStream.qualityGateSink]] with three C10 rules (value range
+    * 0–200, event_type domain excluding 'error', non-null user_id — the
+    * last deliberately violation-free so the zero branch is exercised)
+    * must (a) land good + quarantined as EXACTLY the input multiset
+    * with the quarantine equal to the batch predicate's rows, (b) name
+    * the failing rules on every quarantined row, and (c) write per-batch
+    * log rows whose summed rule counters equal [[graft.operators.DataQuality.report]]
+    * run in batch over the slice. All three invariants fold into
+    * `stream_matches_batch`; the counts are SQL-recomputable. */
+  def streamQuality(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    import graft.operators.DataQuality
+    val ev = slice(s, dir)
+    val in = stagedOnce(dir, "slice5x3")(d => stage(ev, d, nFiles = 3))
+    val rules = Seq(
+      DataQuality.expectBetween("value", 0.0, 200.0),
+      DataQuality.expectIn("event_type",
+        Seq("click", "view", "purchase", "signup")),
+      DataQuality.expectNonNull("user_id"))
+    val root = tempDir("graft_sg_quality")
+    val (good, quar, log) = (root + "/good", root + "/quarantine", root + "/log")
+    drain(EventStream.qualityGateSink(fileStream(s, in, ev.schema),
+        rules, good, quar, log, uniq("sg_quality"))
+      .option("checkpointLocation", tempDir("graft_sg_quality_ck")))
+    val goodDf = s.read.parquet(good)
+    val quarDf = s.read.parquet(quar)
+    val logDf = s.read.parquet(log)
+    val bad = rules.map(_.violation).reduce(_ || _)
+    val splitExact =
+      setEqual(goodDf.unionByName(quarDf.drop("violated_rules")), ev) &&
+      setEqual(quarDf.drop("violated_rules"), ev.filter(bad)) &&
+      quarDf.filter(size(col("violated_rules")) < 1).isEmpty
+    // summed per-batch log counters == the one-pass batch C10 report
+    val want = DataQuality.report(ev, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aggCols = Seq(
+      sum(col("n_in")).as("n_in"), sum(col("n_good")).as("n_good"),
+      sum(col("n_quarantined")).as("n_quarantined")) ++
+      rules.map(r => sum(col(r.name)).as(r.name))
+    val sums = logDf.agg(aggCols.head, aggCols.tail: _*).head()
+    val logMatches = rules.forall(r =>
+      sums.getAs[Long](r.name) == want(r.name)) &&
+      sums.getAs[Long]("n_in") == sums.getAs[Long]("n_good") +
+        sums.getAs[Long]("n_quarantined") &&
+      sums.getAs[Long]("n_good") == goodDf.count() &&
+      sums.getAs[Long]("n_quarantined") == quarDf.count()
+    val multiBatch = logDf.select(col("batch_id")).distinct().count() >= 2L
+    Seq(("stream_quality", sums.getAs[Long]("n_in"),
+        sums.getAs[Long]("n_good"), sums.getAs[Long]("n_quarantined"),
+        multiBatch && splitExact && logMatches))
+      .toDF("metric", "n_in", "n_good", "n_quarantined", "stream_matches_batch")
+  }
+
+  val streamQualitySql: String =
+    """SELECT 'stream_quality' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_in,
+      |  CAST(SUM(CASE WHEN value >= 0 AND value <= 200
+      |    AND event_type IN ('click','view','purchase','signup')
+      |    AND user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(SUM(CASE WHEN value < 0 OR value > 200 OR value IS NULL
+      |    OR event_type NOT IN ('click','view','purchase','signup')
+      |    OR user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      |  TRUE AS stream_matches_batch
+      |FROM events WHERE event_id < 2000""".stripMargin
 
   // ------------------------------------------------------------- F3
   /** File-drop ingest: [[EventStream.fileDropStream]] drained over the

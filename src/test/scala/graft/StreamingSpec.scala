@@ -291,6 +291,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(col("user") === "a").count() == 1) // no duplicate replay
   }
 
+  test("F12: quality gate quarantines rule violations and logs per-batch counters") {
+    import graft.operators.DataQuality
+    val in = MemoryStream[(Long, String, Double)]
+    val df = in.toDF().toDF("id", "event_type", "value")
+    val rules = Seq(
+      DataQuality.expectBetween("value", 0.0, 10.0),
+      DataQuality.expectIn("event_type", Seq("a", "b")),
+      DataQuality.expectNonNull("id")) // never violated: pins the zero branch
+    val root = Files.createTempDirectory("f12").toString
+    val (good, quar, log) = (root + "/g", root + "/q", root + "/l")
+    val q = EventStream.qualityGateSink(df, rules, good, quar, log, "f12")
+      .option("checkpointLocation", root + "/ck").start()
+    try {
+      in.addData((1L, "a", 1.0), (2L, "zz", 2.0))
+      q.processAllAvailable()
+      in.addData((3L, "b", 99.0), (4L, "zz", -5.0), (5L, "a", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val goodIds = spark.read.parquet(good).select("id").as[Long].collect().toSet
+    assert(goodIds == Set(1L, 5L))
+    val quarMap = spark.read.parquet(quar)
+      .select(col("id"), col("violated_rules"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(quarMap.keySet == Set(2L, 3L, 4L))
+    assert(quarMap(2L) == Seq("domain_event_type"))
+    assert(quarMap(3L) == Seq("range_value"))
+    assert(quarMap(4L) == Seq("range_value", "domain_event_type")) // rule order preserved
+    val logRows = spark.read.parquet(log).orderBy("batch_id").collect()
+    assert(logRows.length == 2)
+    val (b0, b1) = (logRows(0), logRows(1))
+    assert(b0.getAs[Long]("n_in") == 2 && b0.getAs[Long]("n_good") == 1
+      && b0.getAs[Long]("n_quarantined") == 1)
+    assert(b1.getAs[Long]("n_in") == 3 && b1.getAs[Long]("n_good") == 1
+      && b1.getAs[Long]("n_quarantined") == 2)
+    assert(b1.getAs[Long]("range_value") == 2
+      && b1.getAs[Long]("domain_event_type") == 1
+      && b1.getAs[Long]("non_null_id") == 0)
+  }
+
   test("F3: file-drop stream ingests newly arriving date-named CSVs") {
     val drop = Files.createTempDirectory("graft_stream_drop").toString
     val schema = new StructType().add("{user}", StringType).add("v", StringType)
