@@ -21,10 +21,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = df(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = df(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = df(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 won't map to
-    * TimestampType; with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as epoch-nanos LongType — normalize to a µs TimestampType
-    * column (integer division: ns epochs exceed double's 2^53). */
+  /** `events.ts` arrives in whatever physical form the data generator
+    * used, normalized here to a µs TimestampType (LTZ) column so every
+    * downstream operator sees ONE type:
+    *  - parquet TIMESTAMP(NANOS): Spark 4 won't map it to TimestampType;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as
+    *    epoch-nanos LongType — integer-divide to µs (ns epochs exceed
+    *    double's 2^53).
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ, which watermarks/unix_micros reject — cast to
+    *    TimestampType; under the UTC session timezone the wall-clock is
+    *    preserved, so values match DuckDB's naive-timestamp reading. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = df(s, d, "events")
     raw.schema("ts").dataType match {
@@ -32,6 +39,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
