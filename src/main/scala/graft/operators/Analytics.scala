@@ -784,6 +784,51 @@ object Analytics {
           .cast("double").as("ex_ties"))
   }
 
+  // --------------------------------------------------------------- D67
+  /** Sequential pattern matching over event streams (the
+    * MATCH_RECOGNIZE-lite shape): each (user, day)'s events collapse —
+    * ordered by (ts, event_id) — into a compact symbol string (first
+    * letter of event_type; the five types have distinct initials), and
+    * regex scans over that string answer ordered-sequence questions a
+    * relational join can't express directly: how many times did a view
+    * IMMEDIATELY precede a purchase (`vp`), how many view→purchase
+    * conversions had only clicks/errors between them (`v[ce]*p`), and
+    * did the day contain a view-then-purchase at any distance
+    * (`v.*p`).
+    *
+    * Scale shape: ONE shuffle on (user_id, day) — the grouping key
+    * bounds per-group state at a day of one user's events, so the
+    * collect_list + array_sort never sees unbounded input; the regex
+    * scans are per-row projections after the aggregate. Both engines
+    * scan regexes non-overlapping left-to-right, and the character-
+    * class patterns have no alternation ambiguity, so counts agree. */
+  def seqPattern(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("sym")).as("e"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(e)), x -> x.sym)"), "")
+        .as("seq"))
+      .select(col("user_id"), col("day"),
+        length(col("seq")).cast("long").as("n_events"),
+        expr("regexp_count(seq, 'vp')").cast("long").as("n_adjacent"),
+        expr("regexp_count(seq, 'v[ce]*p')").cast("long").as("n_conversions"),
+        col("seq").rlike("v.*p").as("has_funnel"))
+
+  val seqPatternSql: String =
+    """WITH seqs AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+      |SELECT user_id, day,
+      |  CAST(length(seq) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_adjacent,
+      |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_conversions,
+      |  regexp_matches(seq, 'v.*p') AS has_funnel
+      |FROM seqs""".stripMargin
+
   val excludeFrameSql: String =
     """SELECT o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (

@@ -608,4 +608,106 @@ object CorpusAnalytics {
       |w AS (SELECT doc_id, CAST(ROUND(SUM(logratio), 6) AS DOUBLE) AS dsir_weight
       |  FROM t JOIN ratio USING (b) GROUP BY doc_id)
       |SELECT doc_id, dsir_weight, dsir_weight > 0.0 AS target_like FROM w""".stripMargin
+
+  // --------------------------------------------------------------- E55
+  /** Duplicate n-gram ratio — the repeated-passage signal behind
+    * substring-level training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * every document, the fraction of its DISTINCT 5-grams that also
+    * occur in at least one OTHER document. High-ratio documents are
+    * built from corpus-recycled passages (boilerplate, mirrors,
+    * templates) even when no whole paragraph matches E50.
+    *
+    * Scale shape: gram text never crosses the wire. Each (doc, gram)
+    * pair is reduced to a 128-bit content key (two independent
+    * xxhash64 seeds) in the scan projection; the per-doc distinct, the
+    * corpus doc-frequency aggregate, and the probe join all exchange
+    * 16-byte keys. The DuckDB oracle resolves on the exact gram
+    * string, so a hash-collision effect would fail the gate. */
+  def dupNgramRatio(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(0, size(toks) - $n),
+           |    i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))
+           |  ELSE array() END""".stripMargin)).as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("h1"),
+        xxhash64(lit(7), col("gram")).as("h2"))
+      .distinct() // per-doc distinct grams, as 16-byte keys
+    val docFreq = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n_docs"))
+    grams.join(docFreq, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_ratio"))
+  }
+
+  val dupNgramRatioSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4])) AS gram
+      |  FROM d WHERE len(toks) >= 5),
+      |f AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  ROUND(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS dup_ratio
+      |FROM g JOIN f USING (gram) GROUP BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- E56
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 2007): per language stratum, keep the
+    * k documents with the largest priority w/u, where w is the
+    * document's weight (its length — longer documents carry more
+    * training tokens) and u ∈ (0,1) is a uniform hash of its id.
+    * Inclusion probability is ∝ min(1, w/τ) for the threshold τ =
+    * (k+1)-th priority — the length-biased sample a token-budgeted
+    * corpus draw needs, with a deterministic, engine-portable draw.
+    *
+    * Determinism: u = (2b+1)/20000 for an integer hash bucket b, so
+    * the priority is one IEEE-754 division of two exactly-representable
+    * integers — correctly rounded by spec, hence bit-identical across
+    * engines (no ln/pow, whose last-ulp wobble is implementation-
+    * defined; this is why priority sampling is used here rather than
+    * the u^(1/w) exponential-key scheme).
+    *
+    * Scale shape: the per-stratum top-k rides [[graft.functions.BoundedTopK]]
+    * — map-side partials prune to ≤ k rows per stratum per partition
+    * BEFORE the shuffle, so the exchange carries O(strata · k) and
+    * nothing ever sorts a stratum (a row_number window would shuffle
+    * the full corpus onto |strata| reducers). */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val b = pmod((col("doc_id") % 999983L) * 2246822519L, lit(10000L))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        (col("n_chars").cast("double") * 20000.0 /
+          (b.cast("double") * 2.0 + 1.0)).as("priority"))
+      .groupBy(col("lang"))
+      .agg(TopKAgg.boundedTopK(
+        struct((-col("priority")).as("np"), col("doc_id")), k).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("t.doc_id").as("doc_id"),
+        round(-col("t.np"), 4).as("priority"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH p AS (SELECT lang, doc_id,
+      |    CAST(n_chars AS DOUBLE) * 20000.0 /
+      |      (CAST(((doc_id % 999983) * 2246822519) % 10000 AS DOUBLE) * 2.0 + 1.0)
+      |      AS priority
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, priority,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY priority DESC, doc_id ASC) AS rk
+      |  FROM p)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, ROUND(priority, 4) AS priority
+      |FROM r WHERE rk <= 10""".stripMargin
 }

@@ -83,6 +83,15 @@ object StreamGates {
     q.awaitTermination()
   }
 
+  /** Like [[drain]] but hands back the terminated query so gates can
+    * read its progress metrics (watermark, rows dropped by it). */
+  private def drainQ(w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** Exact multiset equality of two bounded frames. */
   private def setEqual(a: DataFrame, b: DataFrame): Boolean =
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
@@ -288,6 +297,78 @@ object StreamGates {
       |    OR user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
       |  TRUE AS stream_matches_batch
       |FROM events WHERE event_id < 2000""".stripMargin
+
+  // ------------------------------------------------------------- F13
+  /** Late-data accounting: rows arriving behind the watermark must be
+    * DROPPED by the windowed aggregation — never silently double-
+    * counted into closed windows — and the drop must be OBSERVABLE
+    * (`numRowsDroppedByWatermark` in the operator metrics), because at
+    * 100 TB "how much data missed the watermark" is a production SLO,
+    * not a debugging curiosity.
+    *
+    * Protocol: batch run 1 drains only the slice's recent rows
+    * (ts ≥ max−2h), advancing the watermark to max−1h; the planted
+    * late cohort (ts < max−3h, hour-disjoint from the on-time set) is
+    * then appended and a restart from the SAME checkpoint drains it.
+    * Asserted: (a) the second run's metrics account for EVERY late row,
+    * (b) the emitted windows equal the batch aggregate of the on-time
+    * rows alone, finalized at watermark max−1h — had any late row
+    * leaked into the aggregation, its (old, long-closed) window would
+    * have emitted and broken the set equality. */
+  def streamLateAudit(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def minusH(h: Int) = new java.sql.Timestamp(maxTs.getTime - h * 3600 * 1000L)
+    val onTime = ev.filter(col("ts") >= lit(minusH(2)))
+    val late = ev.filter(col("ts") < lit(minusH(3)))
+    val nLate = late.count()
+    val in = tempDir("graft_sg_late_in")
+    val ck = tempDir("graft_sg_late_ck")
+    stage(onTime, in, nFiles = 2)
+    def run(qn: String) = drainQ(
+      EventStream.windowedCounts(fileStream(s, in, ev.schema),
+          watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ck))
+    val qn1 = uniq("sg_late1"); val qn2 = uniq("sg_late2")
+    run(qn1)
+    stage(late, in, nFiles = 1, mode = "append")
+    val q2 = run(qn2)
+    val dropped = q2.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    val got = s.table(qn1).unionByName(s.table(qn2))
+    // append mode finalizes a window once the watermark passes its
+    // end; the final watermark is max−1h by construction
+    val want = onTime
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .filter(col("window.end") <= lit(minusH(1)))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    Seq(("stream_late_audit", onTime.count(), nLate, got.count(),
+        dropped == nLate, setEqual(got, want)))
+      .toDF("metric", "n_ontime", "n_late", "n_emitted",
+        "late_all_dropped", "emitted_matches_batch")
+  }
+
+  val streamLateAuditSql: String =
+    """WITH s AS (SELECT * FROM events WHERE event_id < 2000),
+      |m AS (SELECT max(ts) AS mx FROM s),
+      |ontime AS (SELECT e.* FROM s e, m WHERE ts >= mx - INTERVAL 2 HOUR),
+      |w AS (SELECT date_trunc('hour', ts) AS ws, event_type
+      |      FROM ontime GROUP BY 1, 2),
+      |emitted AS (SELECT w.* FROM w, m
+      |            WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR)
+      |SELECT 'stream_late_audit' AS metric,
+      |  CAST((SELECT COUNT(*) FROM ontime) AS BIGINT) AS n_ontime,
+      |  CAST((SELECT COUNT(*) FROM s e, m WHERE ts < mx - INTERVAL 3 HOUR)
+      |    AS BIGINT) AS n_late,
+      |  CAST((SELECT COUNT(*) FROM emitted) AS BIGINT) AS n_emitted,
+      |  TRUE AS late_all_dropped,
+      |  TRUE AS emitted_matches_batch""".stripMargin
 
   // ------------------------------------------------------------- F3
   /** File-drop ingest: [[EventStream.fileDropStream]] drained over the
