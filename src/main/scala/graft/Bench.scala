@@ -66,12 +66,14 @@ object Bench {
       // up as multi-second phantom spikes on innocent neighbors
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
         case e: Throwable =>
           errors.getOrElseUpdate(name,
             e.toString.replaceAll("[\"\\\\\n\r]", " ").take(200))
+          // a failed rep's wall-time is the time-to-throw, not a
+          // measurement — it must not enter any median or section total
+          Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // Steady-state times are median-of-3: single-rep timings at this
     // query count swing ±30% with zero code change (load, GC, page
@@ -86,7 +88,9 @@ object Bench {
       val ts = scala.collection.mutable.ArrayBuffer[Double]()
       var i = 0
       while (i < reps && !errors.contains(name)) {
-        ts += once(name, fn); i += 1
+        val t = once(name, fn)
+        if (!t.isNaN) ts += t
+        i += 1
       }
       // A query that already errored (e.g. during the cold pass) skips
       // the reps loop entirely; emit NaN rather than indexing an empty
@@ -110,12 +114,14 @@ object Bench {
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
       }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).filterNot(_.isNaN).sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+    def cleanSum(rs: Seq[(String, Double)]): Double =
+      rs.map(_._2).filterNot(_.isNaN).sum
+    val total = cleanSum(results)
+    val coldTotal = cleanSum(cold)
     val errJs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val streamTotal = if (streamResults.nonEmpty) streamResults.map(_._2).sum else 0.0
-    val gateTotal = if (sinkResults.nonEmpty) sinkResults.map(_._2).sum else 0.0
+    val streamTotal = cleanSum(streamResults)
+    val gateTotal = cleanSum(sinkResults)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"queries_min":${js(mins)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"gate_total":$gateTotal,"queries_gate":${js(sinkResults)},"stream_total":$streamTotal,"queries_stream":${js(streamResults)},"errors":$errJs,"rc":${if (errors.isEmpty) 0 else 1},"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncated

@@ -811,7 +811,12 @@ object Analytics {
       .agg(array_join(
         expr("transform(array_sort(collect_list(e)), x -> x.sym)"), "")
         .as("seq"))
-      .select(col("user_id"), col("day"),
+      .select(col("user_id"),
+        // emitted as a formatted string, not DateType: engines hand a
+        // raw date column to the driver as different physical kinds
+        // (datetime.date object vs datetime64), and the driver's
+        // dtype-sensitive hash would mismatch on identical values
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
         length(col("seq")).cast("long").as("n_events"),
         expr("regexp_count(seq, 'vp')").cast("long").as("n_adjacent"),
         expr("regexp_count(seq, 'v[ce]*p')").cast("long").as("n_conversions"),
@@ -822,7 +827,7 @@ object Analytics {
       |  SELECT user_id, CAST(ts AS DATE) AS day,
       |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
       |  FROM events GROUP BY user_id, CAST(ts AS DATE))
-      |SELECT user_id, day,
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
       |  CAST(length(seq) AS BIGINT) AS n_events,
       |  CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_adjacent,
       |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_conversions,

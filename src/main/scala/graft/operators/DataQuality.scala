@@ -50,8 +50,34 @@ object DataQuality {
     * and only that reduced key set anti-joins the parent's key
     * projection. The per-edge scalars stitch with a cross join of two
     * single-row aggregates (bounded by construction). */
+  /** The full FK edge set of the TPC-H-ish star, shared by the Spark
+    * audit and the generated DuckDB oracle so the two can never drift:
+    * (edge child-table, fk column, parent table, pk column, planted
+    * orphan keys). Every edge plants orphans — a healthy snapshot must
+    * still prove the detector fires — and the first edge plants a
+    * DUPLICATED key (-1 twice) so `n_orphan_rows ≠ n_orphan_keys` pins
+    * the rows-vs-keys distinction. Keys are negative: disjoint from
+    * every generated key space. */
+  private val fkEdges: Seq[(String, String, String, String, Seq[Long])] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", Seq(-1L, -2L, -3L, -1L)),
+    ("lineitem", "l_partkey", "part", "p_partkey", Seq(-4L, -5L)),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", Seq(-6L, -7L)),
+    ("orders", "o_custkey", "customer", "c_custkey", Seq(-10L, -20L)),
+    ("customer", "c_nationkey", "nation", "n_nationkey", Seq(-30L)),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", Seq(-40L)),
+    ("nation", "n_regionkey", "region", "r_regionkey", Seq(-50L)))
+
   def fkIntegrity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    def table(name: String): DataFrame = name match {
+      case "lineitem" => Tables.lineitem(s, dir)
+      case "orders"   => Tables.orders(s, dir)
+      case "customer" => Tables.customer(s, dir)
+      case "supplier" => Tables.supplier(s, dir)
+      case "nation"   => Tables.nation(s, dir)
+      case "region"   => Tables.region(s, dir)
+      case "part"     => Tables.part(s, dir)
+    }
     def edge(name: String, child: DataFrame, parentKeys: DataFrame): DataFrame = {
       val perKey = child.groupBy(col("fk")).agg(count(lit(1)).as("n_rows"))
       val orphan = perKey.join(parentKeys,
@@ -64,39 +90,35 @@ object DataQuality {
         col("n_child_rows"), col("n_child_keys"),
         col("n_orphan_keys"), col("n_orphan_rows"))
     }
-    val e1 = edge("lineitem.l_orderkey->orders.o_orderkey",
-      Tables.lineitem(s, dir).select(col("l_orderkey").as("fk"))
-        .unionByName(Seq(-1L, -2L, -3L, -1L).toDF("fk")),
-      Tables.orders(s, dir).select(col("o_orderkey").as("pk")))
-    val e2 = edge("orders.o_custkey->customer.c_custkey",
-      Tables.orders(s, dir).select(col("o_custkey").as("fk"))
-        .unionByName(Seq(-10L, -20L).toDF("fk")),
-      Tables.customer(s, dir).select(col("c_custkey").as("pk")))
-    e1.unionByName(e2)
+    fkEdges.map { case (ct, fk, pt, pk, planted) =>
+      edge(s"$ct.$fk->$pt.$pk",
+        table(ct).select(col(fk).cast("long").as("fk"))
+          .unionByName(planted.toDF("fk")),
+        table(pt).select(col(pk).cast("long").as("pk")))
+    }.reduce(_.unionByName(_))
   }
 
-  val fkIntegritySql: String =
-    """WITH li AS (SELECT l_orderkey AS fk FROM lineitem
-      |  UNION ALL SELECT CAST(fk AS BIGINT)
-      |            FROM (VALUES (-1), (-2), (-3), (-1)) v(fk)),
-      |k1 AS (SELECT fk, COUNT(*) AS n_rows FROM li GROUP BY fk),
-      |o1 AS (SELECT n_rows FROM k1
-      |       WHERE fk NOT IN (SELECT o_orderkey FROM orders)),
-      |od AS (SELECT o_custkey AS fk FROM orders
-      |  UNION ALL SELECT CAST(fk AS BIGINT)
-      |            FROM (VALUES (-10), (-20)) v(fk)),
-      |k2 AS (SELECT fk, COUNT(*) AS n_rows FROM od GROUP BY fk),
-      |o2 AS (SELECT n_rows FROM k2
-      |       WHERE fk NOT IN (SELECT c_custkey FROM customer)),
-      |e1 AS (SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS edge,
-      |  CAST((SELECT SUM(n_rows) FROM k1) AS BIGINT) AS n_child_rows,
-      |  CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS n_child_keys,
-      |  CAST((SELECT COUNT(*) FROM o1) AS BIGINT) AS n_orphan_keys,
-      |  CAST(COALESCE((SELECT SUM(n_rows) FROM o1), 0) AS BIGINT) AS n_orphan_rows),
-      |e2 AS (SELECT 'orders.o_custkey->customer.c_custkey' AS edge,
-      |  CAST((SELECT SUM(n_rows) FROM k2) AS BIGINT) AS n_child_rows,
-      |  CAST((SELECT COUNT(*) FROM k2) AS BIGINT) AS n_child_keys,
-      |  CAST((SELECT COUNT(*) FROM o2) AS BIGINT) AS n_orphan_keys,
-      |  CAST(COALESCE((SELECT SUM(n_rows) FROM o2), 0) AS BIGINT) AS n_orphan_rows)
-      |SELECT * FROM e1 UNION ALL SELECT * FROM e2""".stripMargin
+  /** Oracle generated from the SAME [[fkEdges]] list. Orphan detection
+    * uses NOT EXISTS, not NOT IN: a NULL parent key would make NOT IN
+    * evaluate UNKNOWN and silently report zero orphans — exactly the
+    * failure mode an integrity audit on dirty data cannot have. */
+  val fkIntegritySql: String = {
+    val ctes = fkEdges.zipWithIndex.map { case ((ct, fk, pt, pk, planted), i) =>
+      val values = planted.map(v => s"($v)").mkString(", ")
+      s"""c$i AS (SELECT CAST($fk AS BIGINT) AS fk FROM $ct
+         |  UNION ALL SELECT CAST(fk AS BIGINT) FROM (VALUES $values) v(fk)),
+         |k$i AS (SELECT fk, COUNT(*) AS n_rows FROM c$i GROUP BY fk),
+         |o$i AS (SELECT n_rows FROM k$i
+         |       WHERE NOT EXISTS (SELECT 1 FROM $pt p
+         |                         WHERE CAST(p.$pk AS BIGINT) = k$i.fk))""".stripMargin
+    }
+    val selects = fkEdges.zipWithIndex.map { case ((ct, fk, pt, pk, _), i) =>
+      s"""SELECT '$ct.$fk->$pt.$pk' AS edge,
+         |  CAST((SELECT SUM(n_rows) FROM k$i) AS BIGINT) AS n_child_rows,
+         |  CAST((SELECT COUNT(*) FROM k$i) AS BIGINT) AS n_child_keys,
+         |  CAST((SELECT COUNT(*) FROM o$i) AS BIGINT) AS n_orphan_keys,
+         |  CAST(COALESCE((SELECT SUM(n_rows) FROM o$i), 0) AS BIGINT) AS n_orphan_rows""".stripMargin
+    }
+    "WITH " + ctes.mkString(",\n") + "\n" + selects.mkString("\nUNION ALL\n")
+  }
 }

@@ -310,11 +310,22 @@ object StreamGates {
     * (ts ≥ max−2h), advancing the watermark to max−1h; the planted
     * late cohort (ts < max−3h, hour-disjoint from the on-time set) is
     * then appended and a restart from the SAME checkpoint drains it.
-    * Asserted: (a) the second run's metrics account for EVERY late row,
+    * Both runs emit through `foreachBatch` into an append-only parquet
+    * "emitted" table — the memory sink cannot recover from a
+    * checkpoint, so the restart leg MUST use a foreachBatch sink (the
+    * F8 pattern), which replays its file-source offsets exactly.
+    * Asserted: (a) the second run's `numRowsDroppedByWatermark` equals
+    * the late cohort's distinct (window, event_type) group count — the
+    * watermark filter sits ABOVE the in-batch partial/merge aggregation
+    * (state is keyed by group, so that's where lateness is decidable),
+    * so the metric counts dropped GROUP rows; the late cohort arrives
+    * in one batch, making that count deterministic,
     * (b) the emitted windows equal the batch aggregate of the on-time
     * rows alone, finalized at watermark max−1h — had any late row
     * leaked into the aggregation, its (old, long-closed) window would
-    * have emitted and broken the set equality. */
+    * have emitted and broken the set equality. The double-typed
+    * `sum_value` is compared after round(6) on both sides, matching F1:
+    * streaming-state accumulation order can differ from batch by ULPs. */
   def streamLateAudit(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
     import s.implicits._
     val ev = slice(s, dir)
@@ -323,33 +334,38 @@ object StreamGates {
     val onTime = ev.filter(col("ts") >= lit(minusH(2)))
     val late = ev.filter(col("ts") < lit(minusH(3)))
     val nLate = late.count()
+    val nLateGroups = late
+      .select(window(col("ts"), "1 hour"), col("event_type"))
+      .distinct().count()
     val in = tempDir("graft_sg_late_in")
     val ck = tempDir("graft_sg_late_ck")
+    val out = tempDir("graft_sg_late_out") + "/emitted"
     stage(onTime, in, nFiles = 2)
     def run(qn: String) = drainQ(
-      EventStream.windowedCounts(fileStream(s, in, ev.schema),
-          watermarkDelay = "1 hour")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ck))
-    val qn1 = uniq("sg_late1"); val qn2 = uniq("sg_late2")
-    run(qn1)
+      EventStream.foreachBatchSink(
+          EventStream.windowedCounts(fileStream(s, in, ev.schema),
+            watermarkDelay = "1 hour"), qn) {
+          (batch, _) => batch.write.mode("append").parquet(out)
+        }.option("checkpointLocation", ck))
+    run(uniq("sg_late1"))
     stage(late, in, nFiles = 1, mode = "append")
-    val q2 = run(qn2)
+    val q2 = run(uniq("sg_late2"))
     val dropped = q2.recentProgress
       .flatMap(p => Option(p.stateOperators).toSeq.flatten)
       .map(_.numRowsDroppedByWatermark).sum
-    val got = s.table(qn1).unionByName(s.table(qn2))
+    val got = s.read.parquet(out)
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sum_value"))
     // append mode finalizes a window once the watermark passes its
     // end; the final watermark is max−1h by construction
     val want = onTime
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
       .filter(col("window.end") <= lit(minusH(1)))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
     Seq(("stream_late_audit", onTime.count(), nLate, got.count(),
-        dropped == nLate, setEqual(got, want)))
+        dropped == nLateGroups, setEqual(got, want)))
       .toDF("metric", "n_ontime", "n_late", "n_emitted",
         "late_all_dropped", "emitted_matches_batch")
   }
