@@ -144,16 +144,25 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
     // Pass 2: planned per-partition sort, then one sequential pass —
     // broadcast lookups happen only at group-run boundaries. Output
     // rides an UnsafeProjection: downstream consumers (collect,
-    // exchanges) require UnsafeRow. The sort consumes the SAME
-    // `childRDD` object pass 1 counted (wrapped in a scan leaf, not a
-    // second `child.execute()`): with one shared RDD the partition
-    // layout is pinned by construction — a re-executed subtree above
-    // the exchange (a projection, a re-sampled repartitionByRange)
-    // can never hand the two passes different partitionings.
+    // exchanges) require UnsafeRow. The sort must consume the SAME
+    // partition layout pass 1 counted. Two ways to pin that:
+    //  - the common case: `child` is the range exchange EnsureRequirements
+    //    planted (ShuffleExchangeExec caches its ShuffledRowRDD), so a
+    //    second `child.execute()` returns the IDENTICAL RDD object —
+    //    verified by reference equality below — and SortExec can consume
+    //    the child directly, with no re-projection of any row;
+    //  - otherwise (a subtree whose execute() builds a fresh RDD each
+    //    call, e.g. a projection over a re-sampled repartitionByRange),
+    //    wrap the materialized `childRDD` in a scan leaf so both passes
+    //    share one RDD by construction. This path pays RDDScanExec's
+    //    per-row UnsafeProjection copy, which is why it is the fallback
+    //    and not the default.
     val outAttrs = output
-    SortExec(sortOrders, global = false,
-        child = PlanBridge.rddScan(childOutput, childRDD,
-          "GlobalRankChild", child.outputPartitioning)).execute()
+    val sortChild =
+      if (child.execute() eq childRDD) child
+      else PlanBridge.rddScan(childOutput, childRDD,
+        "GlobalRankChild", child.outputPartitioning)
+    SortExec(sortOrders, global = false, child = sortChild).execute()
       .mapPartitionsWithIndex({ (pid, it) =>
         val proj = UnsafeProjection.create(keyExprs, childOutput)
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
