@@ -834,6 +834,71 @@ object Analytics {
       |  regexp_matches(seq, 'v.*p') AS has_funnel
       |FROM seqs""".stripMargin
 
+  // --------------------------------------------------------- D63+D66
+  /** GROUPS frame COMPOSED with the EXCLUDE clause (`GROUPS BETWEEN 2
+    * PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW / GROUP / TIES`) —
+    * the SQL:2011 window cell NEITHER engine ships (Spark has neither
+    * piece; DuckDB 1.0 has EXCLUDE but no GROUPS mode), so both sides
+    * are emulations and the oracle is an INDEPENDENT formulation, not
+    * a mirror. Spark side: the D63 dense_rank→RANGE trick makes the
+    * GROUPS frame, and because a dense-rank RANGE frame contains only
+    * whole peer groups, the D66 algebra applies verbatim on top:
+    *   EXCLUDE CURRENT ROW = frame − current row
+    *   EXCLUDE GROUP       = frame − peer-group
+    *   EXCLUDE TIES        = frame − peer-group + current row
+    * with SQL's empty-frame-is-NULL rule restored from frame/peer
+    * counts. Oracle side: peer groups pre-aggregate to one row each, a
+    * ROWS frame spans them, and the per-row EXCLUDE algebra runs after
+    * a join back to the fact rows. Sums ride exact decimals; the
+    * double conversion happens once, after the algebra. Scale: both
+    * windows partition by o_custkey (high cardinality, parallel); the
+    * two sort orders (o_orderdate, dr) share one hash exchange. */
+  def groupsExclude(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val frame = Window.partitionBy(col("o_custkey")).orderBy(col("dr"))
+      .rangeBetween(-2, 0)
+    val peers = Window.partitionBy(col("o_custkey")).orderBy(col("dr"))
+      .rangeBetween(0, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 6)).as("p"))
+      .withColumn("dr", dense_rank().over(byDate))
+      .withColumn("f_sum", sum(col("p")).over(frame))
+      .withColumn("f_cnt", count(lit(1)).over(frame))
+      .withColumn("g_sum", sum(col("p")).over(peers))
+      .withColumn("g_cnt", count(lit(1)).over(peers))
+      .select(col("o_orderkey"),
+        when(col("f_cnt") > 1, col("f_sum") - col("p"))
+          .cast("double").as("ex_cur"),
+        when(col("f_cnt") > col("g_cnt"), col("f_sum") - col("g_sum"))
+          .cast("double").as("ex_grp"),
+        (col("f_sum") - col("g_sum") + col("p"))
+          .cast("double").as("ex_ties"))
+  }
+
+  val groupsExcludeSql: String =
+    """WITH d AS (SELECT o_custkey, o_orderdate AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS day_sum,
+      |    COUNT(*) AS day_cnt
+      |  FROM orders GROUP BY 1, 2),
+      |f AS (SELECT o_custkey, day, day_sum, day_cnt,
+      |    SUM(day_sum) OVER w AS f_sum,
+      |    SUM(day_cnt) OVER w AS f_cnt
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+      |SELECT o.o_orderkey,
+      |  CAST(CASE WHEN f.f_cnt > 1
+      |       THEN f.f_sum - CAST(o.o_totalprice AS DECIMAL(18,6)) END
+      |    AS DOUBLE) AS ex_cur,
+      |  CAST(CASE WHEN f.f_cnt > f.day_cnt
+      |       THEN f.f_sum - f.day_sum END AS DOUBLE) AS ex_grp,
+      |  CAST(f.f_sum - f.day_sum + CAST(o.o_totalprice AS DECIMAL(18,6))
+      |    AS DOUBLE) AS ex_ties
+      |FROM orders o JOIN f
+      |  ON o.o_custkey = f.o_custkey AND o.o_orderdate = f.day""".stripMargin
+
   val excludeFrameSql: String =
     """SELECT o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (

@@ -237,4 +237,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(_._1.isEmpty) && got.values.exists(_._1.isDefined))
     assert(got.values.exists(_._2.isEmpty) && got.values.exists(_._2.isDefined))
   }
+
+  test("groupsExclude: matches a brute-force GROUPS-frame scan with EXCLUDE algebra") {
+    val got = Analytics.groupsExclude(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[java.lang.Double]("ex_cur")),
+        Option(r.getAs[java.lang.Double]("ex_grp")),
+        r.getAs[Double]("ex_ties"))).toMap
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).as("day_n"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byCust = raw.groupBy(_._2)
+    assert(got.size == raw.length)
+    raw.foreach { case (ok, ck, day, p) =>
+      // brute-force GROUPS frame: the current day's peer group plus
+      // the 2 PRECEDING distinct-day groups of this customer
+      val days = byCust(ck).map(_._3).distinct.sorted
+      val di = days.indexOf(day)
+      val frameDays = days.slice(math.max(0, di - 2), di + 1).toSet
+      val frame = byCust(ck).filter(t => frameDays(t._3))
+      val peers = frame.filter(_._3 == day)
+      val fSum = frame.map(t => BigDecimal(t._4)).sum
+      val gSum = peers.map(t => BigDecimal(t._4)).sum
+      val (exCur, exGrp, exTies) = got(ok)
+      if (frame.length > 1)
+        assert(math.abs(exCur.get - (fSum - BigDecimal(p)).toDouble) < 1e-6)
+      else assert(exCur.isEmpty, s"order $ok: lone-row frame must give NULL ex_cur")
+      if (frame.length > peers.length)
+        assert(math.abs(exGrp.get - (fSum - gSum).toDouble) < 1e-6)
+      else assert(exGrp.isEmpty, s"order $ok: all-peer frame must give NULL ex_grp")
+      assert(math.abs(exTies - (fSum - gSum + BigDecimal(p)).toDouble) < 1e-6)
+    }
+    assert(got.values.exists(_._1.isDefined))
+    assert(got.values.exists(_._2.isEmpty) && got.values.exists(_._2.isDefined))
+  }
 }

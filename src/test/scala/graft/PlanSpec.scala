@@ -569,4 +569,14 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("groups+exclude composition: one hash exchange, no single-reducer window") {
+    val p = plan(operators.Analytics.groupsExclude(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // dense_rank orders by o_orderdate, the frame windows by dr — two
+    // Window nodes — but all of them partition by o_custkey, so the
+    // whole composition rides ONE hash exchange and stays parallel
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
