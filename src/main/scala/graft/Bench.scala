@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Queries that measure scratch I/O (they write parquet/bucketed
+    * tables/Derby and read them back) — benched under their own
+    * section, and excluded from plan fingerprinting (building their
+    * DataFrame executes the side effects). Shared with [[PlanDump]]. */
+  val sinkGateNames: Set[String] = Set(
+    "compact_gate", "idempotent_load_gate", "etl_audit_gate",
+    "upsert_gate", "exactly_once_jdbc_gate", "zorder_gate",
+    "agg_maintain_gate", "dpp_gate", "exchange_reuse_gate",
+    "bucketed_join_gate", "csv_quarantine_gate", "schema_evolved_gate")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,11 +54,6 @@ object Bench {
     // but measuring the local disk, and their write churn perturbs GC
     // and page cache for alphabetical neighbors — so they get their
     // own section too.
-    val sinkGateNames: Set[String] = Set(
-      "compact_gate", "idempotent_load_gate", "etl_audit_gate",
-      "upsert_gate", "exactly_once_jdbc_gate", "zorder_gate",
-      "agg_maintain_gate", "dpp_gate", "exchange_reuse_gate",
-      "bucketed_join_gate", "csv_quarantine_gate", "schema_evolved_gate")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val streamGates = all.filter(_._1.startsWith("stream_"))
     val sinkGates = all.filter(q => sinkGateNames(q._1))
