@@ -40,6 +40,14 @@ object Tables {
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ->LTZ cast is wall-clock-preserving ONLY under a UTC
+        // session timezone; a caller with any other tz would silently
+        // shift every ts and diverge from the naive-timestamp oracle —
+        // fail loudly instead
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events requires spark.sql.session.timeZone=UTC to cast " +
+          s"TIMESTAMP_NTZ wall-clocks losslessly (session has '$tz')")
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
