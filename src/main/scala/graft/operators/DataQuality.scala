@@ -78,24 +78,49 @@ object DataQuality {
       case "region"   => Tables.region(s, dir)
       case "part"     => Tables.part(s, dir)
     }
-    def edge(name: String, child: DataFrame, parentKeys: DataFrame): DataFrame = {
-      val perKey = child.groupBy(col("fk")).agg(count(lit(1)).as("n_rows"))
-      val orphan = perKey.join(parentKeys,
-        perKey("fk") === parentKeys("pk"), "left_anti")
-      val tot = perKey.agg(sum(col("n_rows")).as("n_child_rows"),
-        count(lit(1)).as("n_child_keys"))
-      val orp = orphan.agg(count(lit(1)).as("n_orphan_keys"),
-        coalesce(sum(col("n_rows")), lit(0L)).as("n_orphan_rows"))
-      tot.crossJoin(orp).select(lit(name).as("edge"),
-        col("n_child_rows"), col("n_child_keys"),
-        col("n_orphan_keys"), col("n_orphan_rows"))
-    }
-    fkEdges.map { case (ct, fk, pt, pk, planted) =>
-      edge(s"$ct.$fk->$pt.$pk",
-        table(ct).select(col(fk).cast("long").as("fk"))
-          .unionByName(planted.toDF("fk")),
-        table(pt).select(col(pk).cast("long").as("pk")))
+    // ONE scan per child TABLE, not per edge: a table's edges fan out
+    // through a single inline explode (an Expand over the projected fk
+    // columns), so lineitem — the 100 TB fact — is read once for its
+    // three edges instead of three times. The (edge, fk) stream then
+    // reduces in ONE hash aggregation (map-side partials collapse each
+    // edge's keys before the exchange); everything after operates on
+    // distinct keys per edge, orders of magnitude smaller than rows.
+    val edgeName = (ct: String, fk: String, pt: String, pk: String) =>
+      s"$ct.$fk->$pt.$pk"
+    val childKeys = fkEdges.groupBy(_._1).map { case (ct, edges) =>
+      table(ct).select(explode(array(edges.map { case (_, fk, pt, pk, _) =>
+        struct(lit(edgeName(ct, fk, pt, pk)).as("edge"),
+          col(fk).cast("long").as("fk"))
+      }: _*)).as("e")).select(col("e.edge").as("edge"), col("e.fk").as("fk"))
     }.reduce(_.unionByName(_))
+    val planted = fkEdges.flatMap { case (ct, fk, pt, pk, keys) =>
+      keys.map(k => (edgeName(ct, fk, pt, pk), k))
+    }.toDF("edge", "fk")
+    val perKey = childKeys.unionByName(planted)
+      .groupBy(col("edge"), col("fk")).agg(count(lit(1)).as("n_rows"))
+    // ONE anti-join for all 7 edges: parents union into a tagged
+    // (edge, pk) key set — each parent table scanned once, projected
+    // to its key column — and orphanhood is decided on the composite
+    // (edge, key) equi-key, hash-partitioned and skew-free. Both
+    // report halves are then #edges-sized aggregates of the reduced
+    // frames; the final join is 7 rows against 7 rows.
+    val parents = fkEdges.map { case (ct, fk, pt, pk, _) =>
+      table(pt).select(lit(edgeName(ct, fk, pt, pk)).as("edge"),
+        col(pk).cast("long").as("pk"))
+    }.reduce(_.unionByName(_))
+    val orphans = perKey.join(parents,
+      perKey("edge") === parents("edge") && perKey("fk") === parents("pk"),
+      "left_anti")
+    val tot = perKey.groupBy(col("edge"))
+      .agg(sum(col("n_rows")).as("n_child_rows"),
+        count(lit(1)).as("n_child_keys"))
+    val orp = orphans.groupBy(col("edge"))
+      .agg(count(lit(1)).as("n_orphan_keys"),
+        sum(col("n_rows")).as("n_orphan_rows"))
+    tot.join(orp, Seq("edge"), "left")
+      .select(col("edge"), col("n_child_rows"), col("n_child_keys"),
+        coalesce(col("n_orphan_keys"), lit(0L)).as("n_orphan_keys"),
+        coalesce(col("n_orphan_rows"), lit(0L)).as("n_orphan_rows"))
   }
 
   /** Oracle generated from the SAME [[fkEdges]] list. Orphan detection
