@@ -54,7 +54,18 @@ object Bench {
     // but measuring the local disk, and their write churn perturbs GC
     // and page cache for alphabetical neighbors — so they get their
     // own section too.
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Failure-handling harness check: SPARK_GRAFT_BENCH_INJECT_FAIL=<name>
+    // replaces that query with a deliberate throw, proving the error
+    // path end-to-end (null time in every section, error recorded,
+    // rc 1) without touching any real operator.
+    val injectFail = sys.env.get("SPARK_GRAFT_BENCH_INJECT_FAIL")
+    val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      if (injectFail.contains(n)) {
+        val boom: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+          (_, _) => throw new RuntimeException("injected bench failure")
+        (n, boom)
+      } else (n, fn)
+    }
     val streamGates = all.filter(_._1.startsWith("stream_"))
     val sinkGates = all.filter(q => sinkGateNames(q._1))
     val named = all.filterNot(q =>
