@@ -307,6 +307,61 @@ object TrainingQueries {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ ]')) AS INTEGER) AS n_re
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- E57
+  /** Per-document lexical-diversity signals: Shannon entropy (bits)
+    * and type-token ratio over the normalized token multiset — the
+    * C4/Gopher-class filter for keyboard-mash, boilerplate, and
+    * template spam that length/stopword ratios miss (both have LOW
+    * entropy for their length).
+    *
+    * Scale shape: ZERO shuffles. The per-doc token frequencies come
+    * from run-lengths of the SORTED token array — one codegen
+    * projection per row (`array_sort` + boundary scan via higher-order
+    * functions), state bounded by the document, nothing keyed by
+    * doc_id ever crosses the wire. The oracle recomputes through the
+    * opposite formulation (unnest → GROUP BY doc,token → entropy
+    * identity log2(n) − Σc·log2(c)/n), so the run-length algebra is
+    * cross-checked, not mirrored. Entropies ride round(6): the two
+    * engines' log2 may differ in the last ULP. */
+  def entropyScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", array_sort(filter(
+        split(TextAnalysis.normalizeText(col("text")), " "), t => t =!= "")))
+      .withColumn("n", size(col("toks")))
+      // boundaries of equal-token runs in the sorted array, closed
+      // with n; counts are adjacent differences
+      .withColumn("bnds", expr(
+        "if(n = 0, array(0), " +
+        "concat(filter(sequence(0, n - 1), i -> i = 0 OR toks[i] != toks[i-1]), array(n)))"))
+      .withColumn("counts", expr(
+        "transform(sequence(1, size(bnds) - 1), j -> bnds[j] - bnds[j-1])"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        (size(col("bnds")) - 1).cast("long").as("n_types"),
+        when(col("n") > 0, round(
+          (size(col("bnds")) - 1).cast("double") / col("n"), 6)).as("ttr"),
+        when(col("n") > 0, round(
+          log2(col("n")) -
+            expr("aggregate(counts, 0D, (a, c) -> a + c * log2(c))") / col("n"),
+          6)).as("entropy_bits"))
+
+  val entropyScoreSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types, SUM(c * log2(c)) AS s
+      |  FROM c GROUP BY 1)
+      |SELECT t.doc_id,
+      |  COALESCE(a.n_tokens, 0) AS n_tokens,
+      |  COALESCE(a.n_types, 0) AS n_types,
+      |  ROUND(CAST(a.n_types AS DOUBLE) / a.n_tokens, 6) AS ttr,
+      |  ROUND(log2(a.n_tokens) - a.s / a.n_tokens, 6) AS entropy_bits
+      |FROM t LEFT JOIN a USING (doc_id)""".stripMargin
+
   // ----------------------------------------------------------- E13
   /** Normalize + remove stopwords; verified through the cleaned string
     * and surviving-token count. */

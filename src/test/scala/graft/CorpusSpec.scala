@@ -107,4 +107,28 @@ class CorpusSpec extends SparkSpec {
     // freqItems guarantees no false negatives at the support level
     assert(truly.subsetOf(hh))
   }
+
+  test("E57: entropy/TTR match hand-computed values on crafted docs") {
+    // stage crafted docs as parquet so entropyScore's Tables.documents
+    // read sees them (schema mirrors the real table)
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    Seq(
+      (1L, "a a a a", "en", "s", 7L),            // 1 type: entropy 0, ttr 1/4
+      (2L, "a b c d", "en", "s", 7L),            // uniform 4: entropy 2 bits
+      (3L, "a a b b c c d d", "en", "s", 15L),   // uniform 4 types: 2 bits
+      (4L, "a a a b", "en", "s", 7L),            // 3/4,1/4 -> 0.811278 bits
+      (5L, "...", "en", "s", 3L))                // normalizes to empty
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TrainingQueries.entropyScore(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("ttr")),
+          Option(r.getAs[java.lang.Double]("entropy_bits")))).toMap
+    assert(got(1L) == ((4L, 1L, Some(0.25), Some(0.0))))
+    assert(got(2L) == ((4L, 4L, Some(1.0), Some(2.0))))
+    assert(got(3L) == ((8L, 4L, Some(0.5), Some(2.0))))
+    assert(got(4L)._4.contains(0.811278))
+    assert(got(5L) == ((0L, 0L, None, None)))
+  }
 }
