@@ -710,4 +710,73 @@ object CorpusAnalytics {
       |  FROM p)
       |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, ROUND(priority, 4) AS priority
       |FROM r WHERE rk <= 10""".stripMargin
+
+  // --------------------------------------------------------------- E58
+  /** Zipf power-law fit over the term-frequency head — the standard
+    * corpus-health diagnostic: natural text follows freq ∝ rank^s with
+    * s ≈ −1; a slope far from −1 (or a broken-line shape) flags
+    * synthetic, templated, or deduplication-damaged corpora before
+    * training does. OLS of ln(freq) on ln(rank) over the top-k terms.
+    *
+    * Scale shape: the vocabulary aggregate is a hash groupBy with
+    * map-side partials; the head selection is TakeOrdered (per-
+    * partition bounded heaps, O(k) exchange — never a vocabulary
+    * sort); the rank window runs AFTER the limit, so its single
+    * partition is ≤ k rows by construction. Determinism rides the
+    * D44 discipline: per-row log components are pinned to exact
+    * decimals before the order-sensitive summation, and the OLS
+    * arithmetic runs once on the final scalars with the oracle's
+    * exact expression shape (ULP-level ln() differences between the
+    * engines' libm are absorbed by round(6)). */
+  def zipfFit(s: SparkSession, dir: String, k: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val head = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(k)
+    val w = Window.orderBy(col("n").desc, col("term").asc) // ≤ k rows
+    val comps = head
+      .withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .select(
+        col("x").cast(DecimalType(28, 12)).as("xd"),
+        col("y").cast(DecimalType(28, 12)).as("yd"),
+        (col("x") * col("y")).cast(DecimalType(28, 12)).as("xy"),
+        (col("x") * col("x")).cast(DecimalType(28, 12)).as("x2"))
+    comps
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("xd")).cast("double").as("sx"),
+        sum(col("yd")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("x2")).cast("double").as("sx2"))
+      .select(col("n_terms"),
+        round((col("n_terms").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms").cast("double") * col("sx2") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") -
+          ((col("n_terms").cast("double") * col("sxy") - col("sx") * col("sy")) /
+           (col("n_terms").cast("double") * col("sx2") - col("sx") * col("sx"))) *
+          col("sx")) / col("n_terms").cast("double"), 6).as("intercept"))
+  }
+
+  val zipfFitSql: String =
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |c AS (SELECT term, COUNT(*) AS n FROM t WHERE len(term) > 0
+      |      GROUP BY term ORDER BY n DESC, term ASC LIMIT 500),
+      |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS r FROM c),
+      |p AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM r),
+      |s AS (SELECT COUNT(*) AS k,
+      |        CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+      |        CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+      |        CAST(SUM(CAST(x*y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+      |        CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE) AS sx2
+      |      FROM p)
+      |SELECT CAST(k AS BIGINT) AS n_terms,
+      |  ROUND((CAST(k AS DOUBLE)*sxy - sx*sy)/(CAST(k AS DOUBLE)*sx2 - sx*sx), 6) AS slope,
+      |  ROUND((sy - ((CAST(k AS DOUBLE)*sxy - sx*sy)/(CAST(k AS DOUBLE)*sx2 - sx*sx))*sx)
+      |    / CAST(k AS DOUBLE), 6) AS intercept
+      |FROM s""".stripMargin
 }

@@ -131,4 +131,32 @@ class CorpusSpec extends SparkSpec {
     assert(got(4L)._4.contains(0.811278))
     assert(got(5L) == ((0L, 0L, None, None)))
   }
+
+  test("E58: zipf fit recovers the slope of a constructed power-law corpus") {
+    // counts c_i = round(1000 / i^1) for i=1..20 — a rank-1 Zipf head;
+    // the expected OLS slope is computed here from the same counts
+    val counts = (1 to 20).map(i => i -> math.round(1000.0 / i).toInt)
+    val text = counts.flatMap { case (i, c) => Seq.fill(c)(f"w$i%02d") }
+      .mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = operators.CorpusAnalytics.zipfFit(spark, dir).head()
+    assert(row.getLong(0) == 20L)
+    // expected OLS of ln(c) on ln(rank) — ranks follow (count desc,
+    // term asc); equal counts tie-break by term name, which matches
+    // construction order here
+    val sorted = counts.map(_._2).sortBy(-_)
+    val xs = sorted.indices.map(i => math.log(i + 1.0))
+    val ys = sorted.map(c => math.log(c.toDouble))
+    val k = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sx2 = xs.map(a => a * a).sum
+    val slope = (k * sxy - sx * sy) / (k * sx2 - sx * sx)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-4,
+      s"got ${row.getDouble(1)}, want ~$slope")
+    assert(math.abs(slope + 1.0) < 0.01) // the construction IS rank^-1
+  }
 }
