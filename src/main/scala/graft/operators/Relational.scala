@@ -453,6 +453,57 @@ object Relational {
       |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time, c.c_val
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  // --------------------------------------------------------------- D18c
+  /** As-of join WITH TOLERANCE (the pandas `merge_asof(tolerance=...)`
+    * / kdb `wj` cell): the most recent click at-or-before each
+    * purchase counts only when it happened within the attribution
+    * horizon (30 min); a staler click yields NULL, exactly like no
+    * click at all. Same single sort-shuffle as D18 — tolerance is a
+    * post-projection on the matched gap, so the horizon costs nothing
+    * at any scale. NULL semantics fall out of three-valued logic: an
+    * unmatched purchase has NULL gap, and NULL <= tol is NULL → both
+    * output columns null without a special case. */
+  def asofJoinTolerance(s: SparkSession, dir: String,
+                        tolSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tolUs = tolSeconds * 1000000L
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("last_click")))
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        when(col("gap_us") <= tolUs,
+          date_format(col("last_click"), "yyyy-MM-dd HH:mm:ss")).as("click_ts"),
+        when(col("gap_us") <= tolUs, col("gap_us")).as("gap_us"))
+  }
+
+  val asofJoinToleranceSql: String =
+    """WITH ev AS (SELECT user_id, ts, event_type,
+      |    CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (SELECT user_id, ts, event_type,
+      |    LAST_VALUE(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, tag ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      |  FROM ev),
+      |g AS (SELECT user_id, ts, last_click,
+      |    CAST(epoch_us(ts) - epoch_us(last_click) AS BIGINT) AS gap_us
+      |  FROM w WHERE event_type = 'purchase')
+      |SELECT user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  CASE WHEN gap_us <= 1800000000 THEN strftime(last_click, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+      |  CASE WHEN gap_us <= 1800000000 THEN gap_us END AS gap_us
+      |FROM g""".stripMargin
+
   // --------------------------------------------------------------- D20
   /** Two-phase salted skew join — the production form of manual skew
     * mitigation for when AQE's runtime split isn't enough. Phase 0
