@@ -244,6 +244,60 @@ object StreamGates {
       .toDF("metric", "n_first_run", "n_second_run", "stream_matches_batch")
   }
 
+  // ------------------------------------------------------------- F14
+  /** Dedup state across a checkpoint restart: F4 pins exactly-once
+    * within a run and F8 pins file-source offsets across one, but the
+    * production property a continuous ingest actually relies on is
+    * their COMPOSITION — the dropDuplicatesWithinWatermark state
+    * itself must survive the restart, so a key first seen before the
+    * stop is still recognized as a duplicate after it. Wave 1 stages
+    * the first half TWICE (in-run dups); wave 2 re-stages that half a
+    * THIRD time plus the fresh second half, and the restarted query
+    * must emit ONLY the second half: cross-restart duplicate
+    * suppression, not just offset recovery. Emission goes through
+    * foreachBatch into append-only parquet (the recoverable-sink
+    * pattern F13 established). */
+  def streamDedupRestart(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val part1 = ev.filter(col("event_id") < SliceRows / 2)
+    val part2 = ev.filter(col("event_id") >= SliceRows / 2)
+    val in = tempDir("graft_sg_dedupr_in")
+    val out = tempDir("graft_sg_dedupr_out") + "/wh"
+    val ck = tempDir("graft_sg_dedupr_ck")
+    def run(): Unit =
+      drain(EventStream.foreachBatchSink(
+          EventStream.dedupStream(fileStream(s, in, ev.schema),
+            idCols = Seq("event_id"), watermarkDelay = "3650 days"),
+          uniq("sg_dedupr")) {
+          (batch, _) => batch.write.mode("append").parquet(out)
+        }.option("checkpointLocation", ck))
+    stage(part1, in, nFiles = 1)
+    stage(part1, in, nFiles = 1, mode = "append") // in-run duplicates
+    run()
+    val afterFirst = s.read.parquet(out).count()
+    stage(part1, in, nFiles = 1, mode = "append") // cross-restart dup
+    stage(part2, in, nFiles = 1, mode = "append") // the only new keys
+    run() // restart: dedup STATE must survive, not just offsets
+    val got = s.read.parquet(out).select(ev.columns.map(col): _*)
+    val delta = got.count() - afterFirst
+    Seq(("stream_dedup_restart", 3L * part1.count() + part2.count(),
+        afterFirst, delta, setEqual(got, ev)))
+      .toDF("metric", "n_in", "n_first_run", "n_second_run",
+        "stream_matches_batch")
+  }
+
+  val streamDedupRestartSql: String =
+    """WITH s AS (SELECT * FROM events WHERE event_id < 2000),
+      |p1 AS (SELECT * FROM s WHERE event_id < 1000),
+      |p2 AS (SELECT * FROM s WHERE event_id >= 1000)
+      |SELECT 'stream_dedup_restart' AS metric,
+      |  CAST(3 * (SELECT COUNT(*) FROM p1) + (SELECT COUNT(*) FROM p2)
+      |    AS BIGINT) AS n_in,
+      |  CAST((SELECT COUNT(*) FROM p1) AS BIGINT) AS n_first_run,
+      |  CAST((SELECT COUNT(*) FROM p2) AS BIGINT) AS n_second_run,
+      |  TRUE AS stream_matches_batch""".stripMargin
+
   // ------------------------------------------------------------- F11
   /** Incremental sketch table: [[EventStream.sketchTableSink]] drained
     * over the slice (several micro-batches, so the union/merge/publish
