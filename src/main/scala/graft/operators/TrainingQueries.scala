@@ -1170,6 +1170,78 @@ object TrainingQueries {
       |SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
       |FROM train t LEFT JOIN c ON t.doc_id = c.doc_id""".stripMargin
 
+  // ----------------------------------------------------------- E59
+  /** Fuzzy decontamination by shingle CONTAINMENT — the check modern
+    * eval hygiene actually needs beyond E29's exact 8-gram hit: a
+    * paraphrased or partially-copied eval item shares most of its
+    * 5-gram set with the training doc without any single long exact
+    * span. Score = |shingles(eval) ∩ shingles(train)| / |shingles(eval)|
+    * (Jaccard containment, directional — a tiny eval item inside a
+    * long doc still scores 1.0); pairs at ≥ 0.3 are reported.
+    *
+    * Planted truth: one eval doc's FIRST 60% of tokens is appended to
+    * every doc_id % 50 == 0 training doc — no full copy, so the
+    * containment is ~0.6, exactly the partial-overlap regime exact
+    * matching under-reports.
+    *
+    * Scale shape: the E29 broadcast-probe discipline. Eval benchmarks
+    * are small by nature, so the (eval_id, gram) set and the per-eval
+    * gram totals broadcast; the training side explodes its distinct
+    * shingles ONCE and probes — the only exchange after the probe
+    * carries (train, eval, hits) MATCH counts, never corpus grams. */
+  def contaminationScore(s: SparkSession, dir: String,
+                         n: Int = 5, threshold: Double = 0.3): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evalDocs = d.filter(col("doc_id") % 97 === 0)
+    val span = evalDocs.orderBy(col("doc_id")).limit(1)
+      .select(concat_ws(" ", slice(split(col("text"), " "), lit(1),
+        ceil(size(split(col("text"), " ")) * 0.6).cast("int"))).as("span"))
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(span))
+      .select(col("doc_id").as("train_id"),
+        when(col("doc_id") % 50 === 0, concat_ws(" ", col("text"), col("span")))
+          .otherwise(col("text")).as("text"))
+    val evalGrams = evalDocs.select(col("doc_id").as("eval_id"),
+      explode(Dedup.wordShingles("text", n)).as("gram"))
+    val evalSizes = evalGrams.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval"))
+    train
+      .select(col("train_id"), explode(Dedup.wordShingles("text", n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("train_id"), col("eval_id")).agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(evalSizes), "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        round(col("n_hit").cast("double") / col("n_eval"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  val contaminationScoreSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 97 = 0),
+      |span AS (SELECT array_to_string(
+      |    toks[1:CAST(ceil(len(toks) * 0.6) AS INTEGER)], ' ') AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ev)
+      |  ORDER BY doc_id LIMIT 1),
+      |train AS (SELECT doc_id AS train_id,
+      |    CASE WHEN doc_id % 50 = 0 THEN text || ' ' || (SELECT s FROM span)
+      |         ELSE text END AS text
+      |  FROM d WHERE doc_id % 97 <> 0),
+      |eg AS (SELECT eval_id, UNNEST(list_distinct(CASE WHEN len(toks) >= 5
+      |    THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+      |  FROM (SELECT doc_id AS eval_id, string_split(text, ' ') AS toks FROM ev)),
+      |es AS (SELECT eval_id, COUNT(*) AS n_eval FROM eg GROUP BY 1),
+      |tg AS (SELECT train_id, UNNEST(list_distinct(CASE WHEN len(toks) >= 5
+      |    THEN list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+      |  FROM (SELECT train_id, string_split(text, ' ') AS toks FROM train)),
+      |m AS (SELECT train_id, eval_id, COUNT(*) AS n_hit
+      |      FROM tg JOIN eg USING (gram) GROUP BY 1, 2)
+      |SELECT m.train_id, m.eval_id,
+      |  ROUND(CAST(n_hit AS DOUBLE) / n_eval, 6) AS containment
+      |FROM m JOIN es USING (eval_id)
+      |WHERE ROUND(CAST(n_hit AS DOUBLE) / n_eval, 6) >= 0.3""".stripMargin
+
   /** Driver-checkable gate for the freqItems sketch: its guarantee is
     * NO FALSE NEGATIVES — every term with frequency strictly above the
     * 1% support must appear in the sketch output (false positives are
