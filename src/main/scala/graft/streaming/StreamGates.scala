@@ -244,6 +244,68 @@ object StreamGates {
       .toDF("metric", "n_first_run", "n_second_run", "stream_matches_batch")
   }
 
+  // ------------------------------------------------------------- F15
+  /** Temporal (SCD2-aware) stream enrichment: F5 joins a stream to a
+    * static dim on the key alone, but a warehouse dimension is
+    * VERSIONED — each event must pick up the version valid AT ITS
+    * EVENT TIME (`valid_from ≤ ts < valid_to`), or late-arriving facts
+    * silently enrich against future attributes. The dim here is a
+    * synthetic two-version SCD2 split at the slice's midpoint ts; the
+    * stream-static join carries the interval predicate alongside the
+    * key equi-condition (broadcast static side, so the non-equi part
+    * costs a per-row filter, no extra shuffle). Asserted: the enriched
+    * stream equals the batch interval join exactly AND every event
+    * matched exactly one version; tier counts are SQL-recomputable
+    * from the midpoint rule. */
+  def streamScdEnrich(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2L
+    val dim = ev.select(col("user_id").as("d_user")).distinct()
+      .select(col("d_user"), explode(array(
+        struct(lit(Long.MinValue).as("valid_from"), lit(midUs).as("valid_to"),
+          lit("legacy").as("tier")),
+        struct(lit(midUs).as("valid_from"), lit(Long.MaxValue).as("valid_to"),
+          lit("current").as("tier")))).as("v"))
+      .select(col("d_user"), col("v.valid_from"), col("v.valid_to"), col("v.tier"))
+    def enrich(df: DataFrame): DataFrame =
+      df.join(broadcast(dim),
+        df("user_id") === dim("d_user") &&
+          unix_micros(df("ts")) >= dim("valid_from") &&
+          unix_micros(df("ts")) < dim("valid_to"))
+        .select(df("event_id"), df("user_id"), df("ts"), col("tier"))
+    val in = stagedOnce(dir, "slice5x2")(d => stage(ev, d, nFiles = 2))
+    val out = tempDir("graft_sg_scd_out") + "/wh"
+    drain(EventStream.foreachBatchSink(
+        enrich(fileStream(s, in, ev.schema)), uniq("sg_scd")) {
+        (batch, _) => batch.write.mode("append").parquet(out)
+      }.option("checkpointLocation", tempDir("graft_sg_scd_ck")))
+    val got = s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("ts"), col("tier"))
+    val want = enrich(ev)
+    Seq(("stream_scd_enrich", ev.count(),
+        got.filter(col("tier") === "legacy").count(),
+        got.filter(col("tier") === "current").count(),
+        got.count() == ev.count() && setEqual(got, want)))
+      .toDF("metric", "n_events", "n_legacy", "n_current",
+        "enrich_matches_batch")
+  }
+
+  val streamScdEnrichSql: String =
+    """WITH s AS (SELECT * FROM events WHERE event_id < 2000),
+      |m AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM s)
+      |SELECT 'stream_scd_enrich' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN epoch_us(ts) < m.mid THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_legacy,
+      |  CAST(SUM(CASE WHEN epoch_us(ts) >= m.mid THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_current,
+      |  TRUE AS enrich_matches_batch
+      |FROM s, m GROUP BY m.mid""".stripMargin
+
   // ------------------------------------------------------------- F14
   /** Dedup state across a checkpoint restart: F4 pins exactly-once
     * within a run and F8 pins file-source offsets across one, but the
