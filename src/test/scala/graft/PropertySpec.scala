@@ -224,4 +224,33 @@ class PropertySpec extends SparkSpec {
       } finally spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("entropy run-length formulation equals the frequency-map oracle on random docs") {
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(0, 60)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+    } yield toks.mkString(" ")
+    val docs = samples(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy_prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TrainingQueries.entropyScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, text, _, _, _) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val row = got(id)
+      assert(row.getLong(1) == toks.length)
+      val freqs = toks.groupBy(identity).view.mapValues(_.length.toDouble).values
+      assert(row.getLong(2) == freqs.size)
+      if (toks.nonEmpty) {
+        val n = toks.length.toDouble
+        val want = -freqs.map { c => (c / n) * (math.log(c / n) / math.log(2)) }.sum
+        val gotH = row.getAs[java.lang.Double]("entropy_bits")
+        assert(math.abs(gotH - want) < 1e-5, s"doc $id: got $gotH want $want")
+        // information-theoretic bound: H <= log2(#types), equality iff uniform
+        assert(gotH <= math.log(freqs.size.toDouble) / math.log(2) + 1e-9)
+      } else assert(row.getAs[java.lang.Double]("entropy_bits") == null)
+    }
+  }
 }
