@@ -216,6 +216,21 @@ object Similarity {
     val kCells = if (nCells > 0) nCells else cellCount(nCorpus, targetCellSize)
     val cents = kmeansCentroids(c0, kCells, iters, n = nCorpus)
     val indexed = assignCells(c0, cents).withColumn("c_nrm", norm("embedding"))
+    ivfSearch(queries, cents, indexed, k, nProbe)
+  }
+
+  /** The SEARCH stage of [[ivfTopK]] over an already-built index —
+    * `cents` as produced by [[kmeansCentroids]] and `indexed` as
+    * produced by `assignCells(..).withColumn("c_nrm", norm(..))`.
+    * Split out so the index can be PERSISTED (two parquet tables:
+    * centroids + assigned corpus) and searched without retraining —
+    * the amortized production shape, where the coarse quantizer is
+    * built once and queries arrive forever after. Search is a pure
+    * function of the index frames: identical index in, identical
+    * top-k out (the persist gate pins exactly that across a parquet
+    * round-trip). */
+  def ivfSearch(queries: DataFrame, cents: DataFrame, indexed: DataFrame,
+                k: Int, nProbe: Int = 4): DataFrame = {
     // per-query probe list: nProbe best cells by the same score, via
     // the same broadcast join + bounded aggregate — no centroid collect
     val centsP = cents.select(col("cell").as("__cell"), col("centroid"),

@@ -732,6 +732,47 @@ object TrainingQueries {
       |  TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  // ----------------------------------------------------------- E7c
+  /** Persisted IVF index gate: the coarse quantizer is trained ONCE,
+    * the index (centroids + cell-assigned corpus with norms) lands as
+    * two parquet tables, and SEARCH runs against the RELOADED tables —
+    * the amortized production shape, where the index build is paid
+    * once and queries arrive forever after. Asserted: search over the
+    * persisted index equals search over the same in-memory index
+    * EXACTLY (multiset equality on (q_id, vec_id, cos, rn)) — pinning
+    * that the float arrays round-trip parquet losslessly and that
+    * [[Similarity.ivfSearch]] is a pure function of the index frames.
+    * One k-means build total: comparing against a REBUILT index would
+    * race double-sum ordering instead of testing persistence. */
+  def annIvfPersistGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+    val c0 = e.select(col("vec_id"), col("embedding"))
+    val n = c0.count()
+    val cents = Similarity.kmeansCentroids(
+      c0, Similarity.cellCount(n, 64L), iters = 3, n = n)
+    val indexed = Similarity.assignCells(c0, cents)
+      .withColumn("c_nrm", Similarity.norm("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
+    indexed.write.mode("overwrite").parquet(s"$root/index")
+    val persisted = Similarity.ivfSearch(queries,
+      s.read.parquet(s"$root/centroids"), s.read.parquet(s"$root/index"), k = 10)
+    val inMemory = Similarity.ivfSearch(queries, cents, indexed, k = 10)
+    val matches = persisted.exceptAll(inMemory).isEmpty &&
+      inMemory.exceptAll(persisted).isEmpty
+    Seq(("ann_ivf_persist", queries.count(), persisted.count(), matches))
+      .toDF("metric", "n_queries", "n_results", "persisted_matches_memory")
+  }
+
+  val annIvfPersistGateSql: String =
+    """SELECT 'ann_ivf_persist' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(10 * COUNT(*) AS BIGINT) AS n_results,
+      |  TRUE AS persisted_matches_memory
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
+
   // ----------------------------------------------------------- E12
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.toMediaRows(s, Tables.documents(s, dir), "doc_id", "text")
