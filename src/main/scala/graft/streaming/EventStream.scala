@@ -188,6 +188,65 @@ object EventStream {
     }
   }
 
+  final case class BandDoc(bucket: String, doc_id: Long)
+  final case class FlaggedDoc(doc_id: Long)
+
+  /** F16 processor: one LSH band bucket per key, the bucket's member
+    * doc ids in `ListState`. The near-dup rule is the batch LSH
+    * candidate semantics — a doc is flagged iff its bucket contains a
+    * SMALLER doc id — made batch-split-invariant by retro-emission:
+    * when a new minimum arrives, every stored larger member is
+    * re-emitted, so the cumulative flagged set equals the batch
+    * computation no matter how arrivals interleave. Bucket size is
+    * capped like the batch strict mode: an over-full bucket raises
+    * instead of silently dropping candidates. */
+  class NearDupProcessor(maxBucket: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandDoc, FlaggedDoc] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandDoc],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[FlaggedDoc] = {
+      val olds = if (members.exists()) members.get().toSet else Set.empty[Long]
+      val all = olds ++ rows.map(_.doc_id)
+      if (all.size > maxBucket) throw new IllegalStateException(
+        s"streaming LSH bucket exceeds maxBucket=$maxBucket (${all.size} ids) " +
+        "— near-dup candidates would be silently dropped")
+      val mn = all.min
+      members.put(all.toArray)
+      all.iterator.filter(_ > mn).map(FlaggedDoc)
+    }
+  }
+
+  /** F16: streaming MinHash near-dup detection — the batch LSH dedup
+    * (E2) as a continuous operator. Each doc explodes to its
+    * [[graft.functions.HashExprs.minhashBandKeys]] band buckets (the
+    * SAME codegen signature expression as the batch path); the
+    * stateful per-bucket processor flags any doc whose bucket holds a
+    * smaller id. State per bucket is its member list — bounded by the
+    * same maxBucket cap the batch strict mode enforces. Requires the
+    * RocksDB state store provider (the transformWithState contract).
+    * Emissions are cumulative-with-retro-emission; readers take the
+    * DISTINCT flagged ids. */
+  def nearDupDocs(docs: DataFrame, shingleN: Int = 3, bands: Int = 32,
+                  rowsPerBand: Int = 4, maxBucket: Int = 64): Dataset[FlaggedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs
+      .select(col("doc_id"), posexplode(graft.functions.HashExprs.minhashBandKeys(
+          graft.operators.Dedup.wordShingles("text", shingleN), bands, rowsPerBand))
+        .as(Seq("band", "key")))
+      .select(concat_ws(":", col("band"), col("key")).as("bucket"), col("doc_id"))
+      .as[BandDoc]
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor(maxBucket),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** F9: running per-user totals through `transformWithState` — the
     * Spark 4 replacement for mapGroupsWithState, on the RocksDB state
     * store (set `spark.sql.streaming.stateStore.providerClass` to the

@@ -244,6 +244,68 @@ object StreamGates {
       .toDF("metric", "n_first_run", "n_second_run", "stream_matches_batch")
   }
 
+  // ------------------------------------------------------------- F16
+  /** Streaming MinHash near-dup detection: the E2 batch LSH dedup as
+    * a continuous stateful operator ([[EventStream.nearDupDocs]] —
+    * per-band-bucket `ListState` via transformWithState on RocksDB).
+    * The doc slice plus planted EXACT copies (doc_id + 10000, which
+    * share every band with their original by construction) is drained
+    * in two batches; the cumulative flagged set must equal the batch
+    * formulation (per bucket, every doc above the bucket minimum) on
+    * the SAME signatures — batch-split invariance comes from the
+    * processor's retro-emission rule — and every planted copy must be
+    * flagged. */
+  def streamNearDup(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val docs = base.unionByName(planted)
+    val in = tempDir("graft_sg_neardup_in")
+    stage(docs, in, nFiles = 2)
+    val out = tempDir("graft_sg_neardup_out") + "/flags"
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      drain(EventStream.nearDupDocs(fileStream(s, in, docs.schema)).toDF()
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(out)
+        }.outputMode(OutputMode.Update)
+        .option("checkpointLocation", tempDir("graft_sg_neardup_ck")))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val got = s.read.parquet(out).select(col("doc_id")).distinct()
+    // batch formulation over the same signatures: per band bucket,
+    // every doc above the bucket minimum
+    val want = docs
+      .select(col("doc_id"), posexplode(graft.functions.HashExprs.minhashBandKeys(
+          graft.operators.Dedup.wordShingles("text", 3), 32, 4))
+        .as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("mn"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("mn"))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id")).distinct()
+    val plantedFlagged = planted.select(col("doc_id"))
+      .join(got, Seq("doc_id"), "left_anti").isEmpty
+    Seq(("stream_near_dup", base.count(), planted.count(),
+        setEqual(got, want) && plantedFlagged))
+      .toDF("metric", "n_docs", "n_planted", "stream_matches_batch")
+  }
+
+  val streamNearDupSql: String =
+    """SELECT 'stream_near_dup' AS metric,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 300) AS BIGINT)
+      |    AS n_docs,
+      |  CAST((SELECT COUNT(*) FROM documents
+      |        WHERE doc_id < 300 AND doc_id % 20 = 0) AS BIGINT) AS n_planted,
+      |  TRUE AS stream_matches_batch""".stripMargin
+
   // ------------------------------------------------------------- F15
   /** Temporal (SCD2-aware) stream enrichment: F5 joins a stream to a
     * static dim on the key alone, but a warehouse dimension is
