@@ -9,7 +9,8 @@ object Bench {
     "compact_gate", "idempotent_load_gate", "etl_audit_gate",
     "upsert_gate", "exactly_once_jdbc_gate", "zorder_gate",
     "agg_maintain_gate", "dpp_gate", "exchange_reuse_gate",
-    "bucketed_join_gate", "csv_quarantine_gate", "schema_evolved_gate")
+    "bucketed_join_gate", "csv_quarantine_gate", "schema_evolved_gate",
+    "ann_ivf_persist_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
