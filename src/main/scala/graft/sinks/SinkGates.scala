@@ -38,7 +38,13 @@ object SinkGates {
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_shipdate"), col("l_quantity"))
     val out = base(dir, "compact")
-    Sinks.compact(li, out, Seq("l_shipdate"), targetFileBytes = 256L * 1024)
+    // the target scales with the data (~40 parquet B/row on this
+    // 5-column projection, aimed at ~16 files) so the clustering
+    // invariant is TESTABLE at any SF — a fixed size lands sf0.001 in
+    // one file, where "a probe touches a strict subset" is vacuously
+    // false rather than meaningfully true
+    val target = math.max(8L * 1024, li.count() * 40L / 16)
+    Sinks.compact(li, out, Seq("l_shipdate"), targetFileBytes = target)
     val back = s.read.parquet(out)
     val agg = back.agg(count(lit(1)).as("n"),
       checksum(col("l_orderkey")).as("ck")).head()
@@ -175,10 +181,11 @@ object SinkGates {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
     val out = base(dir, "zorder")
-    // small target so even sf0.01 lands ≥16 files: with fewer, the
-    // 2-bit-per-dim z prefix can't isolate either dimension's low range
+    // target scales with the data, aimed at ~32 files: with fewer, the
+    // 2-bit-per-dim z prefix can't isolate either dimension's low
+    // range (a fixed size makes sf0.001 one unprunable file)
     Sinks.writeZOrdered(li, out, "l_partkey", "l_suppkey",
-      targetFileBytes = 16L * 1024)
+      targetFileBytes = math.max(4L * 1024, li.count() * 24L / 32))
     val back = s.read.parquet(out)
     val nFiles = back.select(input_file_name()).distinct().count()
     def filesTouched(c: String, bound: Long) = back
