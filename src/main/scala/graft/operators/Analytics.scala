@@ -917,4 +917,100 @@ object Analytics {
       |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
       |    EXCLUDE TIES) AS DOUBLE) AS ex_ties
       |FROM orders""".stripMargin
+
+  // --------------------------------------------------------------- D69
+  /** Per-group ordinary-least-squares linear regression (price on
+    * quantity): slope, intercept, and R², the SQL-standard
+    * regr_slope/regr_intercept/regr_r2 family — derived from the same
+    * exact decimal component sums as D44 (`statsAgg`), because the
+    * built-in regr_* aggregates accumulate doubles and are therefore
+    * partitioning-dependent. One shuffle of six scalars per group; the
+    * float math runs once on the final scalars with the oracle's exact
+    * expression tree (shared sub-terms are materialized as named
+    * intermediate columns in BOTH engines, so every division sees
+    * bit-identical operands). */
+  def regressionAgg(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 6))).as("sx"),
+        sum(y.cast(DecimalType(18, 6))).as("sy"),
+        sum((x * y).cast(DecimalType(28, 8))).as("sxy"),
+        sum((x * x).cast(DecimalType(28, 8))).as("sxx"),
+        sum((y * y).cast(DecimalType(28, 8))).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)").as("sp"),
+        expr("cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)").as("ssx"),
+        expr("cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)").as("ssy"),
+        expr("cast(sy as double) * cast(sxx as double) - cast(sx as double) * cast(sxy as double)").as("ic"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("sp") / col("ssx"), 6).as("slope"),
+        round(col("ic") / col("ssx"), 6).as("intercept"),
+        round((col("sp") * col("sp")) / (col("ssx") * col("ssy")), 6).as("r2"))
+  }
+
+  val regressionAggSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+      |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS sxy,
+      |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS sxx,
+      |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS sp,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS ssx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS ssy,
+      |    CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE) AS ic
+      |  FROM g)
+      |SELECT l_returnflag, n,
+      |  ROUND(sp / ssx, 6) AS slope,
+      |  ROUND(ic / ssx, 6) AS intercept,
+      |  ROUND((sp * sp) / (ssx * ssy), 6) AS r2
+      |FROM d""".stripMargin
+
+  // --------------------------------------------------------------- D70
+  /** Median absolute deviation per group — the robust dispersion
+    * statistic (outlier-resistant where stddev is not): MAD = median
+    * of |x − median(x)|. Both medians are exact RANK-SELECTED values
+    * (the value at rank ⌈n/2⌉ via [[Relational.exactQuantiles]]'s
+    * distributed rank, no per-group single-reducer sort, no
+    * interpolation drift), so the result is a value from the data and
+    * bit-identical across engines; the deviation |x − med| is one IEEE
+    * subtraction of identical doubles. Two rank passes over the group
+    * + a broadcast of the per-group medians (group cardinality is
+    * small by construction — it bounds GlobalRank's offsets map). */
+  def madAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_linestatus"), col("l_quantity").as("value"))
+    val med = Relational.exactQuantiles(base, Seq("l_linestatus"), "value", Seq(0.5))
+      .select(col("l_linestatus"), col("value").as("med"))
+    val dev = base.join(broadcast(med), Seq("l_linestatus"))
+      .select(col("l_linestatus"), abs(col("value") - col("med")).as("dev"))
+    Relational.exactQuantiles(dev, Seq("l_linestatus"), "dev", Seq(0.5))
+      .select(col("l_linestatus"), col("value").as("mad"))
+      .join(broadcast(med), Seq("l_linestatus"))
+      .select(col("l_linestatus"), col("med").as("median"), col("mad"))
+  }
+
+  val madAggSql: String =
+    """WITH w AS (SELECT l_linestatus, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY l_quantity ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+      |  FROM lineitem),
+      |med AS (SELECT l_linestatus, l_quantity AS med FROM w
+      |  WHERE rn = CAST(CEIL(n * 0.5) AS BIGINT)),
+      |d AS (SELECT l.l_linestatus, ABS(l.l_quantity - m.med) AS dev
+      |  FROM lineitem l JOIN med m ON l.l_linestatus = m.l_linestatus),
+      |w2 AS (SELECT l_linestatus, dev,
+      |    ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY dev ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+      |  FROM d)
+      |SELECT w2.l_linestatus, m.med AS median, w2.dev AS mad
+      |FROM w2 JOIN med m ON w2.l_linestatus = m.l_linestatus
+      |WHERE w2.rn = CAST(CEIL(w2.n * 0.5) AS BIGINT)""".stripMargin
 }

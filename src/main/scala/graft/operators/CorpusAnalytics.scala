@@ -779,4 +779,159 @@ object CorpusAnalytics {
       |  ROUND((sy - ((CAST(k AS DOUBLE)*sxy - sx*sy)/(CAST(k AS DOUBLE)*sx2 - sx*sx))*sx)
       |    / CAST(k AS DOUBLE), 6) AS intercept
       |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- E61
+  /** Temperature-scaled source mixture sampling (the UniMax/multilingual
+    * rebalancing shape, τ = 2): each source's target share is
+    * proportional to tokens^(1/τ) = √tokens — down-weighting the head
+    * sources so the mixture is less dominated by the largest crawl —
+    * and its keep-rate is min(1, budget·share / tokens) for a budget
+    * of half the corpus. Per-document membership is the engine-portable
+    * hash-bucket draw of E32.
+    *
+    * Determinism: √ and ÷ are IEEE-correctly-rounded single ops (this
+    * is why τ = 2 and not an arbitrary pow(), whose last ulp is libm-
+    * defined); the share denominator Σ√tokens is summed as an exact
+    * decimal over per-SOURCE scalars (a handful of rows), so every
+    * engine sees bit-identical rates. Scale shape: one groupBy of the
+    * corpus into |sources| scalars, a broadcast of the rate table back
+    * onto the scan, and one aggregation of the kept rows — the corpus
+    * itself never shuffles. */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = Tables.documents(s, dir).groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("n_chars_src"))
+      .withColumn("w", sqrt(col("n_chars_src").cast("double")))
+    val tot = per.agg(
+      sum(col("w").cast(DecimalType(28, 8))).cast("double").as("sw"),
+      sum(col("n_chars_src")).as("tot_chars"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        round(col("w") / col("sw") * col("tot_chars").cast("double") * 0.5 /
+          col("n_chars_src").cast("double"), 6)))
+      .select(col("source"), col("rate"))
+    Tables.documents(s, dir).join(broadcast(rates), Seq("source"))
+      .filter(pmod((col("doc_id") % 999983L) * 2246822519L, lit(10000L)) <
+        col("rate") * 10000.0)
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+  }
+
+  val mixtureTemperatureSql: String =
+    """WITH per AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars_src
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, n_chars_src,
+      |    sqrt(CAST(n_chars_src AS DOUBLE)) AS w FROM per),
+      |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,8))) AS DOUBLE) AS sw,
+      |    CAST(SUM(n_chars_src) AS BIGINT) AS tot_chars FROM w),
+      |r AS (SELECT source, LEAST(1.0,
+      |    ROUND(w / sw * CAST(tot_chars AS DOUBLE) * 0.5 /
+      |          CAST(n_chars_src AS DOUBLE), 6)) AS rate FROM w, t),
+      |kept AS (SELECT d.source, d.n_chars, r.rate
+      |  FROM documents d JOIN r ON d.source = r.source
+      |  WHERE ((d.doc_id % 999983) * 2246822519) % 10000 < rate * 10000.0)
+      |SELECT source, rate, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+      |FROM kept GROUP BY source, rate""".stripMargin
+
+  // --------------------------------------------------------------- E62
+  /** Token-budget curation: keep the highest-quality documents, in
+    * corpus-wide quality order, until a token budget (half the corpus)
+    * is spent — the "best data under a budget" selection a data-
+    * constrained pretraining run makes. The global cumulative sum
+    * rides the native [[graft.plans.GlobalRank]] operator's PREFIX-SCAN
+    * extension ([[Relational.globalRunningSum]]): the counting pass
+    * accumulates per-(partition) value sums alongside counts, so the
+    * inclusive running total costs no extra job, no window, and no
+    * second shuffle — an unpartitioned `SUM() OVER (ORDER BY …)` would
+    * drag the whole corpus through one reducer. Budget and running sum
+    * are exact longs; ties in score break on doc_id (total order). */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .withColumn("nscore", -col("score"))
+    val ranked = Relational.globalRunningSum(scored, Nil,
+      Seq("nscore", "doc_id"), "n_chars")
+    val budget = Tables.documents(s, dir)
+      .agg(expr("sum(n_chars) div 2").as("budget"))
+    ranked.crossJoin(broadcast(budget))
+      .filter(col("run_sum") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_kept"))
+  }
+
+  val tokenBudgetSql: String =
+    """WITH sc AS (SELECT doc_id, source, n_chars,
+      |  ROUND(
+      |    0.5 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+      |    + 0.3 * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+      |    + 0.2 * (CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS score
+      |  FROM documents),
+      |w AS (SELECT source, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY score DESC, doc_id ASC
+      |                       ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sc)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+      |FROM w WHERE cum <= (SELECT SUM(n_chars) // 2 FROM documents)
+      |GROUP BY source""".stripMargin
+
+  // --------------------------------------------------------------- E63
+  /** Per-source KL divergence from the corpus term distribution over
+    * the shared top-`vocab` vocabulary — the drift diagnostic that
+    * flags a source whose language no longer looks like the mixture
+    * (templated spam, wrong-language crawl, synthetic injection).
+    * KL(pₛ‖q) = Σ_t pₛ(t)·ln(pₛ(t)/q(t)); terms absent from a source
+    * contribute 0 (they simply have no row). p and q are ratios of
+    * exact integer counts; each term's component is one double chain
+    * pinned to DECIMAL(28,12) before the order-sensitive summation
+    * (the D44 discipline — engine libm ln() ULP wobble is absorbed by
+    * the final round(6)). Scale shape: counts aggregate with map-side
+    * partials; the vocabulary head is a bounded limit that BROADCASTS
+    * to the (source, term) aggregate — the corpus never joins or
+    * shuffles on raw term occurrences past the first count. */
+  def sourceKl(s: SparkSession, dir: String, vocab: Int = 500): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cst = Tables.documents(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val top = cst.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+      .orderBy(col("c_t").desc, col("term").asc).limit(vocab)
+    val inVocab = cst.join(broadcast(top), Seq("term"))
+    val cs = inVocab.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
+    val ctot = top.agg(sum(col("c_t")).as("c_tot"))
+    inVocab.join(broadcast(cs), Seq("source")).crossJoin(broadcast(ctot))
+      .select(col("source"),
+        ((col("c_st").cast("double") / col("c_s").cast("double")) *
+          log((col("c_st").cast("double") / col("c_s").cast("double")) /
+              (col("c_t").cast("double") / col("c_tot").cast("double"))))
+          .cast(DecimalType(28, 12)).as("comp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("comp")).cast("double"), 6).as("kl"))
+  }
+
+  val sourceKlSql: String =
+    """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      |           FROM documents),
+      |cst AS (SELECT source, term, COUNT(*) AS c_st FROM t
+      |  WHERE len(term) > 0 GROUP BY source, term),
+      |top AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst
+      |  GROUP BY term ORDER BY CAST(SUM(c_st) AS BIGINT) DESC, term ASC LIMIT 500),
+      |iv AS (SELECT c.source, c.term, c.c_st, p.c_t
+      |  FROM cst c JOIN top p ON c.term = p.term),
+      |cs AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s FROM iv GROUP BY source),
+      |ct AS (SELECT CAST(SUM(c_t) AS BIGINT) AS c_tot FROM top),
+      |comp AS (SELECT iv.source,
+      |    CAST((CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE)) *
+      |      ln((CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE)) /
+      |         (CAST(c_t AS DOUBLE) / CAST(c_tot AS DOUBLE))) AS DECIMAL(28,12))
+      |      AS comp
+      |  FROM iv JOIN cs ON iv.source = cs.source, ct)
+      |SELECT source, COUNT(*) AS n_terms,
+      |  ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS kl
+      |FROM comp GROUP BY source""".stripMargin
 }

@@ -693,6 +693,31 @@ object Relational {
       rankCol, countCol)
   }
 
+  /** Distributed global running total (inclusive prefix sum) of long
+    * column `sumCol` in `sortCols` order within each group — the same
+    * ONE-exchange native operator as [[globalRank]], with the counting
+    * pass also accumulating per-(partition, group) value sums so the
+    * scan needs no extra job, no window, and no second shuffle. An
+    * unpartitioned `SUM() OVER (ORDER BY …)` would funnel the whole
+    * table through one reducer; this parallelizes across all range
+    * partitions. The sum column must be LONG: integer addition is
+    * associative, so the prefix sum is exact and partitioning-
+    * independent. Appends `rankCol`, `countCol`, and `runCol`. */
+  def globalRunningSum(df: DataFrame, groupCols: Seq[String],
+                       sortCols: Seq[String], sumCol: String,
+                       nParts: Int = -1, rankCol: String = "rn",
+                       countCol: String = "n",
+                       runCol: String = "run_sum"): DataFrame = {
+    require(sortCols.nonEmpty, "globalRunningSum needs a sort column")
+    val numParts =
+      if (nParts > 0) nParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyCols = (groupCols ++ sortCols).map(col(_))
+    val parts0 = df.repartitionByRange(numParts, keyCols: _*)
+    graft.plans.GlobalRank.withGlobalRank(parts0, groupCols, sortCols,
+      rankCol, countCol, sumCol = Some(sumCol), runCol = runCol)
+  }
+
   /** Exact per-group quantiles by rank selection over [[globalRank]]:
     * for each p in `ps`, the value at rank ⌈p·n⌉ within its group —
     * a value FROM the data (no interpolation drift), computed without

@@ -129,6 +129,61 @@ object Scd2 {
       |FROM before_t b FULL OUTER JOIN after_t a
       |  ON b.c_nationkey = a.c_nationkey""".stripMargin
 
+  // --------------------------------------------------------------- C24
+  /** Row-level change-data-capture diff between two versions of a
+    * table — the migration/backfill companion to C18's aggregate
+    * reconciliation: WHICH keys were inserted / updated / deleted,
+    * not just whether per-group totals still match. v2 is derived
+    * deterministically from the snapshot (every 10th key's balance
+    * +100, every 97th key deleted, every 101st key re-inserted under a
+    * shifted key) so both engines diff identical inputs. One full-outer
+    * shuffle join on the business key; unchanged rows are filtered
+    * out by a codegen'd predicate, so the output is only the delta —
+    * at 100 TB the join shuffles both versions once on the key and
+    * nothing else. */
+  def cdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal").as("bal"))
+    val base = Tables.customer(s, dir)
+    val v2 = base
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, round(col("c_acctbal") + 100.0, 2))
+          .otherwise(col("c_acctbal")).as("bal"))
+      .unionByName(base
+        .filter(col("c_custkey") % 101 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          round(col("c_acctbal") + 1.0, 2).as("bal")))
+    v1.select(col("c_custkey").as("k1"), col("bal").as("bal_before"))
+      .join(v2.select(col("c_custkey").as("k2"), col("bal").as("bal_after")),
+        col("k1") === col("k2"), "full_outer")
+      .filter(col("k2").isNull || col("k1").isNull ||
+        col("bal_before") =!= col("bal_after"))
+      .select(coalesce(col("k1"), col("k2")).as("c_custkey"),
+        when(col("k2").isNull, "D")
+          .when(col("k1").isNull, "I")
+          .otherwise("U").as("change_type"),
+        col("bal_before"), col("bal_after"))
+  }
+
+  val cdcDiffSql: String =
+    """WITH v1 AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 100.0, 2)
+      |         ELSE c_acctbal END AS bal
+      |  FROM customer WHERE c_custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000 AS c_custkey, round(c_acctbal + 1.0, 2) AS bal
+      |  FROM customer WHERE c_custkey % 101 = 0)
+      |SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+      |  CASE WHEN b.c_custkey IS NULL THEN 'D'
+      |       WHEN a.c_custkey IS NULL THEN 'I'
+      |       ELSE 'U' END AS change_type,
+      |  a.bal AS bal_before, b.bal AS bal_after
+      |FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+      |WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL OR a.bal <> b.bal""".stripMargin
+
   val scd2MergeSql: String =
     """WITH upd AS (
       |  SELECT c_custkey, c_name,

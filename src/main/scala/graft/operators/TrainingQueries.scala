@@ -1308,4 +1308,53 @@ object TrainingQueries {
       |f AS (SELECT term, COUNT(*) AS n FROM t WHERE strlen(term) > 0 GROUP BY term)
       |SELECT term, CAST(n AS BIGINT) AS n, TRUE AS in_sketch
       |FROM f WHERE n * 100 > (SELECT SUM(n) FROM f)""".stripMargin
+
+  // ----------------------------------------------------------- E60
+  /** Credit-card-number PII detection with checksum verification — the
+    * E14 regex scrub upgraded with the Luhn mod-10 check real PII
+    * pipelines apply, because a bare \d{16} regex over web text is
+    * mostly false positives (order ids, hashes): a candidate only
+    * counts as PII when its checksum validates. Candidates are planted
+    * deterministically from doc_id (so both engines scan identical
+    * text and ~10% of check digits validate by construction); the scan
+    * is regexp_extract + the codegen'd `luhn_check` builtin — one
+    * projection, no shuffle until the per-source severity rollup (one
+    * row per source on the wire). */
+  def piiLuhn(s: SparkSession, dir: String): DataFrame = {
+    val card = concat(
+      lpad(((col("doc_id") * 7919L) % 1000000000L).cast("string"), 9, "0"),
+      lpad((col("doc_id") % 1000000L).cast("string"), 6, "0"),
+      (col("doc_id") % 10L).cast("string"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" card "), card).as("text2"))
+      .select(col("doc_id"), col("source"),
+        regexp_extract(col("text2"), "\\b(\\d{16})\\b", 1).as("candidate"))
+      .select(col("doc_id"), col("source"), col("candidate"),
+        expr("luhn_check(candidate)").as("luhn_valid"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("luhn_valid"), 1L).otherwise(0L)).as("n_pii"))
+  }
+
+  val piiLuhnSql: String =
+    """WITH c AS (SELECT doc_id, source,
+      |    text || ' card ' ||
+      |      lpad(CAST((doc_id * 7919) % 1000000000 AS VARCHAR), 9, '0') ||
+      |      lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') ||
+      |      CAST(doc_id % 10 AS VARCHAR) AS text2
+      |  FROM documents),
+      |e AS (SELECT doc_id, source,
+      |    regexp_extract(text2, '\b(\d{16})\b', 1) AS candidate FROM c),
+      |v AS (SELECT doc_id, source, candidate,
+      |    list_sum(list_transform(range(1, 17), i ->
+      |      CASE WHEN i % 2 = 0
+      |        THEN CASE WHEN CAST(candidate[17-i] AS INT) * 2 > 9
+      |             THEN CAST(candidate[17-i] AS INT) * 2 - 9
+      |             ELSE CAST(candidate[17-i] AS INT) * 2 END
+      |        ELSE CAST(candidate[17-i] AS INT) END)) % 10 = 0 AS luhn_valid
+      |  FROM e)
+      |SELECT source, COUNT(*) AS n_candidates,
+      |  CAST(SUM(CASE WHEN luhn_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+      |FROM v GROUP BY source""".stripMargin
 }

@@ -12,10 +12,14 @@ import org.apache.spark.sql.execution.{SortExec, SparkPlan, SparkStrategy, Unary
 import org.apache.spark.sql.graftfn.PlanBridge
 import org.apache.spark.sql.types.LongType
 
-/** Native distributed global rank as ONE custom physical operator — a
-  * [[LogicalPlan]] node, a [[SparkStrategy]], and a [[SparkPlan]] that
-  * appends every row's 1-based global rank within its group (`rnAttr`)
-  * and its group's total size (`nAttr`).
+/** Native distributed global rank / prefix scan as ONE custom physical
+  * operator — a [[LogicalPlan]] node, a [[SparkStrategy]], and a
+  * [[SparkPlan]] that appends every row's 1-based global rank within
+  * its group (`rnAttr`), its group's total size (`nAttr`), and —
+  * when `sumExpr` is set — the INCLUSIVE running sum of that long
+  * expression in rank order (`sumAttr`): a distributed prefix scan,
+  * the primitive behind global cumulative sums that would otherwise
+  * need a single-reducer unpartitioned window.
   *
   * Shape: `requiredChildDistribution = OrderedDistribution(group ++
   * order)` plants ONE range exchange (satisfied for free by an
@@ -44,10 +48,13 @@ import org.apache.spark.sql.types.LongType
   * must be deterministic. */
 case class GlobalRankPlan(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
                           rnAttr: Attribute, nAttr: Attribute,
+                          sumExpr: Option[Expression], sumAttr: Option[Attribute],
                           maxGroups: Int,
                           child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ rnAttr :+ nAttr
-  override def producedAttributes: AttributeSet = AttributeSet(Seq(rnAttr, nAttr))
+  override def output: Seq[Attribute] =
+    child.output ++ (Seq(rnAttr, nAttr) ++ sumAttr)
+  override def producedAttributes: AttributeSet =
+    AttributeSet(Seq(rnAttr, nAttr) ++ sumAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRankPlan =
     copy(child = newChild)
 }
@@ -55,21 +62,28 @@ case class GlobalRankPlan(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
 object GlobalRankPlan {
   def create(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
              rankCol: String, countCol: String, maxGroups: Int,
-             child: LogicalPlan): GlobalRankPlan =
+             child: LogicalPlan,
+             sumExpr: Option[Expression] = None,
+             runCol: String = "run_sum"): GlobalRankPlan =
     GlobalRankPlan(groupExprs, orderExprs,
       AttributeReference(rankCol, LongType, nullable = false)(),
       AttributeReference(countCol, LongType, nullable = false)(),
+      sumExpr,
+      sumExpr.map(_ => AttributeReference(runCol, LongType, nullable = false)()),
       maxGroups, child)
 }
 
 case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
                           rnAttr: Attribute, nAttr: Attribute,
+                          sumExpr: Option[Expression], sumAttr: Option[Attribute],
                           maxGroups: Int,
                           child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rnAttr :+ nAttr
+  override def output: Seq[Attribute] =
+    child.output ++ (Seq(rnAttr, nAttr) ++ sumAttr)
 
-  override def producedAttributes: AttributeSet = AttributeSet(Seq(rnAttr, nAttr))
+  override def producedAttributes: AttributeSet =
+    AttributeSet(Seq(rnAttr, nAttr) ++ sumAttr)
 
   private def sortOrders: Seq[SortOrder] =
     (groupExprs ++ orderExprs).map(SortOrder(_, Ascending))
@@ -101,36 +115,55 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
     // executor with a clear message before any O(#groups) map is ever
     // collected toward the driver.
     val cap = maxGroups
-    val perPart: Array[mutable.HashMap[UnsafeRow, Long]] =
+    // Per (partition, group): [0] = row count, [1] = exact long sum of
+    // `sumExpr` (0 when no running sum was requested — one dead slot
+    // keeps count-only and prefix-sum on the same code path). Sums are
+    // LONGS by contract (enforced in withGlobalRank): integer addition
+    // is associative, so the scan is partitioning-independent — the
+    // property a double sum would not have.
+    val sumExprLocal = sumExpr
+    val perPart: Array[mutable.HashMap[UnsafeRow, Array[Long]]] =
       sc.runJob(childRDD, (it: Iterator[InternalRow]) => {
         val proj = UnsafeProjection.create(keyExprs, childOutput)
-        val m = new mutable.HashMap[UnsafeRow, Long]
+        val sumProj = sumExprLocal.map(e =>
+          UnsafeProjection.create(Seq(e), childOutput))
+        val m = new mutable.HashMap[UnsafeRow, Array[Long]]
         it.foreach { row =>
           val k = proj(row)
+          val v = sumProj match {
+            case Some(p) => val r = p(row); if (r.isNullAt(0)) 0L else r.getLong(0)
+            case None => 0L
+          }
           m.get(k) match {
-            case Some(c) => m.update(k, c + 1L) // existing stored key kept
+            case Some(acc) => acc(0) += 1L; acc(1) += v // stored key kept
             case None =>
               if (m.size >= cap) throw new IllegalStateException(
                 s"GlobalRank: more than $cap distinct group keys in one " +
                 "partition; the driver-side offsets merge is bounded by " +
                 "group cardinality — rank within fewer groups or raise " +
                 "maxGroups if the driver can hold the offsets map")
-              m.update(k.copy(), 1L) // k is a reused buffer
+              m.update(k.copy(), Array(1L, v)) // k is a reused buffer
           }
         }
         m
       })
 
     // Driver merge: running prefix sums give each (partition, group)
-    // its offset; the final sums are the group totals. Range
-    // partitioning keeps each group contiguous, so total entries are
-    // O(#groups + #partitions). The same `maxGroups` cap guards the
+    // its (count, value) offsets; the final sums are the group totals.
+    // Range partitioning keeps each group contiguous, so total entries
+    // are O(#groups + #partitions). The same `maxGroups` cap guards the
     // MERGED map: per-partition maps can each be under the cap while
     // the union is not.
-    val running = new mutable.HashMap[UnsafeRow, Long]
-    val offsetsPerPid: Array[Map[UnsafeRow, Long]] = perPart.map { m =>
-      val off = m.iterator.map { case (k, _) => k -> running.getOrElse(k, 0L) }.toMap
-      m.foreach { case (k, c) => running.update(k, running.getOrElse(k, 0L) + c) }
+    val running = new mutable.HashMap[UnsafeRow, Array[Long]]
+    val offsetsPerPid: Array[Map[UnsafeRow, Array[Long]]] = perPart.map { m =>
+      val off = m.iterator.map { case (k, _) =>
+        val r = running.getOrElse(k, Array(0L, 0L))
+        k -> Array(r(0), r(1))
+      }.toMap
+      m.foreach { case (k, c) =>
+        val r = running.getOrElseUpdate(k, Array(0L, 0L))
+        r(0) += c(0); r(1) += c(1)
+      }
       if (running.size > cap) throw new IllegalStateException(
         s"GlobalRank: more than $cap distinct group keys across the input; " +
         "the per-group offsets merge and totals broadcast are " +
@@ -139,7 +172,7 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
       off
     }
     val bcOff = sc.broadcast(offsetsPerPid)
-    val bcTot = sc.broadcast(running.toMap)
+    val bcTot = sc.broadcast(running.map { case (k, v) => k -> v(0) }.toMap)
 
     // Pass 2: planned per-partition sort, then one sequential pass —
     // broadcast lookups happen only at group-run boundaries. Output
@@ -162,29 +195,40 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
       if (child.execute() eq childRDD) child
       else PlanBridge.rddScan(childOutput, childRDD,
         "GlobalRankChild", child.outputPartitioning)
+    val withSum = sumExpr.isDefined
     SortExec(sortOrders, global = false, child = sortChild).execute()
       .mapPartitionsWithIndex({ (pid, it) =>
         val proj = UnsafeProjection.create(keyExprs, childOutput)
+        val sumProj = sumExprLocal.map(e =>
+          UnsafeProjection.create(Seq(e), childOutput))
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
         val myOff = bcOff.value(pid)
         val totals = bcTot.value
-        val extra = new GenericInternalRow(2)
+        val extra = new GenericInternalRow(if (withSum) 3 else 2)
         val joined = new JoinedRow
         var curKey: UnsafeRow = null
         var off = 0L
+        var sumOff = 0L
         var total = 0L
         var local = 0L
+        var localSum = 0L
         it.map { row =>
           val k = proj(row)
           if (curKey == null || k != curKey) {
             curKey = k.copy()
-            off = myOff.getOrElse(curKey, 0L)
+            val o = myOff.getOrElse(curKey, Array(0L, 0L))
+            off = o(0); sumOff = o(1)
             total = totals.getOrElse(curKey, 0L)
-            local = 0L
+            local = 0L; localSum = 0L
           }
           local += 1L
           extra.update(0, off + local)
           extra.update(1, total)
+          sumProj.foreach { p =>
+            val r = p(row)
+            localSum += (if (r.isNullAt(0)) 0L else r.getLong(0))
+            extra.update(2, sumOff + localSum) // inclusive running sum
+          }
           outProj(joined(row, extra))
         }
       }, preservesPartitioning = true)
@@ -196,8 +240,8 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
 
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRankPlan(g, o, rn, n, cap, child) =>
-      GlobalRankExec(g, o, rn, n, cap, planLater(child)) :: Nil
+    case GlobalRankPlan(g, o, rn, n, se, sa, cap, child) =>
+      GlobalRankExec(g, o, rn, n, se, sa, cap, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -221,7 +265,9 @@ object GlobalRank {
     * for why the bound exists. */
   def withGlobalRank(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
                      rankCol: String = "rn", countCol: String = "n",
-                     maxGroups: Int = DefaultMaxGroups): DataFrame = {
+                     maxGroups: Int = DefaultMaxGroups,
+                     sumCol: Option[String] = None,
+                     runCol: String = "run_sum"): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GlobalRankStrategy)) {
       spark.experimental.extraStrategies =
@@ -231,21 +277,28 @@ object GlobalRank {
     val resolver = spark.sessionState.analyzer.resolver
     // the appended columns must not shadow an input column: the old
     // LocalRank tail dropped its helpers, but this operator's output
-    // is child.output :+ rn :+ n, and a duplicate name only explodes
-    // later as an ambiguous-reference error far from the cause
-    Seq(rankCol, countCol).foreach { n =>
+    // is child.output ++ (rn, n[, run_sum]), and a duplicate name only
+    // explodes later as an ambiguous-reference error far from the cause
+    (Seq(rankCol, countCol) ++ sumCol.map(_ => runCol)).foreach { n =>
       if (plan.output.exists(a => resolver(a.name, n)))
         throw new IllegalArgumentException(
-          s"rank/count column '$n' collides with an input column " +
+          s"rank/count/run column '$n' collides with an input column " +
           s"(${plan.output.map(_.name).mkString(", ")}); pass a " +
-          "different rankCol/countCol")
+          "different rankCol/countCol/runCol")
     }
     def attr(n: String): Attribute = plan.output
       .find(a => resolver(a.name, n))
       .getOrElse(throw new IllegalArgumentException(
         s"column $n not found among ${plan.output.map(_.name).mkString(", ")}"))
+    val sumExpr = sumCol.map { n =>
+      val a = attr(n)
+      if (a.dataType != LongType) throw new IllegalArgumentException(
+        s"running-sum column '$n' must be LONG (exact, associative — a " +
+        s"double prefix sum would be partitioning-dependent); got ${a.dataType}")
+      a: Expression
+    }
     PlanBridge.ofRows(spark,
       GlobalRankPlan.create(groupCols.map(attr), sortCols.map(attr),
-        rankCol, countCol, maxGroups, plan))
+        rankCol, countCol, maxGroups, plan, sumExpr, runCol))
   }
 }

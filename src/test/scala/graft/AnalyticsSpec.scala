@@ -273,4 +273,101 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(_._1.isDefined))
     assert(got.values.exists(_._2.isEmpty) && got.values.exists(_._2.isDefined))
   }
+
+  test("regressionAgg: slope/intercept match Spark's regr_* builtins to 1e-6") {
+    val got = Analytics.regressionAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(regr_slope(col("l_extendedprice"), col("l_quantity")).as("s"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("i"),
+        regr_r2(col("l_extendedprice"), col("l_quantity")).as("r"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty && got.keySet == builtin.keySet)
+    got.foreach { case (k, (s, i, r2)) =>
+      val (bs, bi, br) = builtin(k)
+      assert(math.abs(s - bs) < 1e-6, s"slope $k: $s vs $bs")
+      assert(math.abs(i - bi) < 1e-6, s"intercept $k: $i vs $bi")
+      assert(math.abs(r2 - br) < 1e-6, s"r2 $k: $r2 vs $br")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("madAgg: median and MAD are values from the data; MAD <= max deviation") {
+    val rows = Analytics.madAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ls = r.getString(0); val med = r.getDouble(1); val mad = r.getDouble(2)
+      val vals = Tables.lineitem(spark, sf).filter(col("l_linestatus") === ls)
+        .select(col("l_quantity")).collect().map(_.getDouble(0)).sorted
+      // the rank-selected median is the value at ceil(n/2)
+      assert(med == vals((math.ceil(vals.length * 0.5) - 1).toInt), s"$ls median")
+      val devs = vals.map(v => math.abs(v - med)).sorted
+      assert(mad == devs((math.ceil(devs.length * 0.5) - 1).toInt), s"$ls mad")
+    }
+  }
+
+  test("cdcDiff: every change class appears and classifications are consistent") {
+    val rows = graft.operators.Scd2.cdcDiff(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(1))
+    assert(byType.keySet == Set("I", "U", "D"), byType.keySet)
+    byType("D").foreach { r => assert(!r.isNullAt(2) && r.isNullAt(3)) }
+    byType("I").foreach { r => assert(r.isNullAt(2) && !r.isNullAt(3)) }
+    byType("U").foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3) && r.getDouble(2) != r.getDouble(3))
+    }
+    // planted cardinalities: deletes are the %97 keys, inserts the %101 keys
+    val keys = Tables.customer(spark, sf).select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    assert(byType("D").length == keys.count(_ % 97 == 0))
+    assert(byType("I").length == keys.count(_ % 101 == 0))
+  }
+
+  test("mixtureTemperature: rates in (0,1]; head source is down-weighted hardest") {
+    val rows = CorpusAnalytics.mixtureTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rate, nKept) =>
+      assert(rate > 0.0 && rate <= 1.0); assert(nKept > 0)
+    }
+    val bySize = Tables.documents(spark, sf).groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biggest = bySize.maxBy(_._2)._1
+    val smallest = bySize.minBy(_._2)._1
+    val rateOf = rows.map(t => t._1 -> t._2).toMap
+    // temperature flattening: the biggest source keeps the smallest rate
+    assert(rateOf(biggest) <= rateOf(smallest),
+      s"$biggest=${rateOf(biggest)} vs $smallest=${rateOf(smallest)}")
+  }
+
+  test("tokenBudget: kept chars stay within budget and selection is quality-prefix") {
+    val kept = CorpusAnalytics.tokenBudget(spark, sf).collect()
+    val total = Tables.documents(spark, sf).agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    val budget = total / 2
+    val charsKept = kept.map(_.getLong(2)).sum
+    assert(charsKept <= budget, s"$charsKept > $budget")
+    // the selection is a PREFIX of the quality order: adding the single
+    // next-best document must overflow the budget
+    val scored = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .select(col("n_chars")).collect().map(_.getLong(0))
+    var cum = 0L; var i = 0
+    while (i < scored.length && cum + scored(i) <= budget) { cum += scored(i); i += 1 }
+    assert(charsKept == cum, s"prefix sum $cum vs kept $charsKept")
+  }
+
+  test("sourceKl: KL >= 0 up to rounding and components cover the vocab") {
+    val rows = CorpusAnalytics.sourceKl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Gibbs' inequality holds exactly only over a COMMON support; the
+      // per-source restriction can push slightly negative, but a large
+      // negative KL means broken math
+      assert(r.getDouble(2) > -0.2, r.toString)
+      assert(r.getLong(1) > 0)
+    }
+  }
 }

@@ -81,6 +81,39 @@ class GlobalRankPlanSpec extends SparkSpec {
     assert(e.getMessage.contains("collides"), e.getMessage)
   }
 
+  test("running sum is an exact inclusive prefix scan (grouped + ungrouped)") {
+    // grouped: vs the window formulation on a small slice
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_orderkey") % 1000L).as("v"))
+    val scanned = Relational.globalRunningSum(base,
+      Seq("o_orderpriority"), Seq("o_orderkey"), "v")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = base.withColumn("xsum", sum(col("v")).over(w))
+    val bad = scanned.join(expect, Seq("o_orderpriority", "o_orderkey", "v"))
+      .filter(col("run_sum") =!= col("xsum"))
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("\n"))
+    // ungrouped: the global prefix scan ends at the global total
+    val g = Relational.globalRunningSum(
+      Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")),
+      Nil, Seq("doc_id"), "n_chars")
+    val last = g.orderBy(col("rn").desc).limit(1).collect()(0)
+    val total = Tables.documents(spark, sf).agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(last.getAs[Long]("run_sum") == total,
+      s"inclusive scan must end at the total: ${last} vs $total")
+  }
+
+  test("running-sum column must be LONG (doubles are order-dependent)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GlobalRank.withGlobalRank(
+        Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice")),
+        Nil, Seq("o_orderkey"), sumCol = Some("o_totalprice"))
+    }
+    assert(e.getMessage.contains("must be LONG"), e.getMessage)
+  }
+
   test("ungrouped ranks are a global total order (corpus-shuffle shape)") {
     val ranked = Relational.globalRank(
       Tables.documents(spark, sf).select(col("doc_id")),
