@@ -987,8 +987,11 @@ object Analytics {
   def madAgg(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.lineitem(s, dir)
       .select(col("l_linestatus"), col("l_quantity").as("value"))
+    // the rank selection leaves exactly one row per group; the
+    // aggregate is an identity on that but makes the broadcast
+    // PROVABLY bounded (one row per group) in the physical plan
     val med = Relational.exactQuantiles(base, Seq("l_linestatus"), "value", Seq(0.5))
-      .select(col("l_linestatus"), col("value").as("med"))
+      .groupBy(col("l_linestatus")).agg(min(col("value")).as("med"))
     val dev = base.join(broadcast(med), Seq("l_linestatus"))
       .select(col("l_linestatus"), abs(col("value") - col("med")).as("dev"))
     Relational.exactQuantiles(dev, Seq("l_linestatus"), "dev", Seq(0.5))

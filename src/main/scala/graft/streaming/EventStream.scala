@@ -492,4 +492,43 @@ object EventStream {
         s"no complete sketch table version under $tablePath"))
     spark.read.parquet(versionDir(root, n).toString)
   }
+
+  /** F17: incrementally-maintained per-window top-k serving table —
+    * the "trending now" dashboard feed. The watermarked windowed
+    * aggregation runs in UPDATE mode, so each micro-batch emits only
+    * the (window, event_type) rows whose cumulative count changed;
+    * foreachBatch appends them with their batch id, and
+    * [[readTopK]] resolves last-writer-wins per key before the
+    * bounded top-k selection. The append-only log is idempotent under
+    * checkpoint replay (a replayed batch re-appends the same rows —
+    * last-writer-wins collapses them), and per batch only CHANGED keys
+    * hit the table, never the full window history. */
+  def topKTableSink(events: DataFrame, tablePath: String, queryName: String,
+                    watermarkDelay: String = "3650 days"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    windowedCounts(events, watermarkDelay = watermarkDelay)
+      .writeStream.queryName(queryName)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(tablePath)
+      }
+
+  /** Reader for [[topKTableSink]] tables: latest cumulative count per
+    * (window, event_type) by max batch id, then the top `k` types per
+    * window via the bounded [[graft.functions.TopKAgg]] aggregate
+    * (map-side pruning to ≤ k per partition — no per-window sort).
+    * Ties break on event_type ascending, a total order. */
+  def readTopK(spark: SparkSession, tablePath: String, k: Int): DataFrame = {
+    val latest = spark.read.parquet(tablePath)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(max(struct(col("batch_id"), col("n"))).as("f"))
+      .select(col("window_start"), col("event_type"), col("f.n").as("n"))
+    latest.groupBy(col("window_start"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("n")).as("nn"), col("event_type")), k).as("top"))
+      .select(col("window_start"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("window_start"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.event_type").as("event_type"), (-col("t.nn")).as("n"))
+  }
 }

@@ -963,4 +963,34 @@ object StreamGates {
       |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
       |  CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM s GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------- F17
+  /** Streaming per-window top-k: the slice drained through
+    * [[EventStream.topKTableSink]] (UPDATE-mode windowed counts,
+    * foreachBatch-appended with batch ids) and read back via
+    * [[EventStream.readTopK]]'s last-writer-wins + bounded top-k must
+    * equal the batch per-window top-3 event types — an EXACT oracle
+    * row per (window, rank), not just a boolean: the final serving
+    * table is deterministic because ties break on event_type. */
+  def streamTopK(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    val ev = slice(s, dir)
+    val in = stagedOnce(dir, "slice5x2")(d => stage(ev, d, nFiles = 2))
+    val table = tempDir("graft_sg_topk_tbl") + "/t"
+    drain(EventStream.topKTableSink(fileStream(s, in, ev.schema), table,
+        uniq("sg_topk"))
+      .option("checkpointLocation", tempDir("graft_sg_topk_ck")))
+    EventStream.readTopK(s, table, 3)
+  }
+
+  val streamTopKSql: String =
+    """WITH c AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |    COUNT(*) AS n
+      |  FROM events WHERE event_id < 2000 GROUP BY 1, 2),
+      |r AS (SELECT window_start, event_type, n,
+      |    ROW_NUMBER() OVER (PARTITION BY window_start
+      |                       ORDER BY n DESC, event_type ASC) AS rk
+      |  FROM c)
+      |SELECT window_start, CAST(rk AS INTEGER) AS rk, event_type,
+      |  CAST(n AS BIGINT) AS n
+      |FROM r WHERE rk <= 3""".stripMargin
 }
