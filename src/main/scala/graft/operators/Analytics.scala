@@ -1016,4 +1016,164 @@ object Analytics {
       |SELECT w2.l_linestatus, m.med AS median, w2.dev AS mad
       |FROM w2 JOIN med m ON w2.l_linestatus = m.l_linestatus
       |WHERE w2.rn = CAST(CEIL(w2.n * 0.5) AS BIGINT)""".stripMargin
+
+  // --------------------------------------------------------------- D71
+  /** Overlapping-interval merge (interval coalescing): each event opens
+    * an interval `[ts, ts + value seconds]`; per user, transitively
+    * overlapping intervals collapse into one "island" reported with its
+    * span and member count. The classic formulation: a new island starts
+    * exactly when an interval's start exceeds the running max end of ALL
+    * previous intervals (a plain `lag(end)` misses nested intervals).
+    *
+    * Scale shape: ONE hash exchange on user_id feeds both windows (same
+    * partition spec); the island groupBy adds a partial-aggregated
+    * exchange on (user_id, island) whose input is already one row per
+    * event — no row amplification anywhere. Durations are integral
+    * seconds and timestamps are exact microseconds, so the merge points
+    * are bit-identical across engines. */
+  def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts").as("iv_s"),
+      // floor() before the BIGINT cast: Spark's double→long cast
+      // truncates but DuckDB's rounds — floor pins both to the same int
+      expr("ts + make_interval(0, 0, 0, 0, 0, 0, cast(floor(value) as bigint))").as("iv_e"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("iv_s"), col("event_id"))
+    val prevMax = max(col("iv_e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = iv.withColumn("new_island",
+      when(prevMax.isNull || col("iv_s") > prevMax, lit(1L)).otherwise(lit(0L)))
+    val islands = marked.withColumn("island",
+      sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("user_id"), col("island"))
+      .agg(min(col("iv_s")).as("span_start"), max(col("iv_e")).as("span_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val intervalMergeSql: String =
+    """WITH iv AS (SELECT user_id, event_id, ts AS iv_s,
+      |    ts + to_seconds(CAST(floor(value) AS BIGINT)) AS iv_e
+      |  FROM events),
+      |m AS (SELECT user_id, iv_s, iv_e,
+      |    CASE WHEN MAX(iv_e) OVER (PARTITION BY user_id ORDER BY iv_s, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |        OR iv_s > MAX(iv_e) OVER (PARTITION BY user_id ORDER BY iv_s, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_island,
+      |    event_id
+      |  FROM iv),
+      |isl AS (SELECT user_id, iv_s, iv_e,
+      |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY iv_s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM m)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  MIN(iv_s) AS span_start, MAX(iv_e) AS span_end, COUNT(*) AS n_events
+      |FROM isl GROUP BY user_id, island""".stripMargin
+
+  // --------------------------------------------------------------- D72
+  /** Weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group total. Weights are integral
+    * (l_quantity is whole units), so the entire selection runs in exact
+    * BIGINT arithmetic — no float accumulation order to diverge on.
+    *
+    * Scale shape: pre-aggregating to one row per (group, value) BEFORE
+    * the window bounds the sorted window input by the value domain, not
+    * the row count — at 100 TB the window sees |groups|·|distinct
+    * values| rows, with partial map-side combine on the way in. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byValue = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val win = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val cum = byValue
+      .withColumn("cw", sum(col("w")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tw", sum(col("w")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("weighted_median"),
+        min(col("tw")).as("total_weight"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH bv AS (SELECT l_returnflag, l_extendedprice,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, l_extendedprice,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM bv)
+      |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
+      |  CAST(MIN(tw) AS BIGINT) AS total_weight
+      |FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- D73
+  /** Event de-bounce (run-length collapse): consecutive events of the
+    * same type per user collapse to one row per run, keeping the run's
+    * start time and length — the standard pre-processing step before
+    * funnel/transition analysis on noisy clickstreams.
+    *
+    * Scale shape: one hash exchange on user_id; lag, run numbering, and
+    * the run groupBy all ride it (the final groupBy on (user_id, run)
+    * partial-aggregates map-side). Output is O(runs), never wider than
+    * the input. */
+  def debounce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("run", sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs.groupBy(col("user_id"), col("run"))
+      .agg(min(col("event_type")).as("event_type"), min(col("ts")).as("run_start"),
+        count(lit(1)).as("run_len"))
+  }
+
+  val debounceSql: String =
+    """WITH m AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM events),
+      |r AS (SELECT user_id, ts, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM m)
+      |SELECT user_id, CAST(run AS BIGINT) AS run, MIN(event_type) AS event_type,
+      |  MIN(ts) AS run_start, COUNT(*) AS run_len
+      |FROM r GROUP BY user_id, run""".stripMargin
+
+  // --------------------------------------------------------------- D74
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two
+    * status-sliced aggregates of orders joined on a key that is NULL
+    * for one domain value — a plain equi-join would silently drop the
+    * NULL group; the null-safe form matches it. Spark plans
+    * EqualNullSafe as a hash-join key, so this stays a real shuffled
+    * hash/SMJ join at scale, not a nested loop. */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .withColumn("pr_key", nullif(col("o_orderpriority"), lit("1-URGENT")))
+    val a = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("pr_key")).agg(count(lit(1)).as("n_f"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_f"))
+    val b = o.filter(col("o_orderstatus") === "O")
+      .groupBy(col("pr_key")).agg(count(lit(1)).as("n_o"))
+    a.join(b, a("pr_key") <=> b("pr_key"))
+      .select(a("pr_key").as("pr_key"), col("n_f"),
+        col("rev_f").cast("double").as("rev_f"), col("n_o"))
+  }
+
+  val nullSafeJoinSql: String =
+    """WITH o AS (SELECT nullif(o_orderpriority, '1-URGENT') AS pr_key,
+      |    o_orderstatus, o_totalprice FROM orders),
+      |a AS (SELECT pr_key, COUNT(*) AS n_f,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_f
+      |  FROM o WHERE o_orderstatus = 'F' GROUP BY 1),
+      |b AS (SELECT pr_key, COUNT(*) AS n_o FROM o WHERE o_orderstatus = 'O' GROUP BY 1)
+      |SELECT a.pr_key, a.n_f, a.rev_f, b.n_o
+      |FROM a JOIN b ON a.pr_key IS NOT DISTINCT FROM b.pr_key""".stripMargin
 }

@@ -359,6 +359,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(charsKept == cum, s"prefix sum $cum vs kept $charsKept")
   }
 
+  test("intervalMerge: islands are disjoint per user and cover every event") {
+    val islands = Analytics.intervalMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+    assert(islands.nonEmpty)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(islands.map(_._4).sum == nEvents) // every event lands in exactly one island
+    islands.groupBy(_._1).foreach { case (_, is) =>
+      val sorted = is.sortBy(_._2.getTime)
+      sorted.foreach { case (_, s, e, _) => assert(!e.before(s)) }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2.after(e1), s"islands overlap: next start $s2 <= prev end $e1")
+        case _ =>
+      }
+    }
+  }
+
+  test("weightedMedian: cumulative-weight invariant holds per group") {
+    val rows = Analytics.weightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity").cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.foreach { case (flag, med, tot) =>
+      val grp = li.filter(_._1 == flag)
+      assert(grp.map(_._3).sum == tot)
+      val below = grp.filter(_._2 < med).map(_._3).sum   // weight strictly below
+      val atOrBelow = grp.filter(_._2 <= med).map(_._3).sum
+      assert(below * 2 < tot, s"$flag: too much weight below $med")
+      assert(atOrBelow * 2 >= tot, s"$flag: $med does not reach half the weight")
+    }
+  }
+
+  test("debounce: runs reconstruct the event sequence exactly") {
+    val runs = Analytics.debounce(spark, sf)
+      .orderBy(col("user_id"), col("run")).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(4)))
+    val events = Tables.events(spark, sf)
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // expanding each run back to run_len events reproduces the sequence
+    val expanded = runs.flatMap { case (u, t, len) => Seq.fill(len.toInt)((u, t)) }
+    assert(expanded.toSeq == events.toSeq)
+    // no two adjacent runs for a user share a type (maximal runs)
+    runs.toSeq.sliding(2).foreach {
+      case Seq((u1, t1, _), (u2, t2, _)) if u1 == u2 => assert(t1 != t2)
+      case _ =>
+    }
+  }
+
+  test("nullSafeJoin: the NULL key group survives the join") {
+    val rows = Analytics.nullSafeJoin(spark, sf).collect()
+    assert(rows.length == 5) // 4 named priorities + the NULL group
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length == 1, "null-safe join must match NULL with NULL")
+    val urgentF = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT").count()
+    assert(nullRow(0).getLong(1) == urgentF)
+  }
+
   test("sourceKl: KL >= 0 up to rounding and components cover the vocab") {
     val rows = CorpusAnalytics.sourceKl(spark, sf).collect()
     assert(rows.nonEmpty)
