@@ -934,4 +934,146 @@ object CorpusAnalytics {
       |SELECT source, COUNT(*) AS n_terms,
       |  ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS kl
       |FROM comp GROUP BY source""".stripMargin
+
+  // --------------------------------------------------------------- E64
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    * SIGIR'09 — the standard way RAG stacks merge a lexical and a
+    * vector arm without score calibration): for each query document,
+    * the lexical arm ranks the corpus by distinct-token overlap and
+    * the vector arm by embedding cosine; fused score = Σ 1/(60+rank)
+    * over the arms that retrieved the doc, top-10 per query reported.
+    *
+    * Determinism: ranks are integers (both arms tie-break on doc id),
+    * so the fused score is one-or-two correctly-rounded IEEE divisions
+    * plus one addition of identical operands in both engines.
+    *
+    * Scale shape: the query set broadcasts to BOTH arms — the corpus
+    * never shuffles raw text or vectors; each arm's top-k rides
+    * BoundedTopK (map-side pruned heaps, O(queries·k) on the wire) and
+    * the fusion join is O(queries·k) × O(queries·k) on (q_id, doc_id).
+    */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dtok = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("tk"))
+    val qtok = dtok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("tk").as("qtk"))
+    val lexScored = dtok.crossJoin(broadcast(qtok))
+      .select(col("q_id"), col("doc_id"),
+        size(array_intersect(col("qtk"), col("tk"))).cast("long").as("ov"))
+      .filter(col("ov") > 0)
+    val lex = lexScored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("ov")).as("neg_ov"), col("doc_id")), 20).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rl"))
+    val emb = Tables.embeddings(s, dir)
+    val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 20)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rn").cast("long").as("rv"))
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rl").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rv").cast("double")), lit(0.0))).as("rrf"),
+        col("rl"), col("rv"))
+    fused.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("rrf")).as("neg_rrf"), col("doc_id"), col("rl"), col("rv")), 10).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.doc_id").as("doc_id"),
+        round(-col("t.neg_rrf"), 6).as("rrf"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("t.rl").as("lex_rank"), col("t.rv").as("vec_rank"))
+  }
+
+  val hybridSearchSql: String =
+    """WITH dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |q AS (SELECT doc_id AS q_id, tk AS qtk FROM dt WHERE doc_id < 5),
+      |lexs AS (SELECT q_id, d.doc_id,
+      |    CAST(len(list_intersect(qtk, d.tk)) AS BIGINT) AS ov
+      |  FROM q, dt d),
+      |lex AS (SELECT q_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ov DESC, doc_id ASC) AS rl
+      |  FROM lexs WHERE ov > 0 QUALIFY rl <= 20),
+      |qe AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 5),
+      |ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |vs AS (SELECT q_id, vec_id AS doc_id,
+      |    ROUND(list_dot_product(qe, e) /
+      |      (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos
+      |  FROM qe, ce),
+      |vec AS (SELECT q_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id ASC) AS rv
+      |  FROM vs QUALIFY rv <= 20),
+      |fused AS (SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+      |    COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+      |    COALESCE(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0) +
+      |    COALESCE(1.0 / (60.0 + CAST(rv AS DOUBLE)), 0.0) AS rrf,
+      |    rl, rv
+      |  FROM lex FULL OUTER JOIN vec
+      |    ON lex.q_id = vec.q_id AND lex.doc_id = vec.doc_id)
+      |SELECT q_id, doc_id, ROUND(rrf, 6) AS rrf,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rnk,
+      |  rl AS lex_rank, rv AS vec_rank
+      |FROM fused QUALIFY rnk <= 10""".stripMargin
+
+  // --------------------------------------------------------------- E65
+  /** Adjacent-bigram pointwise mutual information (the collocation
+    * detector tokenizer/vocab pipelines run to find multi-word units:
+    * high PMI = "los angeles", low PMI = chance co-occurrence):
+    * PMI(x,y) = ln(p(xy) / (p(x)·p(y))) with p over exact integer
+    * counts. The whole ratio is assembled as ONE exact-integer-valued
+    * double fraction — c_xy·N₁·N₁ and N₂·c_x·c_y both stay far below
+    * 2^53, so the only inexact ops are the final division and ln, both
+    * identical-operand across engines, wobble absorbed by round(6).
+    *
+    * Scale shape: token and bigram counts are hash aggregates with
+    * map-side partials; unigram counts join the (already min-count
+    * filtered, vocabulary-sized) bigram table, never the corpus. */
+  def ngramPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(split(lower(col("text")), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum(col("c")).as("n1"))
+    val bi = toks.select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |                 i -> struct(toks[i] AS w1, toks[i+1] AS w2))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val n2 = bi.agg(count(lit(1)).as("n2"))
+    val cxy = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 10)
+    cxy
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log(
+          (col("c_xy").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+            (col("n2").cast("double") * col("c_x").cast("double") * col("c_y").cast("double"))),
+          6).as("pmi"))
+  }
+
+  val ngramPmiSql: String =
+    """WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+      |u AS (SELECT unnest(toks) AS w FROM t),
+      |uni AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+      |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uni),
+      |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |        i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM t),
+      |bi AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM b),
+      |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM bi),
+      |cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY w1, w2
+      |        HAVING COUNT(*) >= 10)
+      |SELECT cxy.w1, cxy.w2, cxy.c_xy,
+      |  ROUND(ln((CAST(c_xy AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) /
+      |           (CAST(n2 AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))),
+      |        6) AS pmi
+      |FROM cxy
+      |JOIN uni ux ON cxy.w1 = ux.w
+      |JOIN uni uy ON cxy.w2 = uy.w, n1, n2""".stripMargin
 }

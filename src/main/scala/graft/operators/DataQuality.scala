@@ -146,4 +146,81 @@ object DataQuality {
     }
     "WITH " + ctes.mkString(",\n") + "\n" + selects.mkString("\nUNION ALL\n")
   }
+
+  // --------------------------------------------------------------- C25
+  /** Benford's-law first-digit audit (the forensic screen for
+    * fabricated or truncated monetary data): observed share of each
+    * leading digit of o_totalprice vs the Benford expectation
+    * log10(1 + 1/d), with a chi-square contribution per digit.
+    *
+    * Determinism: the digit comes from the DECIMAL STRING of the
+    * integer part (both engines print BIGINT identically) — not from
+    * log10 of a double, whose ULP near powers of ten would misclassify
+    * boundary values differently per libm. Shares and the expectation
+    * are rounded to 6 BEFORE the chi-square arithmetic, so every
+    * engine computes it from identical operands.
+    *
+    * Scale shape: one projection + a 9-group hash aggregate with
+    * map-side partials; the total broadcasts back. Nothing but 9 rows
+    * ever crosses the wire after the partial agg. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(s, dir).select(
+      substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6).as("exp_share"),
+        col("total"))
+      .select(col("digit"), col("n"), col("obs_share"), col("exp_share"),
+        round(col("total").cast("double") *
+          (col("obs_share") - col("exp_share")) * (col("obs_share") - col("exp_share")) /
+          col("exp_share"), 6).as("chi2_term"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+      |      AS INT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      |sh AS (SELECT digit, n,
+      |    ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_share,
+      |    ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_share,
+      |    total
+      |  FROM c, t)
+      |SELECT digit, n, obs_share, exp_share,
+      |  ROUND(CAST(total AS DOUBLE) * (obs_share - exp_share) * (obs_share - exp_share)
+      |        / exp_share, 6) AS chi2_term
+      |FROM sh""".stripMargin
+
+  // --------------------------------------------------------------- C26
+  /** Join-key skew profile (the pre-flight a 100 TB join needs: how
+    * many keys are singletons, how heavy is the hot tail?): a
+    * count-of-counts histogram of l_partkey multiplicity — frequency f
+    * → how many keys occur f times, how many rows they carry, and the
+    * row share. The classic two-level aggregate: the first (big)
+    * groupBy partial-aggregates map-side; the second sees only
+    * |distinct keys| rows and collapses to |distinct frequencies|. */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val hist = perKey.groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
+      .select(col("cnt"), col("n_keys"), (col("cnt") * col("n_keys")).as("n_rows"))
+    val total = hist.agg(sum(col("n_rows")).as("total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("cnt"), col("n_keys"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total").cast("double"), 6).as("row_share"))
+  }
+
+  val skewReportSql: String =
+    """WITH pk AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+      |h AS (SELECT cnt, COUNT(*) AS n_keys, cnt * COUNT(*) AS n_rows
+      |  FROM pk GROUP BY cnt),
+      |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM h)
+      |SELECT cnt, n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+      |  ROUND(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS row_share
+      |FROM h, t""".stripMargin
 }

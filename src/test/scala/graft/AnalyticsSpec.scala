@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, CorpusAnalytics, SemiStructured}
+import graft.operators.{Analytics, CorpusAnalytics, DataQuality, SemiStructured}
 
 /** Specs for the D44-D48 / A9-A10 / E30-E33 additions. The driver's
   * DuckDB compare is the primary gate; these pin the internal
@@ -419,6 +419,66 @@ class AnalyticsSpec extends SparkSpec {
     val urgentF = Tables.orders(spark, sf)
       .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT").count()
     assert(nullRow(0).getLong(1) == urgentF)
+  }
+
+  test("hybridSearch: query doc retrieves itself; fused ranks are valid") {
+    val rows = CorpusAnalytics.hybridSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 10)
+      val sorted = rs.sortBy(_._4)
+      // rrf non-increasing in rank
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3)
+        case _ =>
+      }
+      // the query document itself tops both arms -> must be in its own top-10
+      assert(rs.exists(_._2 == q), s"query $q missing from its own results")
+    }
+  }
+
+  test("ngramPmi: min-count respected and PMI matches a direct recount") {
+    val rows = CorpusAnalytics.ngramPmi(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, (c, _)) => assert(c >= 10) }
+    // recount one bigram by hand
+    val ((w1, w2), (cxy, pmi)) = rows.maxBy(_._2._2)
+    val toks = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.split(" ", -1).toSeq)
+    val n1 = toks.map(_.length).sum.toDouble
+    val n2 = toks.map(t => math.max(0, t.length - 1)).sum.toDouble
+    val cx = toks.map(_.count(_ == w1)).sum.toDouble
+    val cy = toks.map(_.count(_ == w2)).sum.toDouble
+    val cxy2 = toks.map(_.sliding(2).count(p => p.length == 2 && p(0) == w1 && p(1) == w2)).sum
+    assert(cxy2.toLong == cxy)
+    val want = math.log(cxy * n1 * n1 / (n2 * cx * cy))
+    assert(math.abs(pmi - want) < 1e-5, s"$pmi vs $want")
+  }
+
+  test("benfordAudit: digits 1-9, shares sum to 1, chi2 terms non-negative") {
+    val rows = DataQuality.benfordAudit(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4) // Benford shares total 1
+    rows.foreach { r => assert(r._5 >= 0.0) }
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == total)
+  }
+
+  test("skewReport: histogram accounts for every row and key exactly") {
+    val rows = DataQuality.skewReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val li = Tables.lineitem(spark, sf)
+    assert(rows.map(_._3).sum == li.count())
+    assert(rows.map(_._2).sum == li.select(col("l_partkey")).distinct().count())
+    rows.foreach { case (cnt, nKeys, nRows, share) =>
+      assert(cnt * nKeys == nRows); assert(share > 0.0 && share <= 1.0)
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
   }
 
   test("sourceKl: KL >= 0 up to rounding and components cover the vocab") {
