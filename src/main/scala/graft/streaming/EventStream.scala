@@ -531,4 +531,72 @@ object EventStream {
       .select(col("window_start"), (col("pos") + 1).cast("int").as("rk"),
         col("t.event_type").as("event_type"), (-col("t.nn")).as("n"))
   }
+
+  // ------------------------------------------------------------- F18
+  /** CDC summary for [[cdcApplySink]]: reduce any slice of the change
+    * stream to one row per key holding the latest delete tombstone
+    * (`err`: an 'error' event deletes the key) and the latest upsert
+    * (`ev`: any other event sets the key's value), each as a
+    * `(us, id[, v])` struct ordered by logical event time. `max` over
+    * these structs is a COMMUTATIVE, ASSOCIATIVE, IDEMPOTENT merge, so
+    * the final state is independent of how the stream was cut into
+    * micro-batches, of file arrival order, AND of checkpoint replays —
+    * the CRDT-shaped formulation that makes a hand-rolled streaming
+    * MERGE safe without transactional sinks. */
+  def cdcSummarize(changes: DataFrame): DataFrame =
+    changes.groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "error",
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("id")))).as("err"),
+        max(when(col("event_type") =!= "error",
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("id"),
+            col("value").as("v")))).as("ev"))
+
+  /** F18: continuous CDC apply — maintain a keyed serving table from a
+    * change stream (upserts + delete tombstones) via foreachBatch: each
+    * micro-batch reduces to its [[cdcSummarize]] summary (one row per
+    * touched key — the only thing that ever hits the state table), the
+    * summary max-merges with the stored state, and the result swaps in
+    * atomically (write-sibling-then-rename, the C9 upsert discipline).
+    * Replay of a batch after a crash re-merges the same summary into a
+    * state that may already contain it — a no-op by idempotence, so
+    * the sink recovers from its checkpoint without a transactional
+    * target. At scale the state rewrite is keys-sized, never
+    * events-sized, and the per-batch shuffle carries touched keys
+    * only. */
+  def cdcApplySink(changes: DataFrame, statePath: String, queryName: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .queryName(queryName)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.hadoop.fs.Path
+        val s = batch.sparkSession
+        val summ = cdcSummarize(batch)
+        val fs = new Path(statePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!fs.exists(new Path(statePath))) summ
+          else s.read.parquet(statePath).unionByName(summ)
+            .groupBy(col("user_id"))
+            .agg(max(col("err")).as("err"), max(col("ev")).as("ev"))
+        val tmp = new Path(statePath + "_graft_cdc_tmp")
+        val dst = new Path(statePath)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dst, true)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"cdc state swap failed: $tmp -> $dst")
+      }
+
+  /** Reader for [[cdcApplySink]] state: the LIVE view — keys whose
+    * latest upsert post-dates their latest tombstone (or that were
+    * never deleted). Tombstoned keys stay in the state table (they
+    * must: a stale replayed upsert has to lose to the tombstone) but
+    * are filtered from the serving view here. */
+  def readCdcState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .filter(col("ev").isNotNull &&
+        (col("err").isNull ||
+          struct(col("ev.us"), col("ev.id")) > struct(col("err.us"), col("err.id"))))
+      .select(col("user_id"), col("ev.us").as("last_us"), col("ev.v").as("last_value"))
 }

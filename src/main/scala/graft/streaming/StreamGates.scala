@@ -993,4 +993,55 @@ object StreamGates {
       |SELECT window_start, CAST(rk AS INTEGER) AS rk, event_type,
       |  CAST(n AS BIGINT) AS n
       |FROM r WHERE rk <= 3""".stripMargin
+
+  // ------------------------------------------------------------- F18
+  /** Continuous CDC apply: the slice is a change stream — an 'error'
+    * event is a DELETE tombstone for its user, anything else an upsert
+    * of (user → value). [[EventStream.cdcApplySink]] folds each
+    * micro-batch's key summary into a parquet state table with an
+    * idempotent max-merge; the live view after the drain must equal
+    * the batch answer (each user's latest non-error event, IF it
+    * post-dates their latest error) EXACTLY — a user whose last change
+    * is a tombstone must be gone from the serving view but keep the
+    * tombstone in state. Alive/deleted counts are SQL-recomputable
+    * from the "last event wins" rule. */
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val in = stagedOnce(dir, "slice5x2")(d => stage(ev, d, nFiles = 2))
+    val state = tempDir("graft_sg_cdc_state") + "/state"
+    drain(EventStream.cdcApplySink(fileStream(s, in, ev.schema), state,
+        uniq("sg_cdc"))
+      .option("checkpointLocation", tempDir("graft_sg_cdc_ck")))
+    val live = EventStream.readCdcState(s, state)
+    // batch truth from the same summarize expressions over the whole slice
+    val want = EventStream.cdcSummarize(ev)
+      .filter(col("ev").isNotNull &&
+        (col("err").isNull ||
+          struct(col("ev.us"), col("ev.id")) > struct(col("err.us"), col("err.id"))))
+      .select(col("user_id"), col("ev.us").as("last_us"), col("ev.v").as("last_value"))
+    val stateAll = s.read.parquet(state)
+    val nDeleted = stateAll.filter(col("err").isNotNull &&
+      (col("ev").isNull ||
+        struct(col("ev.us"), col("ev.id")) < struct(col("err.us"), col("err.id")))).count()
+    Seq(("stream_cdc_apply", ev.count(), live.count(), nDeleted,
+        live.count() + nDeleted == stateAll.count() && setEqual(live, want)))
+      .toDF("metric", "n_changes", "n_users_alive", "n_users_deleted",
+        "state_matches_batch")
+  }
+
+  val streamCdcApplySql: String =
+    """WITH s AS (SELECT * FROM events WHERE event_id < 2000),
+      |le AS (SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM s)
+      |SELECT 'stream_cdc_apply' AS metric,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_changes,
+      |  CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_users_alive,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_users_deleted,
+      |  TRUE AS state_matches_batch
+      |FROM le WHERE rn = 1""".stripMargin
 }

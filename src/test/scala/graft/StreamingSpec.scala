@@ -453,4 +453,37 @@ class StreamingSpec extends SparkSpec {
     assert(sketchEstimate(
       EventStream.readSketchTable(spark, table).collect()) == 500)
   }
+
+  test("F18: cdcSummarize max-merge is batch-split invariant; tombstone wins") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).filter(col("event_id") < 1000)
+    val whole = EventStream.cdcSummarize(ev)
+    // split arbitrarily (NOT by time), summarize each, max-merge
+    val parts = Seq(ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2))
+    val merged = parts.map(EventStream.cdcSummarize)
+      .reduce(_ unionByName _)
+      .groupBy(col("user_id"))
+      .agg(max(col("err")).as("err"), max(col("ev")).as("ev"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty,
+      "split-then-merge must equal whole-slice summary")
+    // replay idempotence: merging the whole summary into itself is a no-op
+    val replayed = whole.unionByName(whole).groupBy(col("user_id"))
+      .agg(max(col("err")).as("err"), max(col("ev")).as("ev"))
+    assert(whole.exceptAll(replayed).isEmpty && replayed.exceptAll(whole).isEmpty)
+    // tombstone-wins: a user whose latest change is an error is filtered
+    // from the live view even though their upserts are still in state
+    val lastIsError = ev
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1 && col("event_type") === "error")
+      .select(col("user_id"))
+    val liveShaped = whole.filter(col("ev").isNotNull &&
+      (col("err").isNull ||
+        struct(col("ev.us"), col("ev.id")) > struct(col("err.us"), col("err.id"))))
+    assert(liveShaped.join(lastIsError, Seq("user_id")).count() == 0,
+      "tombstoned users must not appear live")
+  }
 }
