@@ -215,6 +215,61 @@ object DataQuality {
         round(col("n_rows").cast("double") / col("total").cast("double"), 6).as("row_share"))
   }
 
+  // --------------------------------------------------------------- C27
+  /** Daily-volume anomaly monitor (the freshness/volume SLO check an
+    * ingest pipeline alerts on): each day's event count z-scored
+    * against the trailing 7 COMPLETE days (frame excludes the current
+    * day — today must not dilute its own baseline). The window sums
+    * (Σn, Σn²) are exact BIGINTs, so mean/variance derive from
+    * identical integer operands in both engines; days with fewer than
+    * 7 priors or zero variance report NULL rather than a fake z.
+    *
+    * Scale shape: the fact table reduces to one row per day BEFORE the
+    * unpartitioned window — the window input is |days|, so the single
+    * partition is a few-hundred-row frame, not a data funnel (in a
+    * multi-tenant deployment the window would partition by source). */
+  def volumeAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val st = daily
+      .withColumn("n_prior", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+    val mean = col("s1").cast("double") / lit(7.0)
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / lit(7.0)) / lit(6.0)
+    st.select(col("day"), col("n"),
+      when(col("n_prior") === 7, round(mean, 6)).as("mean7"),
+      when(col("n_prior") === 7 && variance > 0, round(sqrt(variance), 6)).as("std7"),
+      when(col("n_prior") === 7 && variance > 0,
+        round((col("n").cast("double") - mean) / sqrt(variance), 6)).as("z"))
+  }
+
+  val volumeAnomalySql: String =
+    """WITH d AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT day, n,
+      |    COUNT(n) OVER w AS n_prior,
+      |    SUM(n) OVER w AS s1,
+      |    SUM(n * n) OVER w AS s2
+      |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT CAST(day AS TIMESTAMP) AS day, n,
+      |  CASE WHEN n_prior = 7
+      |    THEN ROUND(CAST(s1 AS DOUBLE) / 7.0, 6) END AS mean7,
+      |  CASE WHEN n_prior = 7 AND (CAST(s2 AS DOUBLE) -
+      |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0 > 0
+      |    THEN ROUND(sqrt((CAST(s2 AS DOUBLE) -
+      |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0), 6) END AS std7,
+      |  CASE WHEN n_prior = 7 AND (CAST(s2 AS DOUBLE) -
+      |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0 > 0
+      |    THEN ROUND((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0) /
+      |      sqrt((CAST(s2 AS DOUBLE) -
+      |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0), 6) END AS z
+      |FROM st""".stripMargin
+
   val skewReportSql: String =
     """WITH pk AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
       |h AS (SELECT cnt, COUNT(*) AS n_keys, cnt * COUNT(*) AS n_rows

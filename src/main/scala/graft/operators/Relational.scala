@@ -1187,4 +1187,30 @@ object Relational {
       |  COALESCE(n_except_all, 0) AS n_except_all,
       |  COALESCE(n_intersect_all, 0) AS n_intersect_all
       |FROM ea FULL OUTER JOIN ia ON ea.o_orderpriority = ia.o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- D75
+  /** Multi-aggregate pivot (D15 with BOTH a sum and a count per
+    * pivoted value — the report shape where one pivot pass must carry
+    * several measures): Spark plans the aliased aggregates into ONE
+    * hash aggregate over the Expand-free pivot projection — one
+    * shuffle, same as the single-measure pivot, and the quantity sum
+    * goes through the exact-decimal discipline so partial-aggregation
+    * order cannot move the result. */
+  def pivotMulti(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("cnt"))
+      .na.fill(0L, Seq("F_cnt", "O_cnt"))
+      .na.fill(0.0, Seq("F_qty", "O_qty"))
+
+  val pivotMultiSql: String =
+    """SELECT l_returnflag,
+      |  CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE 0 END), 2) AS DOUBLE) AS F_qty,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F_cnt,
+      |  CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE 0 END), 2) AS DOUBLE) AS O_qty,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O_cnt
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 }

@@ -1357,4 +1357,40 @@ object TrainingQueries {
       |SELECT source, COUNT(*) AS n_candidates,
       |  CAST(SUM(CASE WHEN luhn_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
       |FROM v GROUP BY source""".stripMargin
+
+  // ----------------------------------------------------------- E66
+  /** Bag-of-words dedup: documents identical up to WORD ORDER collapse
+    * to one — the paraphrase-adjacent exact tier between E1 (byte
+    * identity) and E2 (fuzzy MinHash), catching shuffled-sentence
+    * boilerplate and templated rewrites that byte-hashing misses while
+    * staying an exact, drama-free groupBy. The signature is the MD5 of
+    * the SORTED token multiset, so the exchange carries a 32-byte key
+    * per doc, never token arrays (the 100 TB shape); MD5 because both
+    * engines print identical hex — the signature itself is engine-
+    * portable, unlike xxhash64. Planted truth: every doc gains a
+    * token-REVERSED copy at doc_id+20000, bag-equal but byte-unequal —
+    * exact dedup scores zero on it, this catches all 500 pairs. */
+  def dedupBow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val rev = base.select((col("doc_id") + 20000).as("doc_id"),
+      concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    val sig = base.unionByName(rev).select(col("doc_id"),
+      md5(concat_ws(" ", sort_array(split(col("text"), " ")))).as("sig"))
+    sig.withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("sig"))))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("keep_id"), col("doc_id").as("dup_id"))
+  }
+
+  val dedupBowSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |rev AS (SELECT doc_id + 20000 AS doc_id,
+      |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+      |  FROM base),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM rev),
+      |sig AS (SELECT doc_id,
+      |    md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS sig
+      |  FROM allv),
+      |k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sig) AS keep_id FROM sig)
+      |SELECT keep_id, doc_id AS dup_id FROM k WHERE doc_id <> keep_id""".stripMargin
 }

@@ -481,6 +481,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
   }
 
+  test("volumeAnomaly: first 7 days have no baseline; z matches a recount") {
+    val rows = DataQuality.volumeAnomaly(spark, sf)
+      .orderBy(col("day")).collect()
+    assert(rows.length >= 8, "need more than a week of days")
+    rows.take(7).foreach { r => assert(r.isNullAt(2), s"day ${r.get(0)} has a premature baseline") }
+    val counts = rows.map(_.getLong(1))
+    rows.zipWithIndex.drop(7).foreach { case (r, i) =>
+      val prior = counts.slice(i - 7, i).map(_.toDouble)
+      val mean = prior.sum / 7.0
+      val varr = prior.map(x => (x - mean) * (x - mean)).sum / 6.0
+      if (!r.isNullAt(4)) {
+        val z = (counts(i) - mean) / math.sqrt(varr)
+        assert(math.abs(r.getDouble(4) - z) < 1e-4, s"day $i: ${r.getDouble(4)} vs $z")
+      }
+    }
+  }
+
+  test("pivotMulti: pivoted cells equal the filtered aggregates") {
+    val rows = graft.operators.Relational.pivotMulti(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val fCnt = li.filter(col("l_returnflag") === flag && col("l_linestatus") === "F").count()
+      val oCnt = li.filter(col("l_returnflag") === flag && col("l_linestatus") === "O").count()
+      assert(r.getLong(2) == fCnt && r.getLong(4) == oCnt)
+      val fQty = li.filter(col("l_returnflag") === flag && col("l_linestatus") === "F")
+        .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+      assert(math.abs(r.getDouble(1) - fQty) < 1e-6)
+    }
+  }
+
   test("sourceKl: KL >= 0 up to rounding and components cover the vocab") {
     val rows = CorpusAnalytics.sourceKl(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -120,4 +120,17 @@ class DedupSpec extends SparkSpec {
     // shingles: {a b c, b c d} vs {a b c, b c e} → 1/3
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
+
+  test("dedupBow: every planted token-reversed copy pairs with its original") {
+    val pairs = graft.operators.TrainingQueries.dedupBow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Tables.documents(spark, sf).count()
+    // each reversed copy (doc_id+20000) must collapse onto a bag-equal
+    // original; keep_id is always the smallest member
+    pairs.foreach { case (keep, dup) => assert(keep < dup) }
+    val revCaught = pairs.count { case (_, dup) => dup >= 20000 }
+    assert(revCaught == nDocs, s"$revCaught of $nDocs reversed copies caught")
+    // and a reversed copy never becomes the keeper of anything
+    assert(!pairs.exists { case (keep, _) => keep >= 20000 })
+  }
 }
