@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TopKAgg, VectorExprs}
@@ -934,6 +934,141 @@ object CorpusAnalytics {
       |SELECT source, COUNT(*) AS n_terms,
       |  ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS kl
       |FROM comp GROUP BY source""".stripMargin
+
+  // --------------------------------------------------------------- E68
+  /** Embedding-space cluster diagnostics per label (the health check
+    * before trusting ANN/SemDeDup over a space: a collapsed or
+    * entangled embedding space silently breaks every downstream
+    * similarity operator): per label — member count, COHESION (mean
+    * cosine of members to their label centroid) and SEPARATION (max
+    * cosine between this centroid and any other, ≈1 = entangled).
+    *
+    * Determinism: centroid components are exact DECIMAL sums of the
+    * members' (float-exact) doubles divided once; per-member cosines
+    * are sequential-fold dot products of identical operands, rounded
+    * to 6 BEFORE the decimal-pinned mean so the member-sum order
+    * cannot move the result; centroid-pair cosines feed an order-free
+    * max.
+    *
+    * Scale shape: the big exchange is (label, dim)-keyed component
+    * sums with map-side partials — 10 labels × 64 dims of decimal
+    * scalars out; centroids broadcast back onto the scan for the
+    * cohesion pass; the separation cross join is |labels|². */
+  def embeddingClusterStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val comp = e.select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast(DecimalType(28, 12))).as("sv"), count(lit(1)).as("nv"))
+      .select(col("label"), col("pos"),
+        (col("sv").cast("double") / col("nv").cast("double")).as("c"))
+    val centArr = cent.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("centroid"))
+    val coh = e.join(broadcast(centArr), Seq("label"))
+      .select(col("label"),
+        round(ddot(col("emb"), col("centroid")) /
+          (sqrt(ddot(col("emb"), col("emb"))) *
+            sqrt(ddot(col("centroid"), col("centroid")))), 6).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("cohesion"))
+    val a = centArr.select(col("label").as("la"), col("centroid").as("ca"))
+    val b = centArr.select(col("label").as("lb"), col("centroid").as("cb"))
+    val sep = a.crossJoin(broadcast(b)).filter(col("la") =!= col("lb"))
+      .select(col("la").as("label"),
+        round(ddot(col("ca"), col("cb")) /
+          (sqrt(ddot(col("ca"), col("ca"))) * sqrt(ddot(col("cb"), col("cb")))), 6)
+          .as("cc"))
+      .groupBy(col("label")).agg(max(col("cc")).as("max_other_cos"))
+    coh.join(sep, Seq("label"))
+  }
+
+  val embeddingClusterStatsSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings),
+      |ex AS (SELECT label, unnest(list_transform(range(1, len(emb) + 1),
+      |    i -> {'pos': i, 'v': emb[i]})) AS t FROM e),
+      |comp AS (SELECT label, t.pos AS pos, t.v AS v FROM ex),
+      |cent AS (SELECT label, pos,
+      |    CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM comp GROUP BY label, pos),
+      |ca AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+      |mc AS (SELECT e.label,
+      |    ROUND(list_dot_product(e.emb, ca.centroid) /
+      |      (sqrt(list_dot_product(e.emb, e.emb)) *
+      |       sqrt(list_dot_product(ca.centroid, ca.centroid))), 6) AS cos
+      |  FROM e JOIN ca ON e.label = ca.label),
+      |coh AS (SELECT label, COUNT(*) AS n_vecs,
+      |    ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE), 6) AS cohesion
+      |  FROM mc GROUP BY label),
+      |sep AS (SELECT a.label,
+      |    MAX(ROUND(list_dot_product(a.centroid, b.centroid) /
+      |      (sqrt(list_dot_product(a.centroid, a.centroid)) *
+      |       sqrt(list_dot_product(b.centroid, b.centroid))), 6)) AS max_other_cos
+      |  FROM ca a JOIN ca b ON a.label <> b.label GROUP BY a.label)
+      |SELECT label, n_vecs, cohesion, max_other_cos
+      |FROM coh JOIN sep USING (label)""".stripMargin
+
+  // --------------------------------------------------------------- E67
+  /** Heaps'-law vocabulary-growth curve (the companion diagnostic to
+    * E58's Zipf fit: natural text grows vocabulary ≈ K·n^β with
+    * β ≈ 0.4-0.6; a flat curve flags templated/duplicated corpora, a
+    * near-linear one flags noise): V(n) = distinct terms among the
+    * first n tokens of the doc_id-ordered corpus, sampled at 10 evenly
+    * spaced checkpoints.
+    *
+    * The global token position is doc-offset + in-doc position, where
+    * the doc offsets come from the native
+    * [[Relational.globalRunningSum]] PREFIX SCAN over doc lengths — no
+    * window, no single reducer; each term then reduces to its FIRST
+    * global position (one vocabulary-keyed hash aggregate carrying an
+    * 8-byte position), and the curve is a conditional count of
+    * first-positions under each checkpoint. The corpus crosses the
+    * wire exactly once (the prefix scan's range exchange); everything
+    * downstream is vocabulary-sized. All positions and checkpoints
+    * are exact integers. */
+  def heapsFit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("l"))
+    val off = Relational.globalRunningSum(docs, Nil, Seq("doc_id"), "l")
+      .select(col("doc_id"), col("toks"), col("l"),
+        (col("run_sum") - col("l")).as("offset"))
+    val fp = off.select(col("offset"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .select(col("term"), (col("offset") + col("pos") + 1).as("gpos"))
+      .groupBy(col("term")).agg(min(col("gpos")).as("first_pos"))
+    val n = docs.agg(sum(col("l")).as("n_total"))
+    val cps = s.range(1, 11).select(col("id").as("j"))
+      .crossJoin(broadcast(n))
+      .select(col("j"), expr("CAST((n_total * j) DIV 10 AS LONG)").as("n_at"))
+    fp.crossJoin(broadcast(cps))
+      .filter(col("first_pos") <= col("n_at"))
+      .groupBy(col("j"), col("n_at")).agg(count(lit(1)).as("vocab"))
+  }
+
+  val heapsFitSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |o AS (SELECT doc_id, toks, len(toks) AS l,
+      |    SUM(len(toks)) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks) AS off
+      |  FROM d),
+      |tk AS (SELECT off, unnest(list_transform(range(1, len(toks) + 1),
+      |    i -> {'pos': i, 'term': toks[i]})) AS t FROM o),
+      |tok AS (SELECT t.term AS term, off + t.pos AS gpos FROM tk),
+      |fp AS (SELECT term, MIN(gpos) AS first_pos FROM tok GROUP BY term),
+      |n AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_total FROM d),
+      |cp AS (SELECT j, CAST(n_total * j // 10 AS BIGINT) AS n_at
+      |  FROM generate_series(1, 10) AS g(j), n)
+      |SELECT CAST(j AS BIGINT) AS j, n_at, COUNT(*) AS vocab
+      |FROM fp, cp WHERE first_pos <= n_at GROUP BY j, n_at""".stripMargin
 
   // --------------------------------------------------------------- E64
   /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.

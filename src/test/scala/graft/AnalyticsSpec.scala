@@ -512,6 +512,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("heapsFit: vocab curve is monotone, concave-ish, and ends at the full vocab") {
+    val rows = CorpusAnalytics.heapsFit(spark, sf)
+      .orderBy(col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    // monotone in both tokens and vocab
+    rows.sliding(2).foreach {
+      case Array((_, n1, v1), (_, n2, v2)) => assert(n2 >= n1 && v2 >= v1)
+      case _ =>
+    }
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(split(lower(col("text")), " ")).cast("long").as("l"))
+      .agg(sum(col("l"))).collect()(0).getLong(0)
+    assert(rows.last._2 == totalTokens)
+    val fullVocab = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .distinct().count()
+    assert(rows.last._3 == fullVocab, "checkpoint 10 must see the whole vocabulary")
+    // sublinear growth: second half of the corpus adds fewer NEW terms
+    val firstHalf = rows(4)._3
+    assert(fullVocab - firstHalf < firstHalf,
+      s"vocab growth not sublinear: $firstHalf then ${fullVocab - firstHalf}")
+  }
+
+  test("embeddingClusterStats: cohesion beats separation for a labeled space") {
+    val rows = CorpusAnalytics.embeddingClusterStats(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val totalVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == totalVecs)
+    rows.foreach { case (label, n, coh, sep) =>
+      assert(n > 0)
+      assert(coh >= -1.0 - 1e-9 && coh <= 1.0 + 1e-9, s"label $label cohesion $coh")
+      assert(sep >= -1.0 - 1e-9 && sep <= 1.0 + 1e-9, s"label $label separation $sep")
+    }
+  }
+
   test("sourceKl: KL >= 0 up to rounding and components cover the vocab") {
     val rows = CorpusAnalytics.sourceKl(spark, sf).collect()
     assert(rows.nonEmpty)
