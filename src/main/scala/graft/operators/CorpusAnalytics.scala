@@ -935,6 +935,57 @@ object CorpusAnalytics {
       |  ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS kl
       |FROM comp GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------------- E69
+  /** Cross-source duplication matrix (the mixture-curation signal
+    * behind "crawl B is 40% re-crawl of A — dedup before weighting"):
+    * directional 5-gram containment |grams(A)∩grams(B)| / |grams(A)|
+    * for every ordered source pair. Gram sets travel as 16-byte
+    * double-xxhash keys (dup_ngram_ratio's discipline — no text on the
+    * wire; the oracle uses literal grams, pinning the hash path
+    * collision-free on this corpus); the pair generator is a
+    * gram-keyed self-join whose fan-out is bounded by |sources| per
+    * gram, so the exchange is O(distinct grams · sources), never
+    * all-pairs-of-documents. Zero-overlap pairs are absent rather than
+    * zero rows. */
+  def crossSourceDup(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), split(lower(col("text")), " ").as("toks"))
+      .select(col("source"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(0, size(toks) - $n),
+           |    i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))
+           |  ELSE array() END""".stripMargin)).as("gram"))
+      .select(col("source"),
+        xxhash64(col("gram")).as("h1"), xxhash64(lit(7), col("gram")).as("h2"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val overlap = grams.select(col("source").as("src_a"), col("h1"), col("h2"))
+      .join(grams.select(col("source").as("src_b"), col("h1"), col("h2")),
+        Seq("h1", "h2"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_overlap"))
+    overlap.join(broadcast(sizes.withColumnRenamed("source", "src_a")), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_grams").cast("double"), 6)
+          .as("containment"))
+  }
+
+  val crossSourceDupSql: String =
+    """WITH d AS (SELECT source, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4])) AS gram
+      |  FROM d WHERE len(toks) >= 5),
+      |sz AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+      |ov AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_overlap
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_overlap,
+      |  ROUND(CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS containment
+      |FROM ov JOIN sz ON ov.src_a = sz.source""".stripMargin
+
   // --------------------------------------------------------------- E68
   /** Embedding-space cluster diagnostics per label (the health check
     * before trusting ANN/SemDeDup over a space: a collapsed or

@@ -549,6 +549,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("crossSourceDup: containment bounded, directional, hash path matches literal grams") {
+    val rows = CorpusAnalytics.crossSourceDup(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    rows.foreach { case ((a, b), (ov, c)) =>
+      assert(a != b); assert(ov > 0); assert(c > 0.0 && c <= 1.0)
+    }
+    // directional: |A∩B| identical both ways, denominators differ
+    val m = rows.toMap
+    m.keys.foreach { case (a, b) =>
+      assert(m.contains((b, a)), "overlap is symmetric in membership")
+      assert(m((a, b))._1 == m((b, a))._1, "intersection size must be symmetric")
+    }
+    // recount one pair with literal grams (no hashing)
+    val ((sa, sb), (ov, _)) = rows.head
+    def gramsOf(src: String) = Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(explode(expr(
+        """CASE WHEN size(split(lower(text), ' ')) >= 5
+          |  THEN transform(sequence(0, size(split(lower(text), ' ')) - 5),
+          |    i -> concat_ws(' ', slice(split(lower(text), ' '), i + 1, 5)))
+          |  ELSE array() END""".stripMargin)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(gramsOf(sa).intersect(gramsOf(sb)).size.toLong == ov)
+  }
+
   test("sourceKl: KL >= 0 up to rounding and components cover the vocab") {
     val rows = CorpusAnalytics.sourceKl(spark, sf).collect()
     assert(rows.nonEmpty)
