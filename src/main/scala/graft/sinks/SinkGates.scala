@@ -325,4 +325,63 @@ object SinkGates {
     """SELECT 'bucketed_join' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  TRUE AS join_shuffle_free
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ C28
+  /** Time travel over [[Sinks.versionedPublish]]: publish v1 = the
+    * customer snapshot, v2 = the CDC-mutated version (C24's derivation
+    * — balances shifted on %10 keys, %97 keys deleted, %101 keys
+    * re-inserted under shifted ids); then v1 read AS OF must still
+    * equal the original exactly (count + key checksum + zero changed
+    * balances), the latest read must equal v2, and the pointer must
+    * say 2 — i.e. publishing a new version did not disturb a retained
+    * old one, the property every reproducible-training-run reads
+    * depend on. */
+  def timeTravelGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1df = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal").as("bal"))
+    val base0 = Tables.customer(s, dir)
+    val v2df = base0
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, round(col("c_acctbal") + 100.0, 2))
+          .otherwise(col("c_acctbal")).as("bal"))
+      .unionByName(base0
+        .filter(col("c_custkey") % 101 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          round(col("c_acctbal") + 1.0, 2).as("bal")))
+    val table = base(dir, "time_travel")
+    // fresh table per run — the gate must be rerun-idempotent
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    val ver1 = Sinks.versionedPublish(v1df, table)
+    val ver2 = Sinks.versionedPublish(v2df, table)
+    val asOf1 = Sinks.readVersion(s, table, ver1)
+    val latest = Sinks.readVersion(s, table)
+    val v1Intact = asOf1.count() == v1df.count() &&
+      asOf1.join(v1df.withColumnRenamed("bal", "bal0"), Seq("c_custkey"))
+        .filter(col("bal") =!= col("bal0")).count() == 0
+    val latestIsV2 =
+      latest.count() == v2df.count() &&
+        latest.join(v2df.withColumnRenamed("bal", "bal2"), Seq("c_custkey"))
+          .filter(col("bal") =!= col("bal2")).count() == 0
+    val agg1 = asOf1.agg(count(lit(1)).as("n"), checksum(col("c_custkey")).as("ck")).head()
+    Seq(("time_travel", agg1.getLong(0), agg1.getLong(1), latest.count(),
+        ver1 == 1 && ver2 == 2 && v1Intact && latestIsV2))
+      .toDF("metric", "n_rows_v1", "key_checksum_v1", "n_rows_latest",
+        "versions_isolated")
+  }
+
+  val timeTravelGateSql: String =
+    s"""SELECT 'time_travel' AS metric,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows_v1,
+       |  CAST(${checksumSqlOf("c_custkey")} AS BIGINT) AS key_checksum_v1,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       |     SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0
+       |     UNION ALL
+       |     SELECT c_custkey + 10000000 FROM customer WHERE c_custkey % 101 = 0))
+       |    AS n_rows_latest,
+       |  TRUE AS versions_isolated
+       |FROM customer""".stripMargin
 }

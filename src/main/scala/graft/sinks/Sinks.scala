@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** File + JDBC sinks (SURVEY.md §2 C1/C2).
   *
@@ -357,5 +357,68 @@ object Sinks {
       .json(Seq(back).toDS())
       .select(col("row_count"), col("checksum"),
         (col("n_files") >= 1L && col("row_count") >= minRows).as("published"))
+  }
+
+  // --------------------------------------------------------------- C28
+  /** Versioned table publish (the minimal time-travel layout under
+    * C19's write-audit-publish: Delta/Iceberg's core idea on plain
+    * parquet): each publish lands a COMPLETE immutable snapshot under
+    * `v_N/`, then flips a one-line `_LATEST` pointer file via
+    * write-sibling-then-rename — readers resolve the pointer once and
+    * scan an immutable directory, so a publish never races a read and
+    * EVERY prior version stays readable until retention deletes it.
+    * Returns the version just published. */
+  def versionedPublish(df: DataFrame, tablePath: String,
+                       retain: Int = 3): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = latestVersion(spark, tablePath).getOrElse(0) + 1
+    val staging = new Path(tablePath, s"v_$next._staging")
+    writeParquet(df, staging.toString)
+    require(fs.rename(staging, new Path(tablePath, s"v_$next")),
+      s"versioned publish rename failed for v_$next")
+    val tmp = new Path(tablePath, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new Path(tablePath, "_LATEST"), false)
+    require(fs.rename(tmp, new Path(tablePath, "_LATEST")),
+      "latest-pointer flip failed")
+    // retention: drop versions older than the newest `retain`
+    (1 until next - retain + 1).foreach { v =>
+      fs.delete(new Path(tablePath, s"v_$v"), true)
+    }
+    next
+  }
+
+  /** Latest published version of a [[versionedPublish]] table, from the
+    * pointer file; None for a table that was never published. */
+  def latestVersion(spark: SparkSession, tablePath: String): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(tablePath, "_LATEST")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      Some(s.toInt)
+    }
+  }
+
+  /** Time-travel read: version -1 (default) resolves the `_LATEST`
+    * pointer; any retained explicit version reads its immutable
+    * snapshot directory. */
+  def readVersion(spark: SparkSession, tablePath: String,
+                  version: Int = -1): DataFrame = {
+    val v =
+      if (version > 0) version
+      else latestVersion(spark, tablePath).getOrElse(
+        throw new IllegalArgumentException(s"no published version at $tablePath"))
+    spark.read.parquet(s"$tablePath/v_$v")
   }
 }

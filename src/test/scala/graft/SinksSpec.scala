@@ -287,4 +287,25 @@ class SinksSpec extends SparkSpec {
       .select("id", "score").as[(Long, Option[Double])].collect()
     assert(rows.toSeq == Seq((1L, None), (2L, Some(0.5))))
   }
+
+  test("versionedPublish: pointer flips, old versions readable, retention GCs") {
+    val table = java.nio.file.Files.createTempDirectory("graft_vtable").toString + "/t"
+    assert(Sinks.latestVersion(spark, table).isEmpty)
+    intercept[IllegalArgumentException](Sinks.readVersion(spark, table))
+    (1 to 5).foreach { i =>
+      val df = spark.range(i * 10).toDF("id")
+      assert(Sinks.versionedPublish(df, table, retain = 3) == i)
+    }
+    assert(Sinks.latestVersion(spark, table).contains(5))
+    assert(Sinks.readVersion(spark, table).count() == 50)
+    // versions 3..5 retained and time-travel readable
+    assert(Sinks.readVersion(spark, table, 3).count() == 30)
+    assert(Sinks.readVersion(spark, table, 4).count() == 40)
+    // versions 1..2 garbage-collected
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "/v_1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "/v_2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(table + "/v_3")))
+  }
 }
