@@ -935,6 +935,91 @@ object CorpusAnalytics {
       |  ROUND(CAST(SUM(comp) AS DOUBLE), 6) AS kl
       |FROM comp GROUP BY source""".stripMargin
 
+  // --------------------------------------------------------------- E70
+  /** PageRank over the shared-shingle document graph (the link-quality
+    * signal corpus curation borrows from web ranking: a document hub
+    * that shares rare passages with many others is boilerplate-central
+    * and a dedup/down-weight candidate): nodes = documents, undirected
+    * edges = pairs sharing a RARE 5-gram (document frequency 2..10 —
+    * the df ceiling bounds the per-gram pair fan-out at 45, so edge
+    * generation is O(grams·df²-capped), never all-pairs), three
+    * power-iteration steps of r ← 0.15 + 0.85·Σ r(u)/deg(u), unrolled.
+    *
+    * Determinism: each neighbor contribution r(u)/deg(u) is one IEEE
+    * division pinned to DECIMAL(28,12) BEFORE the order-sensitive
+    * per-node sum (the D44 discipline), so every iteration is
+    * bit-identical across engines and partitionings. Scale shape: the
+    * classic distributed PageRank — each iteration is one join of the
+    * rank vector against the edge list keyed by node + one
+    * partial-aggregated groupBy; the edge list shuffles once and is
+    * reused. */
+  def docPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val n = 5
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(0, size(toks) - $n),
+           |    i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))
+           |  ELSE array() END""".stripMargin)).as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("gram")).as("h1"), xxhash64(lit(7), col("gram")).as("h2"))
+      .distinct()
+    val rare = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 10)
+    val member = grams.join(rare, Seq("h1", "h2"))
+      .select(col("h1"), col("h2"), col("doc_id"))
+    val edges = member.select(col("h1"), col("h2"), col("doc_id").as("a"))
+      .join(member.select(col("h1"), col("h2"), col("doc_id").as("b")), Seq("h1", "h2"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("src").as("node"), lit(1.0).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("r") / col("deg").cast("double")).cast(DecimalType(28, 12)).as("c"))
+      rank = contrib.groupBy(col("node"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("c")).cast("double")).as("r"))
+    }
+    rank.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .select(col("node").as("doc_id"), col("deg"), round(col("r"), 6).as("pagerank"))
+  }
+
+  val docPagerankSql: String = {
+    def iter(prev: String, t: String): String =
+      s"""$t AS (SELECT dst AS node,
+         |    0.15 + 0.85 * CAST(SUM(CAST(r / CAST(deg AS DOUBLE)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS r
+         |  FROM e JOIN $prev ON e.src = $prev.node
+         |  JOIN deg ON e.src = deg.src
+         |  GROUP BY dst)"""
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |           FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 3),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |           toks[i+3] || ' ' || toks[i+4])) AS gram
+       |  FROM d WHERE len(toks) >= 5),
+       |rare AS (SELECT gram FROM g GROUP BY gram
+       |         HAVING COUNT(*) BETWEEN 2 AND 10),
+       |m AS (SELECT g.gram, g.doc_id FROM g JOIN rare USING (gram)),
+       |e AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM m a JOIN m b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS node, 1.0::DOUBLE AS r FROM deg),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT r3.node AS doc_id, deg.deg AS deg, ROUND(r3.r, 6) AS pagerank
+       |FROM r3 JOIN deg ON r3.node = deg.src""".stripMargin
+  }
+
   // --------------------------------------------------------------- E69
   /** Cross-source duplication matrix (the mixture-curation signal
     * behind "crawl B is 40% re-crawl of A — dedup before weighting"):

@@ -574,6 +574,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(gramsOf(sa).intersect(gramsOf(sb)).size.toLong == ov)
   }
 
+  test("docPagerank: total rank is conserved and every rank >= 0.15") {
+    val rows = CorpusAnalytics.docPagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "the shared-shingle graph must not be empty")
+    rows.foreach { case (_, deg, pr) => assert(deg >= 1); assert(pr >= 0.15 - 1e-9) }
+    // with every node having out-edges the damped walk conserves mass:
+    // sum r_{t+1} = 0.15*N + 0.85*sum r_t, and sum r_0 = N -> sum r_t = N
+    val n = rows.length.toDouble
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - n) < 1e-3 * n, s"rank mass $total drifted from $n")
+  }
+
   test("sourceKl: KL >= 0 up to rounding and components cover the vocab") {
     val rows = CorpusAnalytics.sourceKl(spark, sf).collect()
     assert(rows.nonEmpty)
