@@ -1147,6 +1147,39 @@ object Analytics {
       |  MIN(ts) AS run_start, COUNT(*) AS run_len
       |FROM r GROUP BY user_id, run""".stripMargin
 
+  // --------------------------------------------------------------- D76
+  /** Rolling exact median over a trailing ROWS frame (the robust
+    * moving-average replacement for spiky series — D32's moving sum
+    * with a median instead, which neither engine ships as a native
+    * windowed aggregate with the lower-median tie rule): the frame's
+    * values are collected, sorted, and the rank-⌈n/2⌉ element taken —
+    * a value FROM the data, no interpolation, deterministic for any
+    * frame content. The frame is a BOUNDED 7 rows, so the per-row
+    * collect+sort is O(7 log 7) inside one codegen'd projection over
+    * ONE hash exchange on user_id — this is the right altitude for
+    * small-frame order statistics (a rank-selection pass per frame
+    * would be 7 jobs). */
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("frame", sort_array(collect_list(col("value")).over(w)))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        size(col("frame")).as("n_frame"),
+        expr("frame[CAST(ceil(size(frame) / 2.0) AS INT) - 1]").as("med7"))
+  }
+
+  val rollingMedianSql: String =
+    """SELECT user_id, event_id, ts,
+      |  CAST(COUNT(*) OVER w AS INTEGER) AS n_frame,
+      |  list_sort(list(value) OVER w)[
+      |    CAST(ceil(COUNT(*) OVER w / 2.0) AS INT)] AS med7
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
   // --------------------------------------------------------------- D74
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two
     * status-sliced aggregates of orders joined on a key that is NULL

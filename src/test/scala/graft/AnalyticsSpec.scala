@@ -574,6 +574,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(gramsOf(sa).intersect(gramsOf(sb)).size.toLong == ov)
   }
 
+  test("rollingMedian: med7 is the lower median of the trailing frame") {
+    val rows = Analytics.rollingMedian(spark, sf)
+      .orderBy(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(4)))
+    val vals = Tables.events(spark, sf)
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    vals.indices.foreach { idx =>
+      val (u, _) = vals(idx)
+      val firstOfUser = vals.indexWhere(_._1 == u)
+      val frame = (math.max(firstOfUser, idx - 6) to idx).map(vals(_)._2).sorted
+      val (ru, rn, rm) = rows(idx)
+      assert(ru == u && rn == frame.length)
+      assert(rm == frame((frame.length + 1) / 2 - 1), s"row $idx: $rm vs frame $frame")
+    }
+  }
+
   test("docPagerank: total rank is conserved and every rank >= 0.15") {
     val rows = CorpusAnalytics.docPagerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
