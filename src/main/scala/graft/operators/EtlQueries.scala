@@ -457,6 +457,46 @@ object EtlQueries {
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- A12
+  /** Fixed-width text round-trip (the mainframe/legacy-feed format a
+    * warehouse ETL still meets: no delimiters, fields live at byte
+    * offsets): events serialize to 42-char records (event_id lpad 10 |
+    * user_id lpad 8 | event_type rpad 12 | value as DECIMAL(12,2)
+    * lpad 12) through the text sink, read back with `spark.read.text`
+    * + substring slicing at the SAME offsets, and aggregate. Both the
+    * writer and the parser are pure codegen projections; the oracle
+    * recomputes from the parquet source, so an off-by-one slice, a
+    * pad/trim asymmetry, or a decimal-formatting drift all fail the
+    * compare. */
+  def fixedWidthRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_fw"
+    Tables.events(s, dir)
+      .select(concat(
+        lpad(col("event_id").cast("string"), 10, " "),
+        lpad(col("user_id").cast("string"), 8, " "),
+        rpad(col("event_type"), 12, " "),
+        lpad(col("value").cast("decimal(12,2)").cast("string"), 12, " ")).as("value"))
+      .write.mode("overwrite").text(out)
+    val parsed = s.read.text(out).select(
+      trim(substring(col("value"), 1, 10)).cast("long").as("event_id"),
+      trim(substring(col("value"), 11, 8)).cast("long").as("user_id"),
+      trim(substring(col("value"), 19, 12)).as("event_type"),
+      trim(substring(col("value"), 31, 12)).cast("decimal(12,2)").as("v"))
+    parsed.agg(count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(col("event_id")).as("sum_ids"),
+      sum(col("v")).cast("double").as("sum_value"),
+      max(length(col("event_type")) <= 12).as("types_fit"))
+  }
+
+  val fixedWidthRoundtripSql: String =
+    """SELECT COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  TRUE AS types_fit
+      |FROM events""".stripMargin
+
   // ----------------------------------------------------------- A6b
   /** JSON-lines FILE round-trip (distinct from A6's JSON-column
     * parsing): write documents metadata as json-lines, read back with

@@ -1120,6 +1120,45 @@ object TrainingQueries {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------------- E71
+  /** Packing-efficiency report over the E18 packing (the number a
+    * token-budgeted training run actually pays for: how much of every
+    * 256-token context window is padding?): per source — pack count,
+    * token total, padding total (budget shortfall of under-full
+    * packs; boundary-spanning packs may exceed the budget and spill,
+    * contributing zero padding), and utilization = tokens /
+    * (packs·budget). All integer sums; the single division runs on
+    * identical operands in both engines. One extra keys-sized rollup
+    * on top of E18's plan — nothing new touches the corpus. */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256
+    Corpus.packSequences(Tables.documents(s, dir), budget = budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("pack_tokens")).as("tokens_total"),
+        sum(when(col("pack_tokens") < budget, lit(budget.toLong) - col("pack_tokens"))
+          .otherwise(lit(0L))).as("padding_total"))
+      .select(col("source"), col("n_packs"), col("tokens_total"), col("padding_total"),
+        round(col("tokens_total").cast("double") /
+          (col("n_packs").cast("double") * lit(budget.toDouble)), 6).as("utilization"))
+  }
+
+  val packEfficiencySql: String =
+    """WITH t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens,
+      |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t),
+      |p AS (SELECT source, CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+      |        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |      FROM c GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_packs,
+      |  CAST(SUM(pack_tokens) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN pack_tokens < 256 THEN 256 - pack_tokens ELSE 0 END)
+      |    AS BIGINT) AS padding_total,
+      |  ROUND(CAST(SUM(pack_tokens) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) * 256.0), 6) AS utilization
+      |FROM p GROUP BY source""".stripMargin
+
   // ----------------------------------------------------------- E19
   /** Sliding-window chunking: 64-token chunks, stride 48 (16-token
     * overlap). */
