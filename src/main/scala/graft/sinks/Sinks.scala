@@ -369,7 +369,7 @@ object Sinks {
     * EVERY prior version stays readable until retention deletes it.
     * Returns the version just published. */
   def versionedPublish(df: DataFrame, tablePath: String,
-                       retain: Int = 3): Int = {
+                       retain: Int = 3, tag: Option[String] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val fs = new Path(tablePath)
@@ -377,6 +377,14 @@ object Sinks {
     val next = latestVersion(spark, tablePath).getOrElse(0) + 1
     val staging = new Path(tablePath, s"v_$next._staging")
     writeParquet(df, staging.toString)
+    // the tag rides INSIDE the snapshot dir, so it becomes visible
+    // atomically with the data via the rename — the hook idempotent
+    // streaming publishers key on (see versionTag)
+    tag.foreach { t =>
+      val o = fs.create(new Path(staging, "_TAG"), true)
+      try o.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally o.close()
+    }
     require(fs.rename(staging, new Path(tablePath, s"v_$next")),
       s"versioned publish rename failed for v_$next")
     val tmp = new Path(tablePath, "_LATEST.tmp")
@@ -407,6 +415,23 @@ object Sinks {
         java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
       Some(s.toInt)
+    }
+  }
+
+  /** Tag of a published version (None when untagged or absent) — the
+    * idempotence key for streaming publishers: a replayed micro-batch
+    * whose id equals the latest version's tag already published. */
+  def versionTag(spark: SparkSession, tablePath: String, version: Int): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(tablePath, s"v_$version/_TAG")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
     }
   }
 

@@ -588,6 +588,55 @@ object EventStream {
           throw new java.io.IOException(s"cdc state swap failed: $tmp -> $dst")
       }
 
+  // ------------------------------------------------------------- F19
+  /** Fold one micro-batch of events into a [[graft.sinks.Sinks
+    * .versionedPublish]] table of per-type running totals, EXACTLY
+    * ONCE: the batch id rides into the snapshot as its atomic `_TAG`,
+    * so a replayed batch (checkpoint recovery re-delivers the last
+    * uncommitted batch) is detected by tag equality and skipped —
+    * publish-then-crash cannot double-fold, crash-before-publish
+    * refolds from unchanged state. Counts and exact-decimal sums are
+    * algebraic, so fold order across batches cannot move the result.
+    * Each fold's work is keys-sized (the batch pre-aggregates to one
+    * row per type before touching stored state). */
+  def foldBatchIntoVersioned(batch: DataFrame, batchId: Long,
+                             tablePath: String): Unit = {
+    import graft.sinks.Sinks
+    import org.apache.spark.sql.types.DecimalType
+    val s = batch.sparkSession
+    val already = Sinks.latestVersion(s, tablePath).exists { v =>
+      Sinks.versionTag(s, tablePath, v).contains(batchId.toString)
+    }
+    if (!already) {
+      val inc = batch.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+      val merged = Sinks.latestVersion(s, tablePath) match {
+        case None => inc
+        case Some(v) =>
+          Sinks.readVersion(s, tablePath, v).unionByName(inc)
+            .groupBy(col("event_type"))
+            .agg(sum(col("n")).as("n"),
+              sum(col("sv")).cast(DecimalType(18, 6)).as("sv"))
+      }
+      Sinks.versionedPublish(merged, tablePath, retain = 3,
+        tag = Some(batchId.toString))
+    }
+  }
+
+  /** F19 sink: every micro-batch publishes a new immutable version of
+    * the per-type totals table via [[foldBatchIntoVersioned]] —
+    * continuous aggregation with time travel over its own history and
+    * exactly-once folds without a transactional store. */
+  def versionedCountsSink(events: DataFrame, tablePath: String, queryName: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .queryName(queryName)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        foldBatchIntoVersioned(batch.toDF(), bid, tablePath)
+      }
+
   /** Reader for [[cdcApplySink]] state: the LIVE view — keys whose
     * latest upsert post-dates their latest tombstone (or that were
     * never deleted). Tombstoned keys stay in the state table (they

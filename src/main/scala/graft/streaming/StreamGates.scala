@@ -994,6 +994,53 @@ object StreamGates {
       |  CAST(n AS BIGINT) AS n
       |FROM r WHERE rk <= 3""".stripMargin
 
+  // ------------------------------------------------------------- F19
+  /** Continuous aggregation into the C28 versioned table: each
+    * micro-batch publishes a new immutable snapshot of per-type
+    * running totals, tagged with its batch id for exactly-once folds
+    * ([[EventStream.foldBatchIntoVersioned]]). The gate drains the
+    * slice, then pins (a) the LATEST snapshot equals the batch
+    * aggregate of the whole slice EXACTLY (counts + exact decimal
+    * sums), and (b) replaying the last batch is a no-op — the tag
+    * dedupe, exercised directly. */
+  def streamVersionedPublish(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val ev = slice(s, dir)
+    val in = stagedOnce(dir, "slice5x2")(d => stage(ev, d, nFiles = 2))
+    val table = tempDir("graft_sg_vpub") + "/vt"
+    drain(EventStream.versionedCountsSink(fileStream(s, in, ev.schema), table,
+        uniq("sg_vpub"))
+      .option("checkpointLocation", tempDir("graft_sg_vpub_ck")))
+    val latest = graft.sinks.Sinks.readVersion(s, table)
+      .select(col("event_type"), col("n"), col("sv"))
+    val want = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+    val matches = setEqual(latest, want)
+    // replay the LAST batch verbatim: the tag must make it a no-op
+    val vBefore = graft.sinks.Sinks.latestVersion(s, table).get
+    val lastTag = graft.sinks.Sinks.versionTag(s, table, vBefore).get
+    EventStream.foldBatchIntoVersioned(ev, lastTag.toLong, table)
+    val replaySkipped = graft.sinks.Sinks.latestVersion(s, table).contains(vBefore)
+    latest.agg(count(lit(1)).as("n_types"), sum(col("n")).as("total_rows"),
+        round(sum(col("sv")), 2).cast("double").as("sum_value")).head() match {
+      case r =>
+        Seq(("stream_versioned_publish", r.getLong(0), r.getLong(1),
+            r.getDouble(2), matches && replaySkipped))
+          .toDF("metric", "n_types", "total_rows", "sum_value",
+            "exactly_once_publish")
+    }
+  }
+
+  val streamVersionedPublishSql: String =
+    """SELECT 'stream_versioned_publish' AS metric,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(COUNT(*) AS BIGINT) AS total_rows,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+      |  TRUE AS exactly_once_publish
+      |FROM events WHERE event_id < 2000""".stripMargin
+
   // ------------------------------------------------------------- F18
   /** Continuous CDC apply: the slice is a change stream — an 'error'
     * event is a DELETE tombstone for its user, anything else an upsert

@@ -454,6 +454,26 @@ class StreamingSpec extends SparkSpec {
       EventStream.readSketchTable(spark, table).collect()) == 500)
   }
 
+  test("F19: versioned fold is exactly-once under replay and order-robust") {
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files.createTempDirectory("graft_vfold").toString + "/t"
+    val ev = Tables.events(spark, sf).filter(col("event_id") < 500)
+    val b1 = ev.filter(col("event_id") % 2 === 0)
+    val b2 = ev.filter(col("event_id") % 2 === 1)
+    EventStream.foldBatchIntoVersioned(b1, 0L, table)
+    val v1 = graft.sinks.Sinks.latestVersion(spark, table).get
+    EventStream.foldBatchIntoVersioned(b1, 0L, table) // replayed batch
+    assert(graft.sinks.Sinks.latestVersion(spark, table).contains(v1),
+      "replaying a committed batch must not publish a new version")
+    EventStream.foldBatchIntoVersioned(b2, 1L, table)
+    val got = graft.sinks.Sinks.readVersion(spark, table)
+      .select(col("event_type"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("F18: cdcSummarize max-merge is batch-split invariant; tombstone wins") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf).filter(col("event_id") < 1000)
