@@ -249,6 +249,49 @@ object TrainingQueries {
       |  WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
       |FROM s""".stripMargin
 
+  // ----------------------------------------------------------- E72
+  /** Label-noise audit: confusion matrix of the corpus's DECLARED
+    * language column against the E8 heuristic's prediction, with the
+    * per-declared-label agreement rate — the audit that catches a
+    * mislabeled crawl or a drifting upstream classifier before a
+    * mixture is balanced on bad labels. Pure composition: one codegen
+    * prediction projection + one (declared, predicted) hash aggregate;
+    * the rate denominator joins back from a per-label rollup (both
+    * keys-sized). */
+  def labelNoiseAudit(s: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.documents(s, dir).select(col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+    val cells = pred.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_label"))
+    cells.join(totals, Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n").cast("double") / col("n_label").cast("double"), 6)
+          .as("share_of_label"))
+  }
+
+  val labelNoiseAuditSql: String =
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS toks,
+      |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS zh FROM documents),
+      |s AS (SELECT lang, zh,
+      |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS en,
+      |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un'], x))) AS es,
+      |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS de,
+      |  len(list_filter(toks, x -> list_contains(['le','les','et','une','est','du'], x))) AS fr
+      |FROM t),
+      |p AS (SELECT lang, CASE
+      |  WHEN zh > en AND zh > es AND zh > de AND zh > fr THEN 'zh'
+      |  WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+      |  WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+      |  WHEN de >= fr AND de > 0 THEN 'de'
+      |  WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+      |FROM s),
+      |c AS (SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_label FROM c GROUP BY lang)
+      |SELECT c.lang, c.lang_pred, c.n,
+      |  ROUND(CAST(c.n AS DOUBLE) / CAST(n_label AS DOUBLE), 6) AS share_of_label
+      |FROM c JOIN tot ON c.lang = tot.lang""".stripMargin
+
   // ----------------------------------------------------------- E9
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"),

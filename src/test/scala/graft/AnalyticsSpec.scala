@@ -592,6 +592,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("labelNoiseAudit: cells partition the corpus; shares sum to 1 per label") {
+    val rows = graft.operators.TrainingQueries.labelNoiseAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._3).sum == Tables.documents(spark, sf).count())
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-4, s"$lang shares don't sum to 1")
+    }
+    // some diagonal mass must exist (a zero-agreement matrix means the
+    // prediction column is broken, not that labels are noisy) and every
+    // declared label must be audited
+    val agree = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(agree > 0, "no label ever agrees - prediction column broken")
+    val declared = Tables.documents(spark, sf).select(col("lang"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == declared)
+  }
+
   test("docPagerank: total rank is conserved and every rank >= 0.15") {
     val rows = CorpusAnalytics.docPagerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
