@@ -1147,6 +1147,78 @@ object Analytics {
       |  MIN(ts) AS run_start, COUNT(*) AS run_len
       |FROM r GROUP BY user_id, run""".stripMargin
 
+  // --------------------------------------------------------------- D18d
+  /** As-of join, FORWARD and NEAREST directions (completing pandas
+    * `merge_asof` parity — D18/D18c cover direction='backward' [+
+    * tolerance]): for every purchase, the user's latest click
+    * at-or-before AND earliest click at-or-after under the (ts,
+    * event_id) total order, then `nearest` picks the smaller absolute
+    * gap (ties → backward, and a missing side loses to a present
+    * one). Both directions come from ONE window spec — the backward
+    * frame is preceding..current, the forward frame
+    * current..following — so Spark plans a single sort-shuffle on
+    * user_id for the whole three-direction answer, same cost as D18's
+    * backward-only form. */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val back = last(col("click_ts"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("click_ts"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val gapB = unix_micros(col("ts")) - unix_micros(col("cb"))
+    val gapF = unix_micros(col("cf")) - unix_micros(col("ts"))
+    ev.withColumn("cb", back).withColumn("cf", fwd)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("cb"), "yyyy-MM-dd HH:mm:ss").as("click_back"),
+        date_format(col("cf"), "yyyy-MM-dd HH:mm:ss").as("click_fwd"),
+        when(col("cb").isNull && col("cf").isNull, lit(null).cast("string"))
+          .when(col("cf").isNull, lit("backward"))
+          .when(col("cb").isNull, lit("forward"))
+          .when(gapB <= gapF, lit("backward")).otherwise(lit("forward"))
+          .as("direction"),
+        when(col("cb").isNull && col("cf").isNull, lit(null).cast("long"))
+          .when(col("cf").isNull, gapB)
+          .when(col("cb").isNull, gapF)
+          .when(gapB <= gapF, gapB).otherwise(gapF).as("gap_us"))
+  }
+
+  val asofNearestSql: String =
+    """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (SELECT user_id, ts, event_type,
+      |    LAST_VALUE(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+      |    FIRST_VALUE(click_ts IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS cf
+      |  FROM ev)
+      |SELECT user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  strftime(cb, '%Y-%m-%d %H:%M:%S') AS click_back,
+      |  strftime(cf, '%Y-%m-%d %H:%M:%S') AS click_fwd,
+      |  CASE WHEN cb IS NULL AND cf IS NULL THEN NULL
+      |       WHEN cf IS NULL THEN 'backward'
+      |       WHEN cb IS NULL THEN 'forward'
+      |       WHEN epoch_us(ts) - epoch_us(cb) <= epoch_us(cf) - epoch_us(ts)
+      |         THEN 'backward' ELSE 'forward' END AS direction,
+      |  CAST(CASE WHEN cb IS NULL AND cf IS NULL THEN NULL
+      |       WHEN cf IS NULL THEN epoch_us(ts) - epoch_us(cb)
+      |       WHEN cb IS NULL THEN epoch_us(cf) - epoch_us(ts)
+      |       WHEN epoch_us(ts) - epoch_us(cb) <= epoch_us(cf) - epoch_us(ts)
+      |         THEN epoch_us(ts) - epoch_us(cb)
+      |       ELSE epoch_us(cf) - epoch_us(ts) END AS BIGINT) AS gap_us
+      |FROM w WHERE event_type = 'purchase'""".stripMargin
+
   // --------------------------------------------------------------- D76
   /** Rolling exact median over a trailing ROWS frame (the robust
     * moving-average replacement for spiky series — D32's moving sum

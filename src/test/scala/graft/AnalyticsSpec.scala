@@ -592,6 +592,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("asofNearest: chosen gap is the min of the two directions") {
+    val rows = Analytics.asofNearest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    rows.foreach { r =>
+      val p = fmt.parse(r.getString(1)).getTime
+      val cb = Option(r.getString(2)).map(fmt.parse(_).getTime)
+      val cf = Option(r.getString(3)).map(fmt.parse(_).getTime)
+      (cb, cf) match {
+        case (None, None) => assert(r.isNullAt(4) && r.isNullAt(5))
+        case _ =>
+          val gb = cb.map(p - _); val gf = cf.map(_ - p)
+          gb.foreach(g => assert(g >= 0)); gf.foreach(g => assert(g >= 0))
+          // formatted strings are second-truncated while the operator
+          // decides on microseconds — only assert away from the tie zone
+          if (gf.isEmpty || gb.isEmpty || math.abs(gb.get - gf.get) > 2000) {
+            val wantDir =
+              if (gf.isEmpty || (gb.nonEmpty && gb.get <= gf.get)) "backward" else "forward"
+            assert(r.getString(4) == wantDir, s"$r")
+            val wantGapMs = if (wantDir == "backward") gb.get else gf.get
+            assert(math.abs(r.getLong(5) / 1000L - wantGapMs) <= 1000)
+          }
+      }
+    }
+  }
+
   test("labelNoiseAudit: cells partition the corpus; shares sum to 1 per label") {
     val rows = graft.operators.TrainingQueries.labelNoiseAudit(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
