@@ -326,6 +326,61 @@ object SinkGates {
       |  TRUE AS join_shuffle_free
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------ C29
+  /** Key purge gate: seed a day-partitioned events table, purge two
+    * planted user ids via [[Sinks.purgeKeys]], then pin (a) zero rows
+    * for the purged keys remain, (b) the total row drop equals exactly
+    * the users' row count, and (c) partitions that never contained the
+    * keys kept their files UNTOUCHED (same part-file names before and
+    * after — a rewrite would have generated fresh ones), which is the
+    * whole point of partition-scoped deletion at 100 TB. */
+  def purgeKeysGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val purge = Seq(7L, 42L)
+    val table = base(dir, "purge_keys")
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    Sinks.writeParquet(ev, table, partitionBy = Seq("day"))
+    def partFiles(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(table))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+        .map { st =>
+          st.getPath.getName ->
+            fs.listStatus(st.getPath).map(_.getPath.getName)
+              .filter(_.endsWith(".parquet")).toSet
+        }.toMap
+    val filesBefore = partFiles()
+    val affectedDays = ev.filter(col("user_id").isin(purge: _*))
+      .select(col("day")).distinct().collect().map(_.getString(0))
+      .map("day=" + _).toSet
+    val audit = Sinks.purgeKeys(s, table, "user_id", purge, "day")
+    val removed = audit.agg(sum(col("rows_removed"))).head().getLong(0)
+    val filesAfter = partFiles()
+    val untouchedIntact = filesBefore.keySet.forall { d =>
+      affectedDays.contains(d) || filesBefore(d) == filesAfter(d)
+    }
+    val back = s.read.parquet(table)
+    val leak = back.filter(col("user_id").isin(purge: _*)).count()
+    Seq(("purge_keys", back.count(), removed, affectedDays.size.toLong,
+        leak == 0L && untouchedIntact &&
+          back.count() + removed == ev.count()))
+      .toDF("metric", "n_rows_after", "n_rows_removed", "n_days_affected",
+        "purge_scoped_and_complete")
+  }
+
+  val purgeKeysGateSql: String =
+    """SELECT 'purge_keys' AS metric,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id NOT IN (7, 42))
+      |    AS n_rows_after,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows_removed,
+      |  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days_affected,
+      |  TRUE AS purge_scoped_and_complete
+      |FROM events WHERE user_id IN (7, 42)""".stripMargin
+
   // ------------------------------------------------------------ C28
   /** Time travel over [[Sinks.versionedPublish]]: publish v1 = the
     * customer snapshot, v2 = the CDC-mutated version (C24's derivation

@@ -418,6 +418,47 @@ object Sinks {
     }
   }
 
+  // --------------------------------------------------------------- C29
+  /** Targeted key purge (the GDPR / right-to-be-forgotten primitive):
+    * delete every row whose key is in `keys` from a day-partitioned
+    * parquet table by rewriting ONLY the partitions that contain the
+    * keys — the key probe is a pushed-down `IN` scan, the surviving
+    * rows of affected partitions stage to a sibling dir (the table is
+    * in the write's lineage), and a DYNAMIC partition overwrite swaps
+    * exactly those partitions in; untouched partitions keep their
+    * files byte-for-byte. At 100 TB this is the difference between
+    * rewriting a handful of day partitions and rewriting the table.
+    * Returns a per-partition audit (rows before / removed). */
+  def purgeKeys(spark: SparkSession, tablePath: String, keyCol: String,
+                keys: Seq[Long], partCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = spark.read.parquet(tablePath)
+    // materialize the audit BEFORE the rewrite — these frames read the
+    // pre-purge files, which the dynamic overwrite is about to replace
+    val affectedRows = t.filter(col(keyCol).isin(keys: _*))
+      .groupBy(col(partCol)).agg(count(lit(1)).as("rows_removed"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    val affectedVals = affectedRows.map(_._1)
+    val beforeRows = t.filter(col(partCol).isin(affectedVals: _*))
+      .groupBy(col(partCol)).agg(count(lit(1)).as("rows_before"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val staging = tablePath + "_graft_purge_tmp"
+    t.filter(col(partCol).isin(affectedVals: _*) && !col(keyCol).isin(keys: _*))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    writeParquetIdempotent(spark.read.parquet(staging), tablePath, Seq(partCol))
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // the session's file-status cache still lists the replaced part
+    // files of the rewritten partitions — drop it so the next read
+    // sees the post-purge listing
+    spark.catalog.refreshByPath(tablePath)
+    import spark.implicits._
+    affectedRows.toSeq
+      .map { case (p, removed) => (p, beforeRows.getOrElse(p, 0L), removed) }
+      .toDF(partCol, "rows_before", "rows_removed")
+  }
+
   /** Tag of a published version (None when untagged or absent) — the
     * idempotence key for streaming publishers: a replayed micro-batch
     * whose id equals the latest version's tag already published. */

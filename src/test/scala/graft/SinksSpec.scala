@@ -288,6 +288,31 @@ class SinksSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, None), (2L, Some(0.5))))
   }
 
+  test("purgeKeys: removes only the keys, rewrites only affected partitions") {
+    val table = java.nio.file.Files.createTempDirectory("graft_purge").toString + "/t"
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 11), (3L, "a", 12),
+      (1L, "b", 20), (4L, "b", 21),
+      (5L, "c", 30), (6L, "c", 31)).toDF("k", "p", "v")
+    Sinks.writeParquet(df, table, partitionBy = Seq("p"))
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(table + "/p=" + p))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    val cBefore = files("c")
+    val audit = Sinks.purgeKeys(spark, table, "k", Seq(1L), "p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(audit.map(t => t._1 -> t._3).toMap == Map("a" -> 1L, "b" -> 1L))
+    assert(audit.map(t => t._1 -> t._2).toMap == Map("a" -> 3L, "b" -> 2L))
+    assert(Sinks.purgeKeys(spark, table, "k", Seq(99L), "p").count() == 0) // no-op
+    val back = spark.read.parquet(table)
+    assert(back.filter(col("k") === 1L).count() == 0)
+    assert(back.count() == 5)
+    // partition c never held k=1 -> its files are byte-identical
+    assert(files("c") == cBefore, "untouched partition was rewritten")
+  }
+
   test("versionedPublish: pointer flips, old versions readable, retention GCs") {
     val table = java.nio.file.Files.createTempDirectory("graft_vtable").toString + "/t"
     assert(Sinks.latestVersion(spark, table).isEmpty)
