@@ -497,6 +497,49 @@ object EtlQueries {
       |  TRUE AS types_fit
       |FROM events""".stripMargin
 
+  // ----------------------------------------------------------- A13
+  /** Hardened CSV round-trip: embedded NEWLINES, QUOTES, and COMMAS
+    * inside quoted fields (the RFC-4180 corners that break naive
+    * line-split readers — and the reason `multiLine` exists: a
+    * multiline CSV file is NOT splittable by line, each file parses as
+    * a unit). Every 5th document's spaces become newlines and a
+    * `a,"<lang>"b` field plants quote+comma; write and read use
+    * symmetric quote-escape ("" doubling), and the aggregate is
+    * oracle-recomputed from the parquet SOURCE — so a reader that
+    * splits on raw newlines, drops embedded quotes, or mis-widths the
+    * replacement fails the compare (the space→newline swap is
+    * length-preserving by construction). */
+  def csvMultilineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/docs_csv_ml"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, regexp_replace(col("text"), " ", "\n"))
+          .otherwise(col("text")).as("text"),
+        concat(lit("a,\""), col("lang"), lit("\"b")).as("tricky"))
+      .write.mode("overwrite")
+      .option("quote", "\"").option("escape", "\"").csv(out)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType).add("tricky", StringType)
+    s.read.schema(schema)
+      .option("multiLine", "true").option("quote", "\"").option("escape", "\"")
+      .csv(out)
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        sum(when(col("text").contains("\n"), 1L).otherwise(0L)).as("n_multiline"),
+        sum(length(col("tricky"))).cast("long").as("sum_tricky"))
+  }
+
+  val csvMultilineRoundtripSql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN doc_id % 5 = 0 AND contains(text, ' ')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline,
+      |  CAST(SUM(length(lang) + 5) AS BIGINT) AS sum_tricky
+      |FROM documents""".stripMargin
+
   // ----------------------------------------------------------- A6b
   /** JSON-lines FILE round-trip (distinct from A6's JSON-column
     * parsing): write documents metadata as json-lines, read back with
