@@ -532,6 +532,65 @@ object EventStream {
         col("t.event_type").as("event_type"), (-col("t.nn")).as("n"))
   }
 
+  final case class AsOfRow(user_id: Long, us: Long, kind: String,
+                           tier: String, event_id: Long)
+  final case class DimVer(us: Long, tier: String)
+  final case class AsOfEnriched(event_id: Long, user_id: Long, us: Long,
+                                tier: Option[String])
+
+  // ------------------------------------------------------------- F20
+  /** F20 processor: streaming AS-OF enrichment where the dimension is
+    * ITSELF a stream — the shape F5 (static dim) and F15 (static SCD2)
+    * cannot express: profile updates and facts interleave on the wire,
+    * and each fact must join the latest dim version at-or-before its
+    * event time. Per-user `ListState` holds the dim version history
+    * (bounded by versions per key, not facts); a fact scans it for the
+    * greatest `us ≤ fact.us`. Dim rows in the same batch are indexed
+    * before facts are answered, so intra-batch interleaving is safe;
+    * CROSS-batch order (a fact arriving before its dim version) is the
+    * caller's contract — production buffers facts behind a watermark
+    * for one trigger, the gate stages dims ahead of facts, and a fact
+    * with NO version at-or-before it emits tier=None rather than a
+    * wrong join. */
+  class StreamAsOfProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AsOfRow, AsOfEnriched] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
+    @transient private var versions: ListState[DimVer] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      versions = getHandle.getListState[DimVer]("versions",
+        org.apache.spark.sql.Encoders.product[DimVer], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AsOfEnriched] = {
+      val (dims, facts) = rows.toSeq.partition(_.kind == "dim")
+      if (dims.nonEmpty) {
+        val merged = (if (versions.exists()) versions.get().toSeq else Nil) ++
+          dims.map(d => DimVer(d.us, d.tier))
+        versions.put(merged.distinct.sortBy(_.us).toArray)
+      }
+      val vs = if (versions.exists()) versions.get().toSeq else Nil
+      facts.iterator.map { f =>
+        val hit = vs.filter(_.us <= f.us) match {
+          case Seq() => None
+          case hits  => Some(hits.maxBy(_.us).tier)
+        }
+        AsOfEnriched(f.event_id, f.user_id, f.us, hit)
+      }
+    }
+  }
+
+  /** F20: streaming as-of enrichment stream (tagged dim+fact union →
+    * [[StreamAsOfProcessor]]). Append mode: each fact emits exactly
+    * once, when it is answered. */
+  def asOfEnrichStream(tagged: Dataset[AsOfRow]): Dataset[AsOfEnriched] = {
+    import tagged.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    tagged.groupByKey(_.user_id)
+      .transformWithState(new StreamAsOfProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   // ------------------------------------------------------------- F18
   /** CDC summary for [[cdcApplySink]]: reduce any slice of the change
     * stream to one row per key holding the latest delete tombstone

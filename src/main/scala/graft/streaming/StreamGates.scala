@@ -994,6 +994,72 @@ object StreamGates {
       |  CAST(n AS BIGINT) AS n
       |FROM r WHERE rk <= 3""".stripMargin
 
+  // ------------------------------------------------------------- F20
+  /** Streaming as-of enrichment with a STREAMING dimension side
+    * ([[EventStream.StreamAsOfProcessor]]): dim-version rows (two per
+    * user, legacy-from-min / current-from-midpoint) and the fact slice
+    * flow through ONE tagged union into the stateful processor; every
+    * emitted fact must carry the version valid at its event time —
+    * equal to the batch interval join EXACTLY — and the per-tier
+    * counts follow the same midpoint rule as F15, so DuckDB recomputes
+    * them from the raw slice. Dims are staged ahead of facts (the
+    * cross-batch ordering contract the processor documents). */
+  def streamAsOfEnrich(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val (minUs, midUs) = (bounds.getLong(0), (bounds.getLong(0) + bounds.getLong(1)) / 2L)
+    val dims = ev.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(array(
+        struct(lit(minUs).as("us"), lit("legacy").as("tier")),
+        struct(lit(midUs).as("us"), lit("current").as("tier")))).as("v"))
+      .select(col("user_id"), col("v.us").as("us"), lit("dim").as("kind"),
+        col("v.tier").as("tier"), lit(0L).as("event_id"))
+    val facts = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      lit("fact").as("kind"), lit(null).cast("string").as("tier"), col("event_id"))
+    val in = tempDir("graft_sg_sasof_in")
+    stage(dims, in, nFiles = 1)
+    stage(facts, in, nFiles = 2, mode = "append")
+    val out = tempDir("graft_sg_sasof_out") + "/wh"
+    val schema = org.apache.spark.sql.Encoders.product[EventStream.AsOfRow].schema
+    val enriched = EventStream.asOfEnrichStream(
+      fileStream(s, in, schema).as[EventStream.AsOfRow])
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(EventStream.foreachBatchSink(enriched.toDF(), uniq("sg_sasof")) {
+        (batch, _) => batch.write.mode("append").parquet(out)
+      }.option("checkpointLocation", tempDir("graft_sg_sasof_ck")))
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val got = s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("us"), col("tier"))
+    val want = facts.select(col("event_id"), col("user_id"), col("us"),
+      when(col("us") >= midUs, lit("current")).otherwise(lit("legacy")).as("tier"))
+    Seq(("stream_asof_enrich", ev.count(),
+        got.filter(col("tier") === "legacy").count(),
+        got.filter(col("tier") === "current").count(),
+        got.count() == ev.count() &&
+          got.filter(col("tier").isNull).count() == 0 && setEqual(got, want)))
+      .toDF("metric", "n_facts", "n_legacy", "n_current", "asof_matches_batch")
+  }
+
+  val streamAsOfEnrichSql: String =
+    """WITH s AS (SELECT * FROM events WHERE event_id < 2000),
+      |m AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM s)
+      |SELECT 'stream_asof_enrich' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_facts,
+      |  CAST(SUM(CASE WHEN epoch_us(ts) < m.mid THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_legacy,
+      |  CAST(SUM(CASE WHEN epoch_us(ts) >= m.mid THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_current,
+      |  TRUE AS asof_matches_batch
+      |FROM s, m GROUP BY m.mid""".stripMargin
+
   // ------------------------------------------------------------- F19
   /** Continuous aggregation into the C28 versioned table: each
     * micro-batch publishes a new immutable snapshot of per-type

@@ -454,6 +454,42 @@ class StreamingSpec extends SparkSpec {
       EventStream.readSketchTable(spark, table).collect()) == 500)
   }
 
+  test("F20: as-of processor answers facts from versions <= their time") {
+    import org.apache.spark.sql.functions._
+    // run the REAL stream over a temp staging: v1@100, v2@200 for user 1,
+    // facts at 50 (before any version), 150 (v1), 250 (v2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sasof_spec").toString
+    val in = dir + "/in"
+    val rows = Seq(
+      EventStream.AsOfRow(1L, 100L, "dim", "v1", 0L),
+      EventStream.AsOfRow(1L, 200L, "dim", "v2", 0L),
+      EventStream.AsOfRow(1L, 50L, "fact", null, 101L),
+      EventStream.AsOfRow(1L, 150L, "fact", null, 102L),
+      EventStream.AsOfRow(1L, 250L, "fact", null, 103L))
+    import spark.implicits._
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(in)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStream.asOfEnrichStream(
+          spark.readStream.schema(rows.toDF().schema).parquet(in)
+            .as[EventStream.AsOfRow])
+        .writeStream.format("memory").queryName("sasof_spec")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", dir + "/ck").start()
+      q.awaitTermination(60000)
+      val got = spark.table("sasof_spec").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      assert(got == Map(101L -> None, 102L -> Some("v1"), 103L -> Some("v2")),
+        got.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("F19: versioned fold is exactly-once under replay and order-robust") {
     import org.apache.spark.sql.functions._
     val table = java.nio.file.Files.createTempDirectory("graft_vfold").toString + "/t"
