@@ -1079,21 +1079,29 @@ object Analytics {
     * the window bounds the sorted window input by the value domain, not
     * the row count — at 100 TB the window sees |groups|·|distinct
     * values| rows, with partial map-side combine on the way in. */
-  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+  /** Generic weighted-median core (see [[weightedMedian]] for the
+    * scale notes): smallest value whose doubled cumulative weight
+    * reaches the group total — identical to the lower median of the
+    * weight-expanded multiset, in exact integer arithmetic. */
+  def weightedMedianOf(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byValue = Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(sum(col("l_quantity").cast("long")).as("w"))
-    val win = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val byValue = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val win = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val cum = byValue
       .withColumn("cw", sum(col("w")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("tw", sum(col("w")).over(
         win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     cum.filter(col("cw") * 2 >= col("tw"))
-      .groupBy(col("l_returnflag"))
-      .agg(min(col("l_extendedprice")).as("weighted_median"),
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("weighted_median"),
         min(col("tw")).as("total_weight"))
   }
+
+  def weightedMedian(s: SparkSession, dir: String): DataFrame =
+    weightedMedianOf(Tables.lineitem(s, dir),
+      "l_returnflag", "l_extendedprice", "l_quantity")
 
   val weightedMedianSql: String =
     """WITH bv AS (SELECT l_returnflag, l_extendedprice,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import graft.streaming.EventStream
 
 /** Property-based equivalence checks: the engine's distributed
   * formulations must agree with their single-node/declarative oracles
@@ -44,6 +45,53 @@ class PropertySpec extends SparkSpec {
       val expMap = exp.map(r => (r._1, r._3) -> r._2).toMap
       assert(gotMap == expMap, s"rank->value mismatch on ${rows.take(8)}…")
       assert(got.map(r => (r._1, r._4)).toSet == exp.map(r => (r._1, r._4)).toSet)
+    }
+  }
+
+  test("weightedMedian equals the lower median of the weight-expanded multiset") {
+    val gen: Gen[List[(String, Int, Int)]] = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(-50, 50)
+        w <- Gen.choose(1, 9)
+      } yield (g, v, w))
+    } yield rows
+    samples(gen, 10).foreach { rows =>
+      val df = rows.toDF("g", "v", "w")
+      val got = operators.Analytics.weightedMedianOf(df, "g", "v", "w")
+        .as[(String, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val exp = rows.groupBy(_._1).map { case (g, rs) =>
+        val expanded = rs.flatMap { case (_, v, w) => Seq.fill(w)(v) }.sorted
+        g -> (expanded((expanded.length + 1) / 2 - 1), expanded.length.toLong)
+      }
+      assert(got == exp, s"on ${rows.take(8)}…")
+    }
+  }
+
+  test("cdcSummarize: random interleavings split-merge to the whole-slice summary") {
+    val gen: Gen[List[(Long, Long, String, Double)]] = for {
+      n <- Gen.choose(1, 150)
+      rows <- Gen.listOfN(n, for {
+        user <- Gen.choose(0L, 9L)
+        ms <- Gen.choose(0L, 100000L)
+        typ <- Gen.oneOf("click", "error", "purchase")
+        v <- Gen.choose(0, 1000).map(_ / 10.0)
+      } yield (user, ms, typ, v))
+    } yield rows
+    samples(gen, 8).foreach { rows =>
+      val all = rows.zipWithIndex.map { case ((u, ms, t, v), i) =>
+        (i.toLong, new java.sql.Timestamp(ms), u, t, v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val whole = EventStream.cdcSummarize(all).collect().toSet
+      // split on an arbitrary, non-temporal predicate and max-merge
+      val parts = Seq(all.where(col("event_id") % 2 === 0),
+        all.where(col("event_id") % 2 === 1))
+      val merged = parts.map(EventStream.cdcSummarize).reduce(_ unionByName _)
+        .groupBy(col("user_id"))
+        .agg(max(col("err")).as("err"), max(col("ev")).as("ev"))
+        .collect().toSet
+      assert(merged == whole)
     }
   }
 
