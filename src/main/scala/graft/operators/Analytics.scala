@@ -1289,4 +1289,132 @@ object Analytics {
       |b AS (SELECT pr_key, COUNT(*) AS n_o FROM o WHERE o_orderstatus = 'O' GROUP BY 1)
       |SELECT a.pr_key, a.n_f, a.rev_f, b.n_o
       |FROM a JOIN b ON a.pr_key IS NOT DISTINCT FROM b.pr_key""".stripMargin
+
+  // --------------------------------------------------------------- D77
+  /** Pareto skyline per group (minimize price, maximize size): a part
+    * is on its brand's frontier iff no other part of the brand is at
+    * most as expensive AND at least as large with one strict. The
+    * naive definition is an all-pairs NOT EXISTS (the oracle states it
+    * that way); the engine-side plan is the classic sort-scan: collapse
+    * to one candidate per (brand, price) — only the largest size at a
+    * price can survive — then a running strictly-preceding max over
+    * prices keeps exactly the rows whose size beats every cheaper one.
+    *
+    * Scale shape: O(n) → O(distinct (brand,price,size)) partial-combined
+    * exchange, then two geometrically shrinking ones (per-price, then a
+    * per-brand window over DISTINCT PRICES — bounded by the price
+    * domain, never the row count). No all-pairs join anywhere; every
+    * comparison is exact (price/size are read untouched). */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = Tables.part(s, dir)
+      .groupBy(col("p_brand"), col("p_retailprice"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"))
+    // per price the only frontier candidate is the max size; struct-max
+    // also carries that size's part count (sizes are distinct within
+    // the group, so the struct ordering never reaches the count)
+    val byPrice = sized
+      .groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(max(struct(col("p_size"), col("n_parts"))).as("m"))
+      .select(col("p_brand"), col("p_retailprice"),
+        col("m.p_size").as("best_size"), col("m.n_parts").as("n_parts"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byPrice
+      .withColumn("prev_best", max(col("best_size")).over(w))
+      .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
+      .select(col("p_brand"), col("p_retailprice"),
+        col("best_size"), col("n_parts"))
+  }
+
+  val skylineSql: String =
+    """WITH sized AS (SELECT p_brand, p_retailprice, p_size,
+      |    COUNT(*) AS n_parts FROM part GROUP BY 1, 2, 3)
+      |SELECT s.p_brand, s.p_retailprice, s.p_size AS best_size, s.n_parts
+      |FROM sized s
+      |WHERE NOT EXISTS (SELECT 1 FROM sized d
+      |  WHERE d.p_brand = s.p_brand
+      |    AND d.p_retailprice <= s.p_retailprice AND d.p_size >= s.p_size
+      |    AND (d.p_retailprice < s.p_retailprice OR d.p_size > s.p_size))""".stripMargin
+
+  // --------------------------------------------------------------- D78
+  /** Linear-interpolation gap fill: D50's LOCF repeats the last
+    * observation; sensor/metric pipelines more often want the value ON
+    * THE LINE between the bracketing observations. Per user, the
+    * observed series is the hourly mean; the spine is every hour from
+    * the user's first to last observation; missing hours interpolate
+    * prev + (next − prev) · elapsed/gap, with pure-LOCF semantics never
+    * applying because the spine is clamped inside the observed span.
+    *
+    * Float discipline: the hourly mean divides an exact DECIMAL sum by
+    * the count, so both engines feed bit-identical doubles into one
+    * identically-shaped interpolation expression. The prev/next scan is
+    * two frames over ONE (user, hour) sort — a single exchange feeds
+    * spine build, join, and both windows. At 100 TB the spine is
+    * |users|·|hours|, generated (never shuffled raw), and the windows
+    * carry four scalars per row. */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.events(s, dir)
+      .filter(col("user_id") % 17 === 0)
+      .groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1))).as("v"))
+    val spine = obs.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val joined = spine.join(obs, Seq("user_id", "hour"), "left")
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = ord.rowsBetween(0, Window.unboundedFollowing)
+    val hs = unix_timestamp(col("hour"))
+    joined
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(prevW))
+      .withColumn("ph", last(when(col("v").isNotNull, hs),
+        ignoreNulls = true).over(prevW))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(nextW))
+      .withColumn("nh", first(when(col("v").isNotNull, hs),
+        ignoreNulls = true).over(nextW))
+      // NO final round(): Spark's round() rounds the double's shortest
+      // decimal rendering (BigDecimal.valueOf) while DuckDB rounds the
+      // exact binary value — on a true value like 32.93343749999999…
+      // the two disagree. The raw doubles, by contrast, ARE
+      // bit-identical (exact decimal-sum inputs through one identical
+      // IEEE-754 expression tree), so exact is safer than rounded here.
+      .select(col("user_id"), col("hour"), col("v").isNotNull.as("observed"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((hs - col("ph")) / (col("nh") - col("ph")))).as("v_filled"))
+  }
+
+  val interpolateSql: String =
+    """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+      |  FROM events WHERE user_id % 17 = 0 GROUP BY 1, 2),
+      |spine AS (SELECT user_id, unnest(generate_series(h0, h1,
+      |      INTERVAL 1 HOUR)) AS hour
+      |  FROM (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+      |        FROM obs GROUP BY 1)),
+      |j AS (SELECT s.user_id, s.hour, o.v, epoch(s.hour) AS hs
+      |  FROM spine s LEFT JOIN obs o
+      |    ON s.user_id = o.user_id AND s.hour = o.hour),
+      |f AS (SELECT *,
+      |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY hour
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hs END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY hour
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      |  FROM j)
+      |SELECT user_id, hour, v IS NOT NULL AS observed,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |    ELSE pv + (nv - pv) * ((hs - ph) / (nh - ph)) END AS v_filled
+      |FROM f""".stripMargin
 }

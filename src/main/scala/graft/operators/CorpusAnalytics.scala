@@ -1347,4 +1347,68 @@ object CorpusAnalytics {
       |FROM cxy
       |JOIN uni ux ON cxy.w1 = ux.w
       |JOIN uni uy ON cxy.w2 = uy.w, n1, n2""".stripMargin
+
+  // --------------------------------------------------------------- E73
+  /** Distributed PCA over the embedding table (whitening / dimension
+    * analysis — the preprocessing step under SemDeDup-style pipelines
+    * and matryoshka truncation decisions): ONE pass accumulates the
+    * (n, Σx, ΣxxT) moments via [[graft.functions.GramMatrixAgg]] — the
+    * exchange carries a single ~17 KB moment buffer per partition, the
+    * data never shuffles — then the d×d covariance eigenproblem runs
+    * driver-side (Jacobi, microseconds at d=64). The heavy direction is
+    * the only distributed one; the tiny direction is the only local one.
+    *
+    * The eigenstructure itself is not ANSI-SQL-recomputable, so the
+    * gate reduces it to invariants asserted in-process against the
+    * driver-side covariance: eigenvalues descending and ≥ −tol,
+    * Σλ = trace(C) (both to relative 1e-9), every residual
+    * ‖Cq − λq‖ ≤ 1e-8·‖C‖, rows of Q orthonormal to 1e-8, and the
+    * top-k=8 variance share within (0, 1]. The oracle recomputes the
+    * scalar facts (n, d, k) and the booleans must all arrive TRUE. */
+  def embeddingPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.MatrixAgg
+    val k = 8
+    val blob = Tables.embeddings(s, dir)
+      .agg(MatrixAgg.gramMatrix(col("embedding")).as("g"))
+      .head().getAs[Array[Byte]]("g")
+    val (n, _, cov) = MatrixAgg.decode(blob)
+    val d = cov.length
+    val (eig, q) = MatrixAgg.symmetricEigen(cov)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val covNorm = math.sqrt(cov.map(r => r.map(x => x * x).sum).sum)
+    val tol = 1e-8 * math.max(1.0, covNorm)
+    val descending = eig.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)) &&
+      eig.forall(_ >= -tol)
+    val traceMatch =
+      math.abs(eig.sum - trace) <= 1e-9 * math.max(1.0, math.abs(trace))
+    val residualsOk = (0 until d).forall { j =>
+      val v = q(j)
+      val r = (0 until d).map { i =>
+        (0 until d).map(c => cov(i)(c) * v(c)).sum - eig(j) * v(i)
+      }
+      math.sqrt(r.map(x => x * x).sum) <= tol
+    }
+    val orthonormal = (0 until d).forall { i =>
+      (i until d).forall { j =>
+        val dp = (0 until d).map(c => q(i)(c) * q(j)(c)).sum
+        math.abs(dp - (if (i == j) 1.0 else 0.0)) <= 1e-8
+      }
+    }
+    val topShare = eig.take(k).sum / eig.sum
+    Seq(("embedding_pca", n, d.toLong, k.toLong,
+        descending && traceMatch, residualsOk && orthonormal,
+        topShare > 0.0 && topShare <= 1.0 + 1e-12))
+      .toDF("metric", "n_vectors", "d", "k",
+        "spectrum_valid", "eigen_verified", "topk_share_valid")
+  }
+
+  val embeddingPcaSql: String =
+    """SELECT 'embedding_pca' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      |  CAST(MAX(len(embedding)) AS BIGINT) AS d,
+      |  CAST(8 AS BIGINT) AS k,
+      |  TRUE AS spectrum_valid, TRUE AS eigen_verified,
+      |  TRUE AS topk_share_valid
+      |FROM embeddings""".stripMargin
 }

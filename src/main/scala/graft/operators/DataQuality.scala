@@ -278,4 +278,53 @@ object DataQuality {
       |SELECT cnt, n_keys, CAST(n_rows AS BIGINT) AS n_rows,
       |  ROUND(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS row_share
       |FROM h, t""".stripMargin
+
+  // --------------------------------------------------------------- C30
+  /** Engine-portable table fingerprint: an order-independent content
+    * checksum two DIFFERENT engines can compute over the same table and
+    * compare byte-for-byte — the migration-validation primitive ("does
+    * the new engine's copy of this 100 TB table equal the old one?")
+    * that motivated this whole library. Each row canonicalizes to a
+    * delimited string of engine-neutral atoms (ints as decimal text,
+    * doubles pinned through DECIMAL(18,6), timestamps as epoch
+    * microseconds), hashes through MD5 (bit-identical everywhere), and
+    * the first 40 bits sum per bucket — an exact, commutative
+    * reduction (≤2^40 per row keeps even billion-row buckets inside
+    * int64), so partitioning and row order are irrelevant. Bucketing
+    * by key mod 16 turns "the table diverged"
+    * into "bucket 11 diverged": at scale the two sides re-fingerprint
+    * only that bucket's partitions to localize the corruption.
+    *
+    * Scale shape: one scan, one partial-combined exchange of 16 groups
+    * carrying (count, decimal sum) — the cheapest possible full-table
+    * verification; nothing wide ever shuffles. */
+  def tableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate arrives TIMESTAMP_NTZ; the NTZ->LTZ cast preserves
+    // the wall-clock only under the UTC session timezone every graft
+    // entry point pins (see Tables.events, which enforces the same)
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"tableFingerprint canonicalizes TIMESTAMP_NTZ via a UTC session " +
+      s"timezone; session has '$tz'")
+    val canon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)),
+      unix_micros(col("o_orderdate")
+        .cast(org.apache.spark.sql.types.TimestampType)),
+      col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .select(pmod(col("o_orderkey"), lit(16L)).as("bucket"),
+        conv(substring(md5(canon), 1, 10), 16, 10).cast("long").as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("fingerprint"))
+  }
+
+  val tableFingerprintSql: String =
+    """SELECT o_orderkey % 16 AS bucket, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(CONCAT('0x', substr(md5(CONCAT_WS('|',
+      |    o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,6)),
+      |    epoch_us(o_orderdate), o_orderpriority)), 1, 10)) AS BIGINT))
+      |    AS BIGINT) AS fingerprint
+      |FROM orders GROUP BY 1""".stripMargin
 }

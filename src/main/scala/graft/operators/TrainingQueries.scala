@@ -1475,4 +1475,75 @@ object TrainingQueries {
       |  FROM allv),
       |k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sig) AS keep_id FROM sig)
       |SELECT keep_id, doc_id AS dup_id FROM k WHERE doc_id <> keep_id""".stripMargin
+
+  // --------------------------------------------------------------- E74
+  /** Content-defined-chunk dedup ([[graft.functions.CdcChunks]]): the
+    * corpus plus a planted prefix-shifted copy of every 10th document
+    * ("EDIT-{id}: " prepended — every byte offset moves) is chunked by
+    * content, and the gate pins the two properties that make CDC a
+    * dedup primitive rather than a curiosity:
+    *
+    *  - coverage is EXACT: per document, Σ chunk_len = octet_length,
+    *    for every row — the chunker is a partition of the bytes;
+    *  - boundaries re-synchronize after an insert: every planted copy
+    *    shares ≥ 60% of its chunk (hash,len) multiset with its source
+    *    (fixed-size chunking shares ~0% under the same shift).
+    *
+    * Scale shape: chunking is a codegen'd per-row projection; the
+    * shared-fraction join explodes (doc, chunk) pairs but joins ONLY
+    * planted-pair ids (an equi-join on the original id), and chunk
+    * hashes — 8-byte longs, never text — are all that shuffles. The
+    * oracle recomputes the doc counts; the chunk-level facts ride the
+    * asserted booleans. */
+  def cdcChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.CdcChunks.cdcChunks
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // plant only docs long enough for the resync guarantee to bite:
+    // boundary damage after an insert is bounded by ~one max chunk, so
+    // a ≥200-byte doc at 16-byte average chunks keeps a wide margin
+    val planted = base
+      .filter(col("doc_id") % 10 === 0 && octet_length(col("text")) >= 200)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("EDIT-"), col("doc_id"), lit(": "), col("text")).as("text"))
+    val all = base.union(planted)
+    val chunked = all.select(col("doc_id"),
+      octet_length(col("text")).as("blen"),
+      cdcChunks(col("text"), maskBits = 4, minLen = 8, maxLen = 128)
+        .as("chunks"))
+    val coverageExact = chunked
+      .filter(expr("aggregate(chunks, 0L, (a, c) -> a + c.chunk_len)") =!=
+        col("blen").cast("long")).isEmpty
+    // per planted pair: |shared chunk multiset| / |copy's chunks|
+    val ex = chunked.select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_len").as("len"),
+        col("c.chunk_hash").as("h"))
+    val src = ex.filter(col("doc_id") % 10 === 0 && col("doc_id") < 100000)
+      .groupBy(col("doc_id"), col("len"), col("h"))
+      .agg(count(lit(1)).as("n_src"))
+    val cp = ex.filter(col("doc_id") >= 100000)
+      .select((col("doc_id") - 100000).as("doc_id"), col("len"), col("h"))
+      .groupBy(col("doc_id"), col("len"), col("h"))
+      .agg(count(lit(1)).as("n_cp"))
+    val shared = cp.join(src, Seq("doc_id", "len", "h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(least(col("n_cp"), coalesce(col("n_src"), lit(0L)))).as("n_shared"),
+        sum(col("n_cp")).as("n_total"))
+    val resilient = shared
+      .filter(col("n_shared") * lit(10L) < col("n_total") * lit(6L)).isEmpty
+    Seq(("cdc_chunk_dedup", base.count(), planted.count(),
+        coverageExact, resilient))
+      .toDF("metric", "n_docs", "n_planted",
+        "coverage_exact", "shift_resilient")
+  }
+
+  val cdcChunkDedupSql: String =
+    """SELECT 'cdc_chunk_dedup' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 10 = 0
+      |    AND octet_length(encode(text)) >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_planted,
+      |  TRUE AS coverage_exact,
+      |  TRUE AS shift_resilient
+      |FROM documents""".stripMargin
 }

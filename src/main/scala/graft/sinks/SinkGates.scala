@@ -439,4 +439,61 @@ object SinkGates {
        |    AS n_rows_latest,
        |  TRUE AS versions_isolated
        |FROM customer""".stripMargin
+
+  // ------------------------------------------------------------ C31
+  /** Snapshot expiration (vacuum) over [[Sinks.versionedPublish]]:
+    * C28 pins that retained versions stay isolated; this gate pins the
+    * OTHER half of the retention contract — expired snapshots are
+    * physically deleted (at 100 TB un-vacuumed snapshots are the
+    * storage bill), the retained window is exactly the newest
+    * `retain`, the `_LATEST` pointer survives every expiration, and a
+    * read of an expired version fails loudly instead of returning
+    * stale files. Five publishes at retain=2 leave exactly {v_4, v_5}
+    * on disk; each publish `i` is the deterministic slice
+    * `c_custkey % 5 < i`, so the oracle recomputes the latest count
+    * and key checksum straight from `customer`. */
+  def vacuumGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val table = base(dir, "vacuum")
+    val fs = new Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(table), true) // rerun-idempotent
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+    val versions = (1 to 5).map { i =>
+      Sinks.versionedPublish(cust.filter(col("c_custkey") % 5 < i),
+        table, retain = 2)
+    }
+    val onDisk = fs.listStatus(new Path(table)).map(_.getPath.getName)
+      .filter(_.startsWith("v_")).sorted.toSeq
+    val retainedRight = onDisk == Seq("v_4", "v_5")
+    val expiredFails =
+      try { Sinks.readVersion(s, table, 2).count(); false }
+      catch {
+        // surfaces as AnalysisException (path not found at plan time)
+        // or a FileNotFoundException-wrapped SparkException at scan
+        // time depending on listing cache state — either is "fails
+        // loudly", which is the contract under test
+        case _: org.apache.spark.sql.AnalysisException => true
+        case e: Exception
+          if e.getMessage != null && e.getMessage.contains("v_2") => true
+      }
+    val latest = Sinks.readVersion(s, table)
+    val agg = latest.agg(count(lit(1)).as("n"),
+      checksum(col("c_custkey")).as("ck")).head()
+    Seq(("vacuum", versions.last.toLong, 2L, agg.getLong(0), agg.getLong(1),
+        versions == Seq(1, 2, 3, 4, 5) && retainedRight && expiredFails &&
+          Sinks.latestVersion(s, table).contains(5)))
+      .toDF("metric", "n_published", "n_retained", "n_rows_latest",
+        "key_checksum_latest", "expired_gone_latest_intact")
+  }
+
+  val vacuumGateSql: String =
+    s"""SELECT 'vacuum' AS metric,
+       |  CAST(5 AS BIGINT) AS n_published,
+       |  CAST(2 AS BIGINT) AS n_retained,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows_latest,
+       |  CAST(${checksumSqlOf("c_custkey")} AS BIGINT) AS key_checksum_latest,
+       |  TRUE AS expired_gone_latest_intact
+       |FROM customer WHERE c_custkey % 5 < 5""".stripMargin
 }

@@ -707,4 +707,49 @@ object EventStream {
         (col("err").isNull ||
           struct(col("ev.us"), col("ev.id")) > struct(col("err.us"), col("err.id"))))
       .select(col("user_id"), col("ev.us").as("last_us"), col("ev.v").as("last_value"))
+
+  final case class EvId(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  final case class EwmaState(ewma: Double, n: Long, nAnom: Long,
+                             lastUs: Long, lastId: Long, monotone: Boolean)
+  final case class EwmaOut(user_id: Long, n_events: Long, n_anomalies: Long,
+                           ewma: Double, monotone: Boolean)
+
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** F21: stateful EWMA spike detection — the continuous form of the
+    * C27 volume monitor. Per key the state is ONE (ewma, counters)
+    * record; each micro-batch folds its events in (event-time, id)
+    * order through the recursion `ewma' = (x + 3·ewma)/4` and flags
+    * `|x − ewma_prev| > threshold`. The recursion is the SAME IEEE-754
+    * op sequence the batch replay uses (an `aggregate` HOF over the
+    * sorted history), so a stream drained in event-time order
+    * reproduces the batch answer bit-for-bit — no tolerance needed.
+    *
+    * State is one fixed-size record per key — bounded by key
+    * cardinality, not stream length; `monotone` records whether every
+    * arrival respected (ts, id) order (the gate stages files so they
+    * do, and asserts it — an EWMA folded out of order is a DIFFERENT
+    * statistic, so the flag makes the precondition observable). */
+  def ewmaAnomaly(events: Dataset[EvId],
+                  threshold: Double = 25.0): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(
+            EwmaState(0.0, 0L, 0L, Long.MinValue, Long.MinValue, monotone = true))
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            val mono = st.monotone && (st.n == 0L ||
+              us > st.lastUs || (us == st.lastUs && e.event_id > st.lastId))
+            val anom = st.n > 0L && math.abs(e.value - st.ewma) > threshold
+            val ew = if (st.n == 0L) e.value else (e.value + 3.0 * st.ewma) / 4.0
+            st = EwmaState(ew, st.n + 1L, st.nAnom + (if (anom) 1L else 0L),
+              us, e.event_id, mono)
+          }
+          state.update(st)
+          EwmaOut(uid, st.n, st.nAnom, st.ewma, st.monotone)
+      }
+  }
 }

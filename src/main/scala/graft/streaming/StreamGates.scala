@@ -1157,4 +1157,85 @@ object StreamGates {
       |    AS n_users_deleted,
       |  TRUE AS state_matches_batch
       |FROM le WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------------------- F21
+  /** Stateful EWMA anomaly detection ([[EventStream.ewmaAnomaly]]):
+    * the recursion `ewma' = (x + 3·ewma)/4` is ORDER-SENSITIVE, so
+    * unlike the commutative gates this one must pin arrival order too:
+    * the slice is staged as two event-time halves whose file mtimes
+    * are SET explicitly (t, t+60 s) — the file source drains oldest
+    * mtime first, maxFilesPerTrigger=1 makes each half its own
+    * micro-batch, and every key's state therefore folds its history in
+    * (ts, id) order across batches. The streaming result must then be
+    * BIT-IDENTICAL (no rounding) to a batch replay of the same fold —
+    * an `aggregate` HOF over each user's sorted history with the exact
+    * same IEEE-754 op sequence — because identical inputs through
+    * identical op sequences admit no tolerance. Also asserted: the
+    * drain really took ≥2 data batches, and every key saw monotone
+    * arrival (the staged precondition, observable in the state). */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val ev = slice(s, dir)
+    val in = stagedOnce(dir, "ewma_ordered") { d =>
+      val mid = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+        .head().getLong(0)
+      val fs = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+      stage(ev.filter(unix_micros(col("ts")) <= mid), d, nFiles = 1)
+      val firstFiles = fs.listStatus(new Path(d))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      firstFiles.foreach(p => fs.setTimes(p, 1000000000000L, -1))
+      stage(ev.filter(unix_micros(col("ts")) > mid), d, nFiles = 1,
+        mode = "append")
+      fs.listStatus(new Path(d)).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !firstFiles.contains(p))
+        .foreach(p => fs.setTimes(p, 1000000060000L, -1))
+    }
+    val qn = uniq("sg_ewma")
+    val q = drainQ(EventStream.ewmaAnomaly(
+        fileStream(s, in, ev.schema)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[EventStream.EvId])
+      .toDF().writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", tempDir("graft_sg_ewma_ck")))
+    val multiBatch = q.recentProgress.count(_.numInputRows > 0) >= 2
+    // last emission per key: n_events is strictly increasing, so the
+    // struct max is the final state
+    val fin = s.table(qn)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_anomalies"), col("ewma"),
+        col("monotone"))).as("m"))
+      .select(col("user_id"), col("m.n_events"), col("m.n_anomalies"),
+        col("m.ewma"), col("m.monotone"))
+    val monotoneAll = fin.filter(!col("monotone")).isEmpty
+    val got = fin.select(col("user_id"), col("n_events"),
+      col("n_anomalies"), col("ewma"))
+    val want = ev
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("id"), col("value").as("v")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("arr"))
+      .select(col("user_id"), expr(
+        """aggregate(arr,
+          |  named_struct('ewma', cast(0.0 as double), 'n', 0L, 'na', 0L),
+          |  (a, x) -> named_struct(
+          |    'ewma', if(a.n = 0L, x.v, (x.v + 3.0D * a.ewma) / 4.0D),
+          |    'n', a.n + 1L,
+          |    'na', a.na + if(a.n > 0L and abs(x.v - a.ewma) > 25.0D, 1L, 0L)))
+          |""".stripMargin).as("f"))
+      .select(col("user_id"), col("f.n").as("n_events"),
+        col("f.na").as("n_anomalies"), col("f.ewma").as("ewma"))
+    Seq(("stream_anomaly", want.count(), ev.count(),
+        multiBatch && monotoneAll && setEqual(got, want)))
+      .toDF("metric", "n_users", "n_events", "stream_matches_batch")
+  }
+
+  val streamAnomalySql: String =
+    """SELECT 'stream_anomaly' AS metric,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  TRUE AS stream_matches_batch
+      |FROM events WHERE event_id < 2000""".stripMargin
 }
