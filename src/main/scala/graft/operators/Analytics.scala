@@ -1417,4 +1417,80 @@ object Analytics {
       |  CASE WHEN v IS NOT NULL THEN v
       |    ELSE pv + (nv - pv) * ((hs - ph) / (nh - ph)) END AS v_filled
       |FROM f""".stripMargin
+
+  // --------------------------------------------------------------- C32
+  /** One-pass pairwise correlation matrix across the fact table's
+    * measures — the numeric-profiling companion to C14's per-column
+    * profile: every Pearson correlation between measure pairs from a
+    * SINGLE scan.
+    *
+    * Scale shape: all 15 moments (n, 4 column sums, 10 product sums)
+    * ride ONE hash aggregate with map-side partials — one scan and a
+    * 1-row exchange regardless of pair count; m measures cost
+    * m(m+1)/2 moment columns, never m² passes (the naive profiler
+    * calls corr() per pair and rescans the fact table each time).
+    * Exactness: each product is rounded into DECIMAL(28,8) BEFORE
+    * summation in both engines, so moment sums are exact and the only
+    * inexact step is the final double arithmetic, absorbed by
+    * round(…,6) — the q_regression protocol. */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val moments: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+      ms.map(c => sum(col(c).cast(DecimalType(18, 6))).as(s"s_$c")) ++
+      (for (i <- ms.indices; j <- i until ms.length) yield
+        sum((col(ms(i)) * col(ms(j))).cast(DecimalType(28, 8)))
+          .as(s"p_${ms(i)}__${ms(j)}"))
+    val g = Tables.lineitem(s, dir).agg(moments.head, moments.tail: _*)
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n").cast("double")
+    def ss(a: String, b: String): Column =
+      nD * d(s"p_${a}__$b") - d(s"s_$a") * d(s"s_$b")
+    val rows = for (i <- ms.indices; j <- (i + 1) until ms.length) yield {
+      val (a, b) = (ms(i), ms(j))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(ss(a, b) / sqrt(ss(a, a) * ss(b, b)), 6).as("corr"))
+    }
+    g.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+        col("r.corr").as("corr"))
+  }
+
+  val corrMatrixSql: String =
+    """WITH g AS (SELECT COUNT(*) AS n,
+      |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS se,
+      |  SUM(CAST(l_discount AS DECIMAL(18,6))) AS sd,
+      |  SUM(CAST(l_tax AS DECIMAL(18,6))) AS st,
+      |  SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS pqq,
+      |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS pqe,
+      |  SUM(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS pqd,
+      |  SUM(CAST(l_quantity * l_tax AS DECIMAL(28,8))) AS pqt,
+      |  SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS pee,
+      |  SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS ped,
+      |  SUM(CAST(l_extendedprice * l_tax AS DECIMAL(28,8))) AS pet,
+      |  SUM(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS pdd,
+      |  SUM(CAST(l_discount * l_tax AS DECIMAL(28,8))) AS pdt,
+      |  SUM(CAST(l_tax * l_tax AS DECIMAL(28,8))) AS ptt
+      |  FROM lineitem),
+      |c AS (SELECT CAST(n AS DOUBLE) AS n, CAST(sq AS DOUBLE) AS sq,
+      |  CAST(se AS DOUBLE) AS se, CAST(sd AS DOUBLE) AS sd,
+      |  CAST(st AS DOUBLE) AS st, CAST(pqq AS DOUBLE) AS pqq,
+      |  CAST(pqe AS DOUBLE) AS pqe, CAST(pqd AS DOUBLE) AS pqd,
+      |  CAST(pqt AS DOUBLE) AS pqt, CAST(pee AS DOUBLE) AS pee,
+      |  CAST(ped AS DOUBLE) AS ped, CAST(pet AS DOUBLE) AS pet,
+      |  CAST(pdd AS DOUBLE) AS pdd, CAST(pdt AS DOUBLE) AS pdt,
+      |  CAST(ptt AS DOUBLE) AS ptt FROM g)
+      |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+      |  ROUND((n*pqe - sq*se) / sqrt((n*pqq - sq*sq)*(n*pee - se*se)), 6) AS corr FROM c
+      |UNION ALL SELECT 'l_quantity', 'l_discount',
+      |  ROUND((n*pqd - sq*sd) / sqrt((n*pqq - sq*sq)*(n*pdd - sd*sd)), 6) FROM c
+      |UNION ALL SELECT 'l_quantity', 'l_tax',
+      |  ROUND((n*pqt - sq*st) / sqrt((n*pqq - sq*sq)*(n*ptt - st*st)), 6) FROM c
+      |UNION ALL SELECT 'l_extendedprice', 'l_discount',
+      |  ROUND((n*ped - se*sd) / sqrt((n*pee - se*se)*(n*pdd - sd*sd)), 6) FROM c
+      |UNION ALL SELECT 'l_extendedprice', 'l_tax',
+      |  ROUND((n*pet - se*st) / sqrt((n*pee - se*se)*(n*ptt - st*st)), 6) FROM c
+      |UNION ALL SELECT 'l_discount', 'l_tax',
+      |  ROUND((n*pdt - sd*st) / sqrt((n*pdd - sd*sd)*(n*ptt - st*st)), 6) FROM c""".stripMargin
 }

@@ -1411,4 +1411,55 @@ object CorpusAnalytics {
       |  TRUE AS spectrum_valid, TRUE AS eigen_verified,
       |  TRUE AS topk_share_valid
       |FROM embeddings""".stripMargin
+
+  // --------------------------------------------------------------- E75
+  /** Distributed BPE merge-candidate counting — the inner statistic of
+    * byte-pair-encoding tokenizer training (its first iteration):
+    * adjacent-symbol-pair frequencies over the corpus, weighted by
+    * word frequency, top-k candidates ranked (count desc, pair asc).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-word vocabulary
+    * FIRST (hash aggregate with map-side partials; vocabulary grows
+    * sublinearly in corpus size — Heaps' law, see E67), and pair
+    * generation then runs over vocab rows only, each emitting
+    * `len−1` pairs carrying the word's frequency as weight — exactly
+    * how production BPE trainers stay tractable on 100 TB corpora:
+    * pair statistics over the word-frequency table, never over raw
+    * text. The top-k merges come out via `BoundedTopK` (map-side
+    * pruning to ≤ k per partition, O(k) exchange) — no global sort of
+    * the pair table. A word of length L contributes every occurrence
+    * position ("aaa" counts "aa" twice), matching the BPE count. */
+  def bpePairCounts(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val pairs = vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).cast("long").as("n"))
+    pairs
+      .agg(TopKAgg.boundedTopK(
+        struct((-col("n")).as("negn"), col("pair")), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("t.pair").as("pair"), (-col("t.negn")).cast("long").as("n"))
+  }
+
+  val bpePairCountsSql: String =
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+      |           FROM documents),
+      |v AS (SELECT w, COUNT(*) AS freq FROM t WHERE len(w) >= 2
+      |      GROUP BY w),
+      |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |        i -> substr(w, i, 2))) AS pair, freq
+      |      FROM v),
+      |pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p
+      |       GROUP BY pair),
+      |r AS (SELECT pair, n,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS INTEGER)
+      |          AS rk
+      |      FROM pc)
+      |SELECT rk, pair, n FROM r WHERE rk <= 20""".stripMargin
 }

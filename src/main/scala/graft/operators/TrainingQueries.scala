@@ -1546,4 +1546,67 @@ object TrainingQueries {
       |  TRUE AS coverage_exact,
       |  TRUE AS shift_resilient
       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- E76
+  /** Blocked record linkage (entity resolution): link a clean
+    * registry against a deterministically-corrupted copy — each dirty
+    * record swaps two adjacent digits of the name's numeric suffix at
+    * a key-dependent position (the classic transposition typo) —
+    * WITHOUT ever comparing all pairs.
+    *
+    * Scale shape: the blocking key is a corruption-model INVARIANT:
+    * the sorted digit multiset of the suffix, which a transposition
+    * cannot change. Every true match therefore lands in the same hash
+    * bucket, candidate generation is a plain equi-join on the block
+    * key (pair count bounded by permutation-class sizes, never n²),
+    * and Levenshtein verification (≤ 2 = one transposition) runs only
+    * within blocks. This is the strongest blocking available when the
+    * noise channel is known; for open-world typos the same skeleton
+    * takes multi-pass q-gram keys instead. `is_true_link` exposes the
+    * collision rate (distinct keys whose digit permutations also pass
+    * the edit-distance gate) — the precision a linkage audit reports. */
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    // c_name is 'Customer#' + 9 zero-padded digits; suffix = chars 10..18
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+    val dirty = base
+      .withColumn("p", (col("id") % 8).cast("int")) // swap suffix[p], suffix[p+1] (0-idx)
+      .select((col("id") + 1000000L).as("id"),
+        concat(lit("Customer#"),
+          expr("substring(name, 10, p)"),
+          expr("substring(name, 11 + p, 1)"),
+          expr("substring(name, 10 + p, 1)"),
+          expr("substring(name, 12 + p, 7 - p)")).as("name"))
+    def keyed(df: DataFrame, idAs: String, nameAs: String): DataFrame =
+      df.select(col("id").as(idAs), col("name").as(nameAs),
+        array_join(array_sort(split(expr("substring(name, 10, 9)"), "")), "")
+          .as("bk"))
+    val ed = levenshtein(col("clean_name"), col("dirty_name"))
+    keyed(base, "clean_id", "clean_name")
+      .join(keyed(dirty, "dirty_id", "dirty_name"), "bk")
+      .filter(ed <= 2)
+      .select(col("clean_id"), (col("dirty_id") - 1000000L).as("dirty_src"),
+        ed.cast("int").as("edit_dist"),
+        (col("clean_id") === col("dirty_id") - 1000000L).as("is_true_link"))
+  }
+
+  val recordLinkageSql: String =
+    """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+      |              FROM customer),
+      |wp AS (SELECT id, name, CAST(id % 8 AS INTEGER) AS p FROM base),
+      |dirty AS (SELECT id + 1000000 AS id,
+      |    'Customer#' || substr(name, 10, p) || substr(name, 11 + p, 1) ||
+      |    substr(name, 10 + p, 1) || substr(name, 12 + p, 7 - p) AS name
+      |  FROM wp),
+      |ck AS (SELECT id AS clean_id, name AS clean_name,
+      |    array_to_string(list_sort(string_split(substr(name, 10, 9), '')), '')
+      |      AS bk FROM base),
+      |dk AS (SELECT id AS dirty_id, name AS dirty_name,
+      |    array_to_string(list_sort(string_split(substr(name, 10, 9), '')), '')
+      |      AS bk FROM dirty)
+      |SELECT c.clean_id, d.dirty_id - 1000000 AS dirty_src,
+      |  CAST(levenshtein(c.clean_name, d.dirty_name) AS INTEGER) AS edit_dist,
+      |  c.clean_id = d.dirty_id - 1000000 AS is_true_link
+      |FROM ck c JOIN dk d USING (bk)
+      |WHERE levenshtein(c.clean_name, d.dirty_name) <= 2""".stripMargin
 }

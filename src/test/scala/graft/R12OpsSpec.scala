@@ -188,4 +188,44 @@ class R12OpsSpec extends SparkSpec {
     val r = streaming.StreamGates.streamAnomaly(spark, sf).head()
     assert(r.getBoolean(3), r.toString)
   }
+
+  // ------------------------------------------------------------ E75
+  test("bpe_pair_counts matches a brute-force local recount") {
+    val got = operators.CorpusAnalytics.bpePairCounts(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val texts = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.toLowerCase.split(" ") if w.length >= 2;
+         i <- 0 until w.length - 1)
+      counts(w.substring(i, i + 2)) = counts.getOrElse(w.substring(i, i + 2), 0L) + 1L
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1, p, n) }
+    assert(got.sortBy(_._1).toSeq == want)
+  }
+
+  // ------------------------------------------------------------ C32
+  test("corr_matrix agrees with Spark's built-in corr per pair") {
+    val got = operators.Analytics.corrMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(got.size == 6)
+    val li = Tables.lineitem(spark, sf)
+    got.keys.foreach { case (a, b) =>
+      val want = li.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(got((a, b)) - want) < 1e-5,
+        s"($a,$b): ${got((a, b))} vs $want")
+    }
+  }
+
+  // ------------------------------------------------------------ E76
+  test("record_linkage: 100% recall and transposition-consistent distances") {
+    val links = operators.TrainingQueries.recordLinkage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val nCust = Tables.customer(spark, sf).count()
+    // every dirty record links back to its own clean record
+    assert(links.count(l => l._4 && l._1 == l._2) == nCust)
+    // same-length same-multiset candidates can only sit at distance 0 or 2
+    assert(links.forall(l => l._3 == 0 || l._3 == 2), links.filterNot(l =>
+      l._3 == 0 || l._3 == 2).take(3).mkString(","))
+  }
 }
