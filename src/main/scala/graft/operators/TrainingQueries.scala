@@ -1609,4 +1609,85 @@ object TrainingQueries {
       |  c.clean_id = d.dirty_id - 1000000 AS is_true_link
       |FROM ck c JOIN dk d USING (bk)
       |WHERE levenshtein(c.clean_name, d.dirty_name) <= 2""".stripMargin
+
+  // ----------------------------------------------------------- E77
+  /** Exact set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family) — the deterministic alternative to E2's
+    * MinHash-LSH: guaranteed zero false negatives at threshold τ,
+    * no banding parameters to tune, at the cost of an exact verify
+    * per candidate. Corpus = documents plus truncated copies of every
+    * 10th doc (kept prefix ≈ 90% of tokens → trigram-Jaccard ≈ 0.9,
+    * comfortably over τ = 0.7; random pairs sit near 0).
+    *
+    * Scale shape: the prefix-filter theorem — under ANY common total
+    * order on tokens, J(x,y) ≥ τ forces the first |x|−⌈τ|x|⌉+1
+    * tokens of x and y to intersect — means the candidate generator
+    * indexes only that prefix per document, ordered RAREST-FIRST
+    * (document frequency asc, token asc) so prefix tokens are the
+    * tokens fewest documents share: candidate buckets stay small by
+    * construction and the join is an equi-join on prefix token, never
+    * n². Verification joins the full shingle sets back for the two
+    * candidates only. The DuckDB oracle is the brute-force all-pairs
+    * definition, so the driver's hash compare pins completeness (no
+    * false negatives) AND precision (no threshold leaks) exactly. */
+  def similarityPrefixJoin(s: SparkSession, dir: String,
+                           tau: Double = 0.7): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        array_join(slice(col("t"), lit(1),
+          greatest(lit(1), expr("(9 * size(t)) div 10"))), " ").as("text"))
+    val corpus = base.unionByName(planted)
+    val sh = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), array_distinct(
+        when(size(col("t")) >= 3,
+          expr("transform(sequence(1, size(t) - 2)," +
+            " i -> concat_ws(' ', slice(t, i, 3)))"))
+          .otherwise(array(concat_ws(" ", col("t"))))).as("sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefixes = ex.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .select(col("doc_id"), expr(
+        s"slice(ord, 1, size(ord) - cast(ceil($tau * size(ord)) as int) + 1)")
+        .as("pref"))
+    val idx = prefixes.select(col("doc_id"), explode(col("pref")).as("p"))
+      .select(col("doc_id"), col("p.g").as("g"))
+    val cand = idx.as("x")
+      .join(idx.as("y"), col("x.g") === col("y.g") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val j = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), j.as("j"))
+      .filter(col("j") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  val similarityPrefixJoinSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |planted AS (SELECT doc_id + 10000 AS doc_id,
+      |    array_to_string(toks[1:greatest(1, (9 * len(toks)) // 10)], ' ')
+      |      AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM base)
+      |  WHERE doc_id % 10 = 0),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))
+      |  ELSE [array_to_string(toks, ' ')] END) AS sh FROM d)
+      |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE j >= 0.7""".stripMargin
 }

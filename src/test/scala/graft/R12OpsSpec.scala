@@ -217,6 +217,34 @@ class R12OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ E77
+  test("similarity_prefix_join equals local brute force and finds every plant") {
+    val got = operators.TrainingQueries.similarityPrefixJoin(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // local brute force over the same corpus construction
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val corpus = docs ++ docs.filter(_._1 % 10 == 0).map { case (id, t) =>
+      val w = t.split(" ", -1)
+      (id + 10000L, w.take(math.max(1, 9 * w.length / 10)).mkString(" "))
+    }
+    val sets = corpus.map { case (id, t) => (id, shingles(t)) }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.7
+    } yield ((a, b), math.rint(j * 1e6) / 1e6)).toMap
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    // every planted truncation links back to its base
+    assert(docs.filter(_._1 % 10 == 0)
+      .forall { case (id, _) => got.contains((id, id + 10000L)) })
+  }
+
   // ------------------------------------------------------------ E76
   test("record_linkage: 100% recall and transposition-consistent distances") {
     val links = operators.TrainingQueries.recordLinkage(spark, sf).collect()
