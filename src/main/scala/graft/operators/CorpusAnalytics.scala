@@ -1462,4 +1462,76 @@ object CorpusAnalytics {
       |          AS rk
       |      FROM pc)
       |SELECT rk, pair, n FROM r WHERE rk <= 20""".stripMargin
+
+  // --------------------------------------------------------------- E78
+  /** Kneser-Ney smoothed bigram LM training statistics — the classic
+    * distributed language-model pipeline (the training half of E17's
+    * scoring): interpolated KN with absolute discount D = 0.75,
+    * P(w2|w1) = max(c−D,0)/c(w1·) + D·N₁₊(w1·)/c(w1·) · N₁₊(·w2)/N,
+    * where the continuation counts N₁₊ are TYPE counts (in how many
+    * distinct contexts a word appears), KN's defining idea.
+    *
+    * Scale shape: the corpus collapses once into the bigram TYPE
+    * table (hash aggregate, map-side partials, vocab²-bounded — the
+    * same sublinearity BPE training rides in E75); every KN statistic
+    * is then an aggregate over TYPES: left counts c(w1·)/N₁₊(w1·) are
+    * one w1-keyed rollup, right continuation counts one w2-keyed
+    * rollup, N one scalar carried by a broadcast cross join. The
+    * reported top-k bigrams exit via BoundedTopK (O(k) exchange) and
+    * only k rows ever join the statistics. Counts are exact integers;
+    * the one double expression evaluates an identical tree in both
+    * engines under round(…,6). Ties rank (count desc, w1, w2). */
+  def knBigramLm(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks
+      .select(explode(expr("transform(sequence(1, size(t) - 1)," +
+        " i -> named_struct('w1', t[i-1], 'w2', t[i]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val bt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val left = bt.groupBy("w1")
+      .agg(sum("c").as("c1dot"), count(lit(1)).as("nfwd"))
+    val right = bt.groupBy("w2").agg(count(lit(1)).as("nrev"))
+    val nTypes = bt.agg(count(lit(1)).as("n_types"))
+    val top = bt
+      .agg(TopKAgg.boundedTopK(
+        struct((-col("c")).as("negc"), col("w1"), col("w2")), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("int").as("rk"), col("t.w1").as("w1"),
+        col("t.w2").as("w2"), (-col("t.negc")).as("c"))
+    val d = 0.75
+    top.join(left, "w1").join(right, "w2").crossJoin(broadcast(nTypes))
+      .select(col("rk"), col("w1"), col("w2"), col("c").cast("long").as("c"),
+        round(
+          greatest(col("c").cast("double") - lit(d), lit(0.0))
+            / col("c1dot").cast("double")
+          + (lit(d) * col("nfwd").cast("double") / col("c1dot").cast("double"))
+            * (col("nrev").cast("double") / col("n_types").cast("double")), 6)
+          .as("p_kn"))
+  }
+
+  val knBigramLmSql: String =
+    """WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+      |f AS (SELECT t FROM d WHERE len(t) >= 2),
+      |b AS (SELECT
+      |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      |  FROM f),
+      |p AS (SELECT w1, w2 FROM b WHERE len(w1) > 0 AND len(w2) > 0),
+      |bt AS (SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2),
+      |l AS (SELECT w1, SUM(c) AS c1dot, COUNT(*) AS nfwd FROM bt GROUP BY w1),
+      |r AS (SELECT w2, COUNT(*) AS nrev FROM bt GROUP BY w2),
+      |n AS (SELECT COUNT(*) AS n_types FROM bt),
+      |tk AS (SELECT w1, w2, c,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS INTEGER) AS rk
+      |  FROM bt)
+      |SELECT tk.rk, tk.w1, tk.w2, CAST(tk.c AS BIGINT) AS c,
+      |  ROUND(GREATEST(CAST(tk.c AS DOUBLE) - 0.75, 0.0)
+      |      / CAST(l.c1dot AS DOUBLE)
+      |    + (0.75 * CAST(l.nfwd AS DOUBLE) / CAST(l.c1dot AS DOUBLE))
+      |      * (CAST(r.nrev AS DOUBLE) / CAST(n.n_types AS DOUBLE)), 6) AS p_kn
+      |FROM tk JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+      |WHERE tk.rk <= 30""".stripMargin
 }

@@ -327,4 +327,75 @@ object DataQuality {
       |    epoch_us(o_orderdate), o_orderpriority)), 1, 10)) AS BIGINT))
       |    AS BIGINT) AS fingerprint
       |FROM orders GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- C33
+  /** Population-stability-index drift monitor between two versions of
+    * a table (the production data-drift alarm that C18's exact
+    * reconciliation is too strict for — recon asks "is it identical?",
+    * PSI asks "did the DISTRIBUTION move?"): bucket both versions on
+    * BASELINE-derived equal-width edges, then
+    * PSI = Σ_b (p_cur − p_base)·ln(p_cur / p_base); the simulated
+    * current version shifts every 5th order's total by +10%. Per-
+    * bucket contributions are reported so an alarm localizes WHICH
+    * band moved (> 0.1 total is the conventional "investigate").
+    *
+    * Scale shape: one agg for the baseline min/max (broadcast back),
+    * one scan per version into a 10-key hash aggregate (map-side
+    * partials), totals carried by a broadcast cross join — no sort,
+    * no window, no per-row state; empty buckets contribute 0 by the
+    * CASE guard, never NaN. The bucket expression evaluates an
+    * identical double tree in both engines; ln's ≤ 1-ulp wobble is
+    * absorbed by round(…,6). */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").as("v"))
+    val cur = base.select(col("o_orderkey"),
+      when(col("o_orderkey") % 5 === 0, col("v") * 1.1)
+        .otherwise(col("v")).as("v"))
+    val mm = base.agg(min("v").as("mn"), max("v").as("mx"))
+    def bucketed(df: DataFrame, tag: String): DataFrame =
+      df.crossJoin(broadcast(mm))
+        .select(least(lit(9),
+          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 10.0)
+            .cast("int")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(s"n_$tag"))
+    val j = bucketed(base, "base")
+      .join(bucketed(cur, "cur"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val tot = j.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"))
+    val pb = col("n_base").cast("double") / col("tb").cast("double")
+    val pc = col("n_cur").cast("double") / col("tc").cast("double")
+    j.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(pb, 6).as("p_base"), round(pc, 6).as("p_cur"),
+        round(when(col("n_base") > 0 && col("n_cur") > 0,
+          (pc - pb) * log(pc / pb)).otherwise(lit(0.0)), 6).as("contrib"))
+  }
+
+  val psiDriftSql: String =
+    """WITH base AS (SELECT o_orderkey, o_totalprice AS v FROM orders),
+      |cur AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN v * 1.1 ELSE v END AS v
+      |  FROM base),
+      |mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+      |bb AS (SELECT LEAST(9, CAST(FLOOR((v - mn) / (mx - mn) * 10.0)
+      |    AS INTEGER)) AS bucket FROM base, mm),
+      |bc AS (SELECT LEAST(9, CAST(FLOOR((v - mn) / (mx - mn) * 10.0)
+      |    AS INTEGER)) AS bucket FROM cur, mm),
+      |gb AS (SELECT bucket, COUNT(*) AS n_base FROM bb GROUP BY bucket),
+      |gc AS (SELECT bucket, COUNT(*) AS n_cur FROM bc GROUP BY bucket),
+      |j AS (SELECT COALESCE(gb.bucket, gc.bucket) AS bucket,
+      |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+      |  FROM gb FULL OUTER JOIN gc ON gb.bucket = gc.bucket),
+      |t AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j)
+      |SELECT bucket,
+      |  ROUND(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS p_base,
+      |  ROUND(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS p_cur,
+      |  ROUND(CASE WHEN n_base > 0 AND n_cur > 0 THEN
+      |      (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+      |        - CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE))
+      |      * ln((CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))
+      |        / (CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE)))
+      |    ELSE 0.0 END, 6) AS contrib
+      |FROM j, t""".stripMargin
 }

@@ -217,6 +217,52 @@ class R12OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ E78
+  test("kn_bigram_lm matches a local KN computation; mass sums to 1") {
+    val got = operators.CorpusAnalytics.knBigramLm(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val texts = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    val bi = texts.flatMap { t =>
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length >= 2) w.sliding(2).map(p => (p(0), p(1)))
+      else Iterator.empty
+    }.filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    val c = bi.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val c1dot = c.groupBy(_._1._1).map { case (w1, m) => (w1, m.values.sum) }
+    val nfwd = c.groupBy(_._1._1).map { case (w1, m) => (w1, m.size.toLong) }
+    val nrev = c.groupBy(_._1._2).map { case (w2, m) => (w2, m.size.toLong) }
+    val nTypes = c.size.toLong
+    val d = 0.75
+    def pkn(w1: String, w2: String): Double =
+      math.max(c((w1, w2)) - d, 0.0) / c1dot(w1) +
+        (d * nfwd(w1) / c1dot(w1)) * (nrev(w2).toDouble / nTypes)
+    val want = c.toSeq.sortBy { case ((w1, w2), n) => (-n, w1, w2) }.take(30)
+      .zipWithIndex.map { case (((w1, w2), n), i) =>
+        (i + 1, w1, w2, n, math.rint(pkn(w1, w2) * 1e6) / 1e6) }
+    assert(got.sortBy(_._1).toSeq == want)
+    // KN mass: for any context, discounted mass + lambda * sum(Pcont) = 1
+    nfwd.keys.take(20).foreach { w1 =>
+      val seen = c.collect { case ((`w1`, w2), n) =>
+        math.max(n - d, 0.0) / c1dot(w1) }.sum
+      val lambda = d * nfwd(w1) / c1dot(w1)
+      val contAll = nrev.values.map(_.toDouble / nTypes).sum // == 1
+      assert(math.abs(seen + lambda * contAll - 1.0) < 1e-9, w1)
+    }
+  }
+
+  // ------------------------------------------------------------ C33
+  test("psi_drift: shares sum to 1, contributions non-negative, drift registers") {
+    val rows = operators.DataQuality.psiDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // (p_cur - p_base) and ln(p_cur/p_base) always share a sign
+    assert(rows.forall(_._4 >= 0.0))
+    assert(rows.map(_._4).sum > 0.0) // the planted +10% shift must register
+  }
+
   // ------------------------------------------------------------ E77
   test("similarity_prefix_join equals local brute force and finds every plant") {
     val got = operators.TrainingQueries.similarityPrefixJoin(spark, sf)
