@@ -202,4 +202,72 @@ object Scd2 {
       |SELECT u.c_custkey, u.c_name, u.c_acctbal,
       |  '2024-02-01', NULL, TRUE
       |FROM upd u JOIN changed ch ON u.c_custkey = ch.c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- C34
+  /** Three-action MERGE INTO semantics (the lakehouse primitive:
+    * WHEN MATCHED AND close THEN DELETE / WHEN MATCHED THEN UPDATE /
+    * WHEN NOT MATCHED THEN INSERT) resolved in ONE full-outer pass —
+    * completing the family: C9 is two-action upsert, C24 computes a
+    * diff, F18 applies CDC continuously; this is the conditional
+    * multi-action batch form, with per-row action attribution.
+    * Change set (deterministic): key%7=0 closes, key%7∈{1,2} gets
+    * +100 balance, key%13=0 spawns an insert at key+2,000,000.
+    *
+    * Scale shape: exactly one key-partitioned shuffle (the full-outer
+    * join); every action resolves from the joined row with no second
+    * pass, no window, no driver state. Deletes are row drops in the
+    * result — the physical-rewrite half (touch only affected
+    * partitions, swap atomically) is C9/C29's proven machinery and is
+    * deliberately not repeated here. At 100 TB the join is the whole
+    * cost and AQE picks SMJ vs shuffled-hash from runtime stats. */
+  def mergeInto(s: SparkSession, dir: String): DataFrame = {
+    val tgt = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+    val closes = tgt.filter(col("id") % 7 === 0)
+      .select(col("id"), lit(null).cast("double").as("v"), lit("close").as("op"))
+    val updates = tgt.filter(col("id") % 7 === 1 || col("id") % 7 === 2)
+      .select(col("id"), lit(100.0).as("v"), lit("upsert").as("op"))
+    val inserts = tgt.filter(col("id") % 13 === 0)
+      .select((col("id") + 2000000L).as("id"), (col("bal") / 2.0).as("v"),
+        lit("upsert").as("op"))
+    val src = closes.unionByName(updates).unionByName(inserts)
+    // op is NULL for unmatched target rows: comparisons must be
+    // null-safe (<=>) or three-valued logic silently drops every
+    // 'keep' row from a NOT(...) filter
+    tgt.join(src, Seq("id"), "full_outer")
+      .filter(!(col("bal").isNotNull && (col("op") <=> "close")))
+      .select(col("id"),
+        when(col("bal").isNotNull && (col("op") <=> "upsert"),
+          col("bal") + col("v"))
+          .when(col("bal").isNotNull, col("bal"))
+          .otherwise(col("v")).as("bal"),
+        when(col("bal").isNotNull && (col("op") <=> "upsert"), lit("update"))
+          .when(col("bal").isNotNull, lit("keep"))
+          .otherwise(lit("insert")).as("action"))
+      .filter(col("bal").isNotNull) // drops close-of-missing ghosts
+  }
+
+  val mergeIntoSql: String =
+    """WITH tgt AS (SELECT c_custkey AS id, c_acctbal AS bal FROM customer),
+      |src AS (
+      |  SELECT id, CAST(NULL AS DOUBLE) AS v, 'close' AS op FROM tgt
+      |  WHERE id % 7 = 0
+      |  UNION ALL
+      |  SELECT id, 100.0, 'upsert' FROM tgt WHERE id % 7 IN (1, 2)
+      |  UNION ALL
+      |  SELECT id + 2000000, bal / 2.0, 'upsert' FROM tgt
+      |  WHERE id % 13 = 0),
+      |j AS (SELECT COALESCE(t.id, s.id) AS id, t.bal, s.v, s.op
+      |  FROM tgt t FULL OUTER JOIN src s ON t.id = s.id)
+      |SELECT id,
+      |  CASE WHEN bal IS NOT NULL AND op IS NOT DISTINCT FROM 'upsert'
+      |    THEN bal + v WHEN bal IS NOT NULL THEN bal ELSE v END AS bal,
+      |  CASE WHEN bal IS NOT NULL AND op IS NOT DISTINCT FROM 'upsert'
+      |    THEN 'update' WHEN bal IS NOT NULL THEN 'keep'
+      |    ELSE 'insert' END AS action
+      |FROM j
+      |WHERE NOT (bal IS NOT NULL AND op IS NOT DISTINCT FROM 'close')
+      |  AND (CASE WHEN bal IS NOT NULL AND op IS NOT DISTINCT FROM 'upsert'
+      |    THEN bal + v WHEN bal IS NOT NULL THEN bal ELSE v END)
+      |    IS NOT NULL""".stripMargin
 }

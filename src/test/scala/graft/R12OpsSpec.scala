@@ -217,6 +217,32 @@ class R12OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ C34
+  test("merge_into: action accounting reconciles with the change set") {
+    val tgt = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val got = operators.Scd2.mergeInto(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byAction = got.groupBy(_._3).view.mapValues(_.length).toMap
+    val nClose = tgt.keys.count(_ % 7 == 0)
+    val nUpd = tgt.keys.count(k => k % 7 == 1 || k % 7 == 2)
+    val nIns = tgt.keys.count(_ % 13 == 0)
+    assert(byAction.getOrElse("update", 0) == nUpd)
+    assert(byAction.getOrElse("insert", 0) == nIns)
+    assert(byAction.getOrElse("keep", 0) == tgt.size - nClose - nUpd)
+    assert(got.length == tgt.size - nClose + nIns)
+    // value semantics per branch
+    got.foreach {
+      case (id, b, "update") => assert(b == tgt(id) + 100.0)
+      case (id, b, "keep")   => assert(b == tgt(id))
+      case (id, b, "insert") => assert(b == tgt(id - 2000000L) / 2.0)
+      case other             => fail(other.toString)
+    }
+    // no closed key survives
+    assert(got.forall { case (id, _, _) => !(id % 7 == 0 && id < 2000000L) })
+  }
+
   // ------------------------------------------------------------ E78
   test("kn_bigram_lm matches a local KN computation; mass sums to 1") {
     val got = operators.CorpusAnalytics.knBigramLm(spark, sf).collect()
