@@ -13,6 +13,8 @@ object Bench {
     "ann_ivf_persist_gate")
 
   def main(args: Array[String]): Unit = {
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -139,7 +141,14 @@ object Bench {
       .mkString("{", ",", "}")
     val streamTotal = cleanSum(streamResults)
     val gateTotal = cleanSum(sinkResults)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"queries_min":${js(mins)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"gate_total":$gateTotal,"queries_gate":${js(sinkResults)},"stream_total":$streamTotal,"queries_stream":${js(streamResults)},"errors":$errJs,"rc":${if (errors.isEmpty) 0 else 1},"sf":"$sfDir"}"""
+    // System load at start/end of the run: every cross-round comparison
+    // so far has needed a manual "was the machine busy?" investigation
+    // (r10→r11 read as a 36% regression that was load band; r12 saw the
+    // same). Recording the 1-min load average makes drift attributable
+    // from the artifact alone.
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"queries_min":${js(mins)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"gate_total":$gateTotal,"queries_gate":${js(sinkResults)},"stream_total":$streamTotal,"queries_stream":${js(streamResults)},"errors":$errJs,"rc":${if (errors.isEmpty) 0 else 1},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncated
     // every past round's headline: persist the complete JSON as a file
