@@ -1534,4 +1534,84 @@ object CorpusAnalytics {
       |      * (CAST(r.nrev AS DOUBLE) / CAST(n.n_types AS DOUBLE)), 6) AS p_kn
       |FROM tk JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
       |WHERE tk.rk <= 30""".stripMargin
+
+  // --------------------------------------------------------------- E79
+  /** Longest duplicated-span report — the SPAN-level criterion of
+    * substring dedup (Lee et al. 2022 drop any ~50-token span that
+    * appears elsewhere in the corpus; E55 reports the per-doc RATIO,
+    * this reports the RUN STRUCTURE the span criterion actually
+    * needs): per document, the longest run of CONSECUTIVE 5-gram
+    * positions whose gram occurs in ≥ 2 distinct documents — a run of
+    * R gram starts is a duplicated span of R+4 tokens. Planted: every
+    * 10th document's middle third re-enters as its own document, so
+    * those pairs must both carry a span ≥ their shared third.
+    *
+    * Scale shape: gram text never crosses the wire (the E55 16-byte
+    * double-xxhash64 key trick; the oracle resolves on exact gram
+    * strings so collisions would fail the gate); the doc-frequency
+    * filter reduces to duplicated positions BEFORE the window, so the
+    * per-doc run detection (gaps-and-islands: pos − row_number) sorts
+    * only the duplicated subset, partitioned by doc — never a corpus
+    * sort, never a single reducer. */
+  def dupSpan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val planted = base.filter(col("doc_id") % 10 === 0 && size(col("t")) >= 15)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        expr("slice(t, size(t) div 3 + 1, size(t) div 3)").as("t"))
+    val grams = base.unionByName(planted).filter(size(col("t")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(t) - 5),
+          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))"""
+          .stripMargin)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("gram")).as("h1"), xxhash64(lit(7), col("gram")).as("h2"))
+    val docFreq = grams.select(col("doc_id"), col("h1"), col("h2")).distinct()
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("n_docs"))
+    val dup = grams.join(docFreq.filter(col("n_docs") >= 2), Seq("h1", "h2"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dup.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_dup_run"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("max_dup_run"))
+      .select(col("doc_id"), col("n_grams"), col("max_dup_run"),
+        when(col("max_dup_run") > 0, col("max_dup_run") + lit(4L))
+          .otherwise(lit(0L)).as("dup_token_span"))
+      .withColumn("flag_50", col("dup_token_span") >= 50)
+  }
+
+  val dupSpanSql: String =
+    """WITH d0 AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |            FROM documents),
+      |p AS (SELECT doc_id + 20000 AS doc_id,
+      |    t[len(t)//3 + 1 : len(t)//3 + len(t)//3] AS t
+      |  FROM d0 WHERE doc_id % 10 = 0 AND len(t) >= 15),
+      |c AS (SELECT * FROM d0 UNION ALL SELECT * FROM p),
+      |g AS (SELECT doc_id,
+      |    unnest(generate_series(0, len(t) - 5)) AS pos,
+      |    unnest(list_transform(generate_series(1, len(t) - 4),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+      |           t[i+3] || ' ' || t[i+4])) AS gram
+      |  FROM c WHERE len(t) >= 5),
+      |dg AS (SELECT DISTINCT doc_id, gram FROM g),
+      |f AS (SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) >= 2),
+      |dup AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+      |runs AS (SELECT doc_id, MAX(run) AS max_dup_run FROM (
+      |    SELECT doc_id, grp, COUNT(*) AS run FROM (
+      |      SELECT doc_id, pos,
+      |        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+      |          AS grp
+      |      FROM dup) GROUP BY doc_id, grp) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(r.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+      |  CAST(CASE WHEN COALESCE(r.max_dup_run, 0) > 0
+      |    THEN r.max_dup_run + 4 ELSE 0 END AS BIGINT) AS dup_token_span,
+      |  (CASE WHEN COALESCE(r.max_dup_run, 0) > 0
+      |    THEN r.max_dup_run + 4 ELSE 0 END) >= 50 AS flag_50
+      |FROM tot t LEFT JOIN runs r USING (doc_id)""".stripMargin
 }

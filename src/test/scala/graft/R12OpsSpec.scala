@@ -217,6 +217,25 @@ class R12OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ E79
+  test("dup_span: planted middle-thirds are fully duplicated; bases carry the span") {
+    val rows = operators.CorpusAnalytics.dupSpan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = rows.map(r => (r._1, r)).toMap
+    val plantedIds = rows.map(_._1).filter(_ >= 20000L)
+    assert(plantedIds.nonEmpty)
+    plantedIds.foreach { id =>
+      val (_, nGrams, maxRun, span) = byId(id)
+      // the planted doc is a verbatim excerpt: every gram duplicated
+      assert(maxRun == nGrams && span == nGrams + 4, s"planted $id")
+      // its base doc must carry a duplicated run covering the excerpt
+      assert(byId(id - 20000L)._3 >= nGrams, s"base of $id")
+    }
+    // span algebra: dup_token_span == max_dup_run + 4 exactly when a run exists
+    rows.foreach { case (id, _, run, span) =>
+      assert(if (run > 0) span == run + 4 else span == 0, s"doc $id") }
+  }
+
   // ------------------------------------------------------------ C34
   test("merge_into: action accounting reconciles with the change set") {
     val tgt = Tables.customer(spark, sf)
