@@ -1429,23 +1429,43 @@ object Analytics {
     * 1-row exchange regardless of pair count; m measures cost
     * m(m+1)/2 moment columns, never m² passes (the naive profiler
     * calls corr() per pair and rescans the fact table each time).
-    * Exactness: each product is rounded into DECIMAL(28,8) BEFORE
-    * summation in both engines, so moment sums are exact and the only
-    * inexact step is the final double arithmetic, absorbed by
-    * round(…,6) — the q_regression protocol. */
+    *
+    * Exactness AND speed via fixed-point longs: every measure is an
+    * exact 2-decimal value, so ROUND(v·100) recovers identical
+    * integers in both engines (the true fraction sits ~1e-9 from an
+    * integer, never near the .5 boundary where the engines' rounding
+    * styles differ), and correlation is scale-invariant. Summing
+    * >18-digit DECIMALs instead would pull every row through the
+    * BigDecimal (128-bit) aggregate path — measured 10× slower than
+    * long math here — so products accumulate as TWO long sums
+    * (quotient/remainder by 1e9); the exact total hi·1e9+lo is
+    * reconstructed in DECIMAL(38,0) on the single result row. The
+    * split is overflow-safe to ~9.2e9 rows per aggregation; beyond
+    * that, add a third limb (div 1e18 / div 1e9 mod 1e9 / mod 1e9) —
+    * the same trick, one more column. DuckDB needs no split (its
+    * BIGINT SUM accumulates into exact HUGEINT); both engines then
+    * cast the same exact integer to double, which IEEE rounds
+    * identically, and round(…,6) absorbs the final arithmetic. */
   def corrMatrix(s: SparkSession, dir: String): DataFrame = {
     val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val scaled = Tables.lineitem(s, dir).select(
+      ms.map(c => expr(s"cast(round($c * 100.0, 0) as bigint)").as(c)): _*)
+    val m = 1000000000L
     val moments: Seq[Column] =
       Seq(count(lit(1)).as("n")) ++
-      ms.map(c => sum(col(c).cast(DecimalType(18, 6))).as(s"s_$c")) ++
-      (for (i <- ms.indices; j <- i until ms.length) yield
-        sum((col(ms(i)) * col(ms(j))).cast(DecimalType(28, 8)))
-          .as(s"p_${ms(i)}__${ms(j)}"))
-    val g = Tables.lineitem(s, dir).agg(moments.head, moments.tail: _*)
+      ms.map(c => sum(col(c)).as(s"s_$c")) ++
+      (for (i <- ms.indices; j <- i until ms.length; part <- Seq(
+        sum(expr(s"(${ms(i)} * ${ms(j)}) div $m")).as(s"hi_${ms(i)}__${ms(j)}"),
+        sum(expr(s"(${ms(i)} * ${ms(j)}) % $m")).as(s"lo_${ms(i)}__${ms(j)}")))
+        yield part)
+    val g = scaled.agg(moments.head, moments.tail: _*)
+    def p(a: String, b: String): Column =
+      (col(s"hi_${a}__$b").cast(DecimalType(38, 0)) * lit(m) +
+        col(s"lo_${a}__$b").cast(DecimalType(38, 0))).cast("double")
     def d(c: String): Column = col(c).cast("double")
     val nD = col("n").cast("double")
     def ss(a: String, b: String): Column =
-      nD * d(s"p_${a}__$b") - d(s"s_$a") * d(s"s_$b")
+      nD * p(a, b) - d(s"s_$a") * d(s"s_$b")
     val rows = for (i <- ms.indices; j <- (i + 1) until ms.length) yield {
       val (a, b) = (ms(i), ms(j))
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
@@ -1457,22 +1477,19 @@ object Analytics {
   }
 
   val corrMatrixSql: String =
-    """WITH g AS (SELECT COUNT(*) AS n,
-      |  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS se,
-      |  SUM(CAST(l_discount AS DECIMAL(18,6))) AS sd,
-      |  SUM(CAST(l_tax AS DECIMAL(18,6))) AS st,
-      |  SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS pqq,
-      |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS pqe,
-      |  SUM(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS pqd,
-      |  SUM(CAST(l_quantity * l_tax AS DECIMAL(28,8))) AS pqt,
-      |  SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS pee,
-      |  SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))) AS ped,
-      |  SUM(CAST(l_extendedprice * l_tax AS DECIMAL(28,8))) AS pet,
-      |  SUM(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS pdd,
-      |  SUM(CAST(l_discount * l_tax AS DECIMAL(28,8))) AS pdt,
-      |  SUM(CAST(l_tax * l_tax AS DECIMAL(28,8))) AS ptt
+    """WITH sc AS (SELECT
+      |  CAST(ROUND(l_quantity * 100.0, 0) AS BIGINT) AS q,
+      |  CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS e,
+      |  CAST(ROUND(l_discount * 100.0, 0) AS BIGINT) AS d,
+      |  CAST(ROUND(l_tax * 100.0, 0) AS BIGINT) AS t
       |  FROM lineitem),
+      |g AS (SELECT COUNT(*) AS n,
+      |  SUM(q) AS sq, SUM(e) AS se, SUM(d) AS sd, SUM(t) AS st,
+      |  SUM(q * q) AS pqq, SUM(q * e) AS pqe, SUM(q * d) AS pqd,
+      |  SUM(q * t) AS pqt, SUM(e * e) AS pee, SUM(e * d) AS ped,
+      |  SUM(e * t) AS pet, SUM(d * d) AS pdd, SUM(d * t) AS pdt,
+      |  SUM(t * t) AS ptt
+      |  FROM sc),
       |c AS (SELECT CAST(n AS DOUBLE) AS n, CAST(sq AS DOUBLE) AS sq,
       |  CAST(se AS DOUBLE) AS se, CAST(sd AS DOUBLE) AS sd,
       |  CAST(st AS DOUBLE) AS st, CAST(pqq AS DOUBLE) AS pqq,

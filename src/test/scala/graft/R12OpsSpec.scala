@@ -328,12 +328,15 @@ class R12OpsSpec extends SparkSpec {
     val want = (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
       j = (sa & sb).size.toDouble / (sa | sb).size
-      if j >= 0.7
+      if j >= 0.8
     } yield ((a, b), math.rint(j * 1e6) / 1e6)).toMap
     assert(got == want, s"got ${got.size} want ${want.size}")
-    // every planted truncation links back to its base
-    assert(docs.filter(_._1 % 10 == 0)
-      .forall { case (id, _) => got.contains((id, id + 10000L)) })
+    // every planted truncation whose true Jaccard clears τ links back
+    // (very short docs legitimately fall under: J ≈ (0.9W−2)/(W−2))
+    val eligible = docs.filter(_._1 % 10 == 0)
+      .map { case (id, _) => (id, id + 10000L) }.filter(want.contains)
+    assert(eligible.nonEmpty)
+    assert(eligible.forall(got.contains))
   }
 
   // ------------------------------------------------------------ E76
