@@ -1638,7 +1638,17 @@ object TrainingQueries {
       .select((col("doc_id") + 10000L).as("doc_id"),
         array_join(slice(col("t"), lit(1),
           greatest(lit(1), expr("(9 * size(t)) div 10"))), " ").as("text"))
-    val corpus = base.unionByName(planted)
+    prefixJaccardSelfJoin(base.unionByName(planted), "doc_id", "text", tau)
+  }
+
+  /** Reusable core of E77: all pairs of `docs` whose word-trigram
+    * Jaccard ≥ τ, via prefix filtering + the PPJoin length filter
+    * (see similarityPrefixJoin's scale notes). `idCol` must be
+    * unique and castable to long; returns (id_a, id_b, jaccard)
+    * with id_a < id_b. */
+  def prefixJaccardSelfJoin(docs: DataFrame, idCol: String,
+                            textCol: String, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
     // shingle text never crosses the wire: sets reduce to 8-byte
     // xxhash64 keys in the scan projection (the E55 trick — the
     // brute-force STRING oracle would fail the gate on a collision),
@@ -1647,8 +1657,9 @@ object TrainingQueries {
     // joins, idx feeds both sides of the self-join — without the cut,
     // Spark recomputes the shingle projection and the whole prefix
     // pipeline once per consumer (measured 9.5 s vs 3.5 s at sf0.1)
-    val sh = corpus
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val sh = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("t"))
       .select(col("doc_id"), array_distinct(expr(
         """transform(
           |  CASE WHEN size(t) >= 3

@@ -301,4 +301,39 @@ class PropertySpec extends SparkSpec {
       } else assert(row.getAs[java.lang.Double]("entropy_bits") == null)
     }
   }
+
+  private val prefixJoinCorpus: Gen[(List[(Long, String)], Double)] = for {
+    n <- Gen.choose(2, 18)
+    tau <- Gen.oneOf(0.3, 0.5, 0.8, 1.0)
+    texts <- Gen.listOfN(n, for {
+      w <- Gen.choose(0, 9)
+      words <- Gen.listOfN(w, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield words.mkString(" "))
+  } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, tau)
+
+  test("prefixJaccardSelfJoin equals all-pairs brute force on random corpora") {
+    // the prefix-filter theorem's contract is EXACT equality with the
+    // quadratic definition — including empty docs (one "" shingle),
+    // sub-trigram docs (whole-text shingle), identical docs (J = 1),
+    // and every tested τ
+    samples(prefixJoinCorpus, 10).foreach { case (docs, tau) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = operators.TrainingQueries
+        .prefixJaccardSelfJoin(df, "doc_id", "text", tau)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      def sh(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+        else Set(w.mkString(" "))
+      }
+      val sets = docs.map { case (id, t) => (id, sh(t)) }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= tau
+      } yield ((a, b), math.rint(j * 1e6) / 1e6)).toMap
+      assert(got == want, s"tau=$tau docs=$docs")
+    }
+  }
 }
