@@ -236,6 +236,52 @@ object SinkGates {
       |  CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ C35
+  /** Incremental JOIN-view maintenance — the delta rule, C13's fold
+    * for a JOIN view: V = orders ⋈ customer materializes ONCE from
+    * the old snapshots; inserts arriving on BOTH sides then maintain
+    * it as V' = V ∪ (ΔO⋈C_old) ∪ (O_old⋈ΔC) ∪ (ΔO⋈ΔC) — three delta
+    * joins whose Δ sides BROADCAST, never an old⋈old recompute. At
+    * 100 TB this is the whole point: the view's big shuffle ran once
+    * at materialization, every refresh costs |Δ|, not |table|. Emits
+    * the maintained view's per-priority rollup; the oracle recomputes
+    * the FULL join from scratch, so a missed or double-counted delta
+    * term shows as a value mismatch, exactly. */
+  def joinViewMaintainGate(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val oldO = orders.filter(col("o_orderkey") % 17 =!= 0)
+    val dO = orders.filter(col("o_orderkey") % 17 === 0)
+    val oldC = cust.filter(col("c_custkey") % 23 =!= 0)
+    val dC = cust.filter(col("c_custkey") % 23 === 0)
+    val out = base(dir, "join_view")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    oldO.join(oldC, col("o_custkey") === col("c_custkey"))
+      .write.parquet(out)
+    def jk = col("o_custkey") === col("c_custkey")
+    val maintained = s.read.parquet(out)
+      .unionByName(broadcast(dO).join(oldC, jk))
+      .unionByName(oldO.join(broadcast(dC), jk))
+      .unionByName(broadcast(dO).join(broadcast(dC), jk))
+    maintained.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.Relational.dsum(col("o_totalprice")).as("price_sum"),
+        sum(col("c_nationkey")).cast("long").as("nation_sum"))
+  }
+
+  val joinViewMaintainGateSql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+      |    AS price_sum,
+      |  CAST(SUM(c_nationkey) AS BIGINT) AS nation_sum
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ C16
   /** Dynamic partition pruning: a day-partitioned fact joined to a
     * filtered dim must carry a runtime pruning subquery in the fact

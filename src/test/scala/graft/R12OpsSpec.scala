@@ -217,6 +217,26 @@ class R12OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ C35
+  test("join_view_maintain: delta terms partition the recomputed view") {
+    val got = sinks.SinkGates.joinViewMaintainGate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val orders = Tables.orders(spark, sf)
+    val cust = Tables.customer(spark, sf)
+    val full = orders.join(cust,
+      col("o_custkey") === col("c_custkey"))
+    // the maintained rollup must account for every full-join row
+    assert(got.map(_._2).sum == full.count())
+    // quadrant disjointness: old/delta splits partition the join
+    def q(om: Int, cm: Int) = orders
+      .filter(if (om == 0) col("o_orderkey") % 17 =!= 0
+              else col("o_orderkey") % 17 === 0)
+      .join(cust.filter(if (cm == 0) col("c_custkey") % 23 =!= 0
+                        else col("c_custkey") % 23 === 0),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(q(0, 0) + q(1, 0) + q(0, 1) + q(1, 1) == full.count())
+  }
+
   // ------------------------------------------------------------ E79
   test("dup_span: planted middle-thirds are fully duplicated; bases carry the span") {
     val rows = operators.CorpusAnalytics.dupSpan(spark, sf).collect()
