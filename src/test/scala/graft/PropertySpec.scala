@@ -336,4 +336,33 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"tau=$tau docs=$docs")
     }
   }
+
+  private val digitsAndSwap: Gen[(String, Int)] = for {
+    ds <- Gen.listOfN(9, Gen.choose(0, 9)).map(_.mkString)
+    p <- Gen.choose(0, 7)
+  } yield (ds, p)
+
+  test("record-linkage blocking model: transpositions are key-invariant, distance ∈ {0,2}") {
+    // the E76 guarantees hold for EVERY digit string and swap
+    // position, not just the customer fixtures: the sorted-digit key
+    // is invariant under any adjacent transposition, and same-length
+    // same-multiset strings sit at Levenshtein 0 or 2, never 1
+    def swap(s: String, p: Int): String =
+      s.substring(0, p) + s(p + 1) + s(p) + s.substring(p + 2)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    samples(digitsAndSwap, 200).foreach { case (ds, p) =>
+      val sw = swap(ds, p)
+      assert(ds.sorted == sw.sorted, s"$ds p=$p")
+      val d = lev(ds, sw)
+      assert(d == 0 || d == 2, s"$ds -> $sw dist=$d")
+      assert((d == 0) == (ds(p) == ds(p + 1)))
+    }
+  }
 }
