@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Degenerate-input hardening: a date-partitioned pipeline routinely
+  * meets EMPTY inputs (a drop day with no files, a partition with no
+  * survivors after filtering). Every operator here must plan and
+  * execute on zero-row tables without throwing — returning zero rows,
+  * or for global-aggregate shapes, a well-formed all-null/NaN row.
+  * This is the local[32] stand-in for "executor gets an empty split".
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  /** One empty-copy of every testdata table, schemas preserved. */
+  private lazy val emptyDir: String = {
+    val out = "/tmp/graft_empty_sf"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_done"))) {
+      Tables.all.foreach { t =>
+        spark.read.parquet(s"$sf/$t.parquet").limit(0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      fs.create(new org.apache.hadoop.fs.Path(s"$out/_done")).close()
+    }
+    out
+  }
+
+  private def rowsOf(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
+    val df = fn(spark, emptyDir)
+    df.count() // must not throw
+  }
+
+  test("relational core returns zero rows on empty tables") {
+    for ((n, fn) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "q1_agg" -> Relational.q1Agg _,
+      "q_filter_project" -> Relational.filterProject _,
+      "q_big_join" -> Relational.bigJoin _,
+      "q_window" -> Relational.windowRank _,
+      "q_semi_join" -> Relational.semiJoin _,
+      "merge_into" -> Scd2.mergeInto _))
+      assert(rowsOf(n, fn) == 0L, n)
+    // count-shaped: one well-formed zero row
+    val n = EtlQueries.dedupRows(spark, emptyDir).head()
+    assert(n.getLong(0) == 0L)
+  }
+
+  test("corpus operators survive an empty documents table") {
+    for ((n, fn) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "dup_ngram_ratio" -> ((s, d) => CorpusAnalytics.dupNgramRatio(s, d)),
+      "dup_span" -> CorpusAnalytics.dupSpan _,
+      "bpe_pair_counts" -> ((s, d) => CorpusAnalytics.bpePairCounts(s, d)),
+      "kn_bigram_lm" -> ((s, d) => CorpusAnalytics.knBigramLm(s, d)),
+      "similarity_prefix_join" -> ((s, d) => TrainingQueries.similarityPrefixJoin(s, d)),
+      "record_linkage" -> TrainingQueries.recordLinkage _))
+      assert(rowsOf(n, fn) == 0L, n)
+  }
+
+  test("global-aggregate shapes emit well-formed rows on empty input") {
+    // corr_matrix: 6 pair rows whose corr is NaN/null — never a throw
+    val corr = Analytics.corrMatrix(spark, emptyDir).collect()
+    assert(corr.length == 6)
+    assert(corr.forall(r => r.isNullAt(2) || r.getDouble(2).isNaN))
+    // psi_drift: no buckets exist — zero rows, not an error
+    assert(DataQuality.psiDrift(spark, emptyDir).count() == 0L)
+  }
+}
