@@ -365,4 +365,26 @@ class PropertySpec extends SparkSpec {
       assert((d == 0) == (ds(p) == ds(p + 1)))
     }
   }
+
+  private val limbValues: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 400)
+    rows <- Gen.listOfN(n, for {
+      // the C32 domain bound: 2-decimal measures ≤ ~105k scale to ≤ 1.05e7
+      a <- Gen.choose(0L, 10500000L)
+      b <- Gen.choose(0L, 10500000L)
+    } yield (a, b))
+  } yield rows
+
+  test("corr_matrix limb split reconstructs exact product sums on random bounded values") {
+    // Σ(a·b) via SUM(p div 1e9)·1e9 + SUM(p mod 1e9) must equal the
+    // BigInt truth for any row count — including products right at the
+    // 1.1e14 domain ceiling where a single-long sum would overflow
+    val m = 1000000000L
+    samples(limbValues, 8).foreach { rows =>
+      val hi = rows.map { case (a, b) => a * b / m }.sum
+      val lo = rows.map { case (a, b) => a * b % m }.sum
+      val truth = rows.map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+      assert(BigInt(hi) * m + BigInt(lo) == truth, s"n=${rows.length}")
+    }
+  }
 }
