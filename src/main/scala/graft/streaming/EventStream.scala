@@ -752,4 +752,25 @@ object EventStream {
           EwmaOut(uid, st.n, st.nAnom, st.ewma, st.monotone)
       }
   }
+
+  /** F22: per-window value histogram against FIXED baseline bucket
+    * edges — the streaming half of the PSI drift monitor (C33's
+    * continuous form). The baseline min/max arrive as CONSTANTS
+    * (precomputed from the reference snapshot, the way a deployed
+    * monitor ships its baseline), so bucket assignment is pure
+    * codegen in the stream — no stream-static join, no state beyond
+    * the windowed counts. PSI assembly over the (window, bucket)
+    * counts is a keys-sized batch step on the sink side. */
+  def windowedHistogram(events: DataFrame, mn: Double, mx: Double,
+                        nBuckets: Int = 10,
+                        watermarkDelay: String = "30 minutes",
+                        windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen),
+        least(lit(nBuckets - 1),
+          floor((col("value") - lit(mn)) / (lit(mx) - lit(mn)) * nBuckets)
+            .cast("int")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("n"))
 }

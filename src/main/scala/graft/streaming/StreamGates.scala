@@ -168,6 +168,80 @@ object StreamGates {
       .toDF("metric", "n_windows", "n_events", "stream_matches_batch")
   }
 
+  // ------------------------------------------------------------- F22
+  /** Streaming PSI drift monitor — C33's continuous form. The staged
+    * slice streams through [[EventStream.windowedHistogram]] with
+    * baseline bucket edges fixed from the batch slice (shipped as
+    * CONSTANTS, the deployed-monitor shape — no stream-static join),
+    * and the per-window bucket counts must equal the batch replay
+    * EXACTLY: integer counts, no rounding escape hatch. PSI then
+    * assembles per window from those counts against the whole-slice
+    * baseline shares (keys-sized batch step), the gate reporting the
+    * max across windows; the oracle recomputes the same max-PSI in
+    * DuckDB, so the window values are pinned cross-engine too. */
+  def streamPsi(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    val ev = slice(s, dir)
+    val mm = ev.agg(min(col("value")), max(col("value"))).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val in = stagedOnce(dir, "slice5x2")(d => stage(ev, d, nFiles = 2))
+    val qn = uniq("sg_psi")
+    drain(EventStream.windowedHistogram(fileStream(s, in, ev.schema), mn, mx)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", tempDir("graft_sg_psi_ck")))
+    val got = s.table(qn)
+    val bucket = least(lit(9),
+      floor((col("value") - lit(mn)) / (lit(mx) - lit(mn)) * 10)
+        .cast("int")).as("bucket")
+    val want = ev.groupBy(window(col("ts"), "1 hour"), bucket)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("n"))
+    val tb = ev.count()
+    val base = ev.select(bucket).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("nb"))
+    // per-window totals via a partitioned window, not a self-join of
+    // the memory table (whose re-read reuses attribute ids and makes
+    // the join ambiguous)
+    val winSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+    val pw = col("n").cast("double") / col("tw").cast("double")
+    val pb = col("nb").cast("double") / lit(tb.toDouble)
+    val psi = got.withColumn("tw", sum(col("n")).over(winSpec))
+      .join(base, "bucket")
+      .select(col("window_start"), ((pw - pb) * log(pw / pb)).as("contrib"))
+      .groupBy(col("window_start")).agg(sum(col("contrib")).as("psi"))
+    val maxPsi = psi.agg(round(max(col("psi")), 6)).head().getDouble(0)
+    val nonneg = psi.filter(col("psi") < -1e-12).isEmpty
+    Seq(("stream_psi", psi.count(), tb, maxPsi, nonneg, setEqual(got, want)))
+      .toDF("metric", "n_windows", "n_events", "max_psi", "psi_nonneg",
+        "stream_matches_batch")
+  }
+
+  val streamPsiSql: String =
+    """WITH ev AS (SELECT * FROM events WHERE event_id < 2000),
+      |mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+      |b AS (SELECT date_trunc('hour', ts) AS w,
+      |    LEAST(9, CAST(FLOOR((value - mn) / (mx - mn) * 10) AS INTEGER))
+      |      AS bucket
+      |  FROM ev, mm),
+      |wc AS (SELECT w, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |tw AS (SELECT w, SUM(n) AS tw FROM wc GROUP BY 1),
+      |base AS (SELECT bucket, COUNT(*) AS nb FROM b GROUP BY 1),
+      |tb AS (SELECT COUNT(*) AS tb FROM ev),
+      |c AS (SELECT wc.w,
+      |    (CAST(wc.n AS DOUBLE) / CAST(tw.tw AS DOUBLE)
+      |      - CAST(base.nb AS DOUBLE) / CAST(tb.tb AS DOUBLE))
+      |    * ln((CAST(wc.n AS DOUBLE) / CAST(tw.tw AS DOUBLE))
+      |      / (CAST(base.nb AS DOUBLE) / CAST(tb.tb AS DOUBLE))) AS contrib
+      |  FROM wc JOIN tw USING (w) JOIN base USING (bucket) CROSS JOIN tb),
+      |p AS (SELECT w, SUM(contrib) AS psi FROM c GROUP BY 1)
+      |SELECT 'stream_psi' AS metric,
+      |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_windows,
+      |  CAST((SELECT tb FROM tb) AS BIGINT) AS n_events,
+      |  ROUND((SELECT MAX(psi) FROM p), 6) AS max_psi,
+      |  TRUE AS psi_nonneg, TRUE AS stream_matches_batch""".stripMargin
+
   // ------------------------------------------------------------- F4
   /** Streaming dedup across micro-batches: every event is staged TWICE
     * (two file sets, so duplicates arrive in different batches) and

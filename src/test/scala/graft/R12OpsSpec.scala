@@ -189,6 +189,12 @@ class R12OpsSpec extends SparkSpec {
     assert(r.getBoolean(3), r.toString)
   }
 
+  test("stream_psi: windowed histogram matches batch; PSI non-negative") {
+    val r = streaming.StreamGates.streamPsi(spark, sf).head()
+    assert(r.getBoolean(4) && r.getBoolean(5), r.toString)
+    assert(r.getDouble(3) >= 0.0)
+  }
+
   // ------------------------------------------------------------ E75
   test("bpe_pair_counts matches a brute-force local recount") {
     val got = operators.CorpusAnalytics.bpePairCounts(spark, sf).collect()
