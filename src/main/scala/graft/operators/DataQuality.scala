@@ -289,8 +289,19 @@ object DataQuality {
     * doubles pinned through DECIMAL(18,6), timestamps as epoch
     * microseconds), hashes through MD5 (bit-identical everywhere), and
     * the first 40 bits sum per bucket — an exact, commutative
-    * reduction (≤2^40 per row keeps even billion-row buckets inside
-    * int64), so partitioning and row order are irrelevant. Bucketing
+    * reduction, so partitioning and row order are irrelevant. The sum
+    * runs as TWO long limbs (quotient/remainder by 2^20, the
+    * corr_matrix trick — long math, never per-row BigDecimal): each
+    * limb addend is < 2^20, so limb sums stay inside int64 to ~2^43
+    * rows PER BUCKET (~140 trillion table rows). The fingerprint IS
+    * the exact limb pair (fp_hi, fp_lo) = (Σ h div 2^20, Σ h mod
+    * 2^20) — logically fp_hi·2^20 + fp_lo, but published as the pair
+    * so both engines compare in native int64 (a recombined
+    * DECIMAL(38,0) reaches pandas/arrow as float64 and loses
+    * exactness; a single 40-bit sum in int64 overflows at only ~2^23
+    * rows per bucket — and Spark's non-ANSI sum(long) would wrap
+    * silently while DuckDB promotes to HUGEINT, so the engines would
+    * diverge precisely at migration scale). Bucketing
     * by key mod 16 turns "the table diverged"
     * into "bucket 11 diverged": at scale the two sides re-fingerprint
     * only that bucket's partitions to localize the corruption.
@@ -316,17 +327,21 @@ object DataQuality {
       .select(pmod(col("o_orderkey"), lit(16L)).as("bucket"),
         conv(substring(md5(canon), 1, 10), 16, 10).cast("long").as("h"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("h div 1048576")).as("fp_hi"),
+        sum(expr("h % 1048576")).as("fp_lo"))
   }
 
   val tableFingerprintSql: String =
-    """SELECT o_orderkey % 16 AS bucket, COUNT(*) AS n_rows,
-      |  CAST(SUM(CAST(CONCAT('0x', substr(md5(CONCAT_WS('|',
+    """SELECT bucket, COUNT(*) AS n_rows,
+      |  CAST(SUM(h // 1048576) AS BIGINT) AS fp_hi,
+      |  CAST(SUM(h % 1048576) AS BIGINT) AS fp_lo
+      |FROM (SELECT o_orderkey % 16 AS bucket,
+      |  CAST(CONCAT('0x', substr(md5(CONCAT_WS('|',
       |    o_orderkey, o_custkey, o_orderstatus,
       |    CAST(o_totalprice AS DECIMAL(18,6)),
-      |    epoch_us(o_orderdate), o_orderpriority)), 1, 10)) AS BIGINT))
-      |    AS BIGINT) AS fingerprint
-      |FROM orders GROUP BY 1""".stripMargin
+      |    epoch_us(o_orderdate), o_orderpriority)), 1, 10)) AS BIGINT) AS h
+      |  FROM orders) GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------- C33
   /** Population-stability-index drift monitor between two versions of

@@ -1635,7 +1635,7 @@ object TrainingQueries {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select((col("doc_id") + 10000L).as("doc_id"),
+      .select((col("doc_id") + 1000000L).as("doc_id"),
         array_join(slice(col("t"), lit(1),
           greatest(lit(1), expr("(9 * size(t)) div 10"))), " ").as("text"))
     prefixJaccardSelfJoin(base.unionByName(planted), "doc_id", "text", tau)
@@ -1704,7 +1704,7 @@ object TrainingQueries {
 
   val similarityPrefixJoinSql: String =
     """WITH base AS (SELECT doc_id, text FROM documents),
-      |planted AS (SELECT doc_id + 10000 AS doc_id,
+      |planted AS (SELECT doc_id + 1000000 AS doc_id,
       |    array_to_string(toks[1:greatest(1, (9 * len(toks)) // 10)], ' ')
       |      AS text
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM base)

