@@ -971,12 +971,21 @@ object CorpusAnalytics {
       .filter(col("df") >= 2 && col("df") <= 10)
     val member = grams.join(rare, Seq("h1", "h2"))
       .select(col("h1"), col("h2"), col("doc_id"))
+    // localCheckpoint: the gram-explode + rare-filter + self-join
+    // pipeline above feeds deg AND every unrolled iteration AND the
+    // final join (iters+2 consumers) — without the cut each consumer
+    // recomputes the whole edge build unless ReusedExchange happens to
+    // cover the structurally identical subtrees (the §4 rule
+    // similarity_prefix_join paid 9.5→2.4 s to learn); deg is cut too
+    // since it is itself consumed iters+1 times
     val edges = member.select(col("h1"), col("h2"), col("doc_id").as("a"))
       .join(member.select(col("h1"), col("h2"), col("doc_id").as("b")), Seq("h1", "h2"))
       .filter(col("a") =!= col("b"))
       .select(col("a").as("src"), col("b").as("dst"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     var rank = deg.select(col("src").as("node"), lit(1.0).as("r"))
     (1 to iters).foreach { _ =>
       val contrib = edges

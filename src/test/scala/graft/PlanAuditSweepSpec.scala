@@ -57,6 +57,24 @@ object PlanAudit {
     conjuncts(f.condition).exists(!_.isInstanceOf[IsNotNull])
   }
 
+  /** Children with adaptive wrappers expanded: AdaptiveSparkPlanExec
+    * yields its (current/final) executed plan, QueryStageExec its
+    * materialized stage plan — so the audit sees the same node set
+    * whether it walks an AQE-off prepared plan or an AQE-on FINAL
+    * plan after execution. */
+  private def stepInto(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Seq(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(q.plan)
+    case _ => p.children
+  }
+
+  /** Pre-order walk through adaptive wrappers. */
+  def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p); stepInto(p).foreach(walk(_)(f))
+  }
+
   /** Does this subtree scan a fact table with NO reducing node (and,
     * when `filterBounds`, no selective filter) between the scan and
     * the subtree root? */
@@ -67,7 +85,7 @@ object PlanAudit {
           if filterBounds && selectiveFilter(f) => false
       case _ =>
         if (isFactScan(p)) true
-        else p.children.exists(unboundedFactBelow(_, filterBounds))
+        else stepInto(p).exists(unboundedFactBelow(_, filterBounds))
     }
   }
 
@@ -78,7 +96,7 @@ object PlanAudit {
     * bucketed; the funnel and broadcast rules still apply to them. */
   def violations(plan: SparkPlan, allPairsAllowed: Boolean): Seq[String] = {
     val vs = scala.collection.mutable.ArrayBuffer[String]()
-    plan.foreach {
+    walk(plan) {
       case c: CartesianProductExec if !allPairsAllowed =>
         // a cartesian over reduced/dim sides (scalar-count stitches,
         // calendar×dim scaffolds) is bounded work; one with a raw
