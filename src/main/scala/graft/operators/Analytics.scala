@@ -1510,4 +1510,121 @@ object Analytics {
       |  ROUND((n*pet - se*st) / sqrt((n*pee - se*se)*(n*ptt - st*st)), 6) FROM c
       |UNION ALL SELECT 'l_discount', 'l_tax',
       |  ROUND((n*pdt - sd*st) / sqrt((n*pdd - sd*sd)*(n*ptt - st*st)), 6) FROM c""".stripMargin
+
+  // --------------------------------------------------------------- D79
+  /** U-shaped multi-touch attribution (the marketing-analytics
+    * workhorse D54's funnel doesn't answer: not "how many converted"
+    * but "which touchpoints get the CREDIT"): each user's conversion
+    * is their FIRST purchase; the view/click events strictly before it
+    * are the touch path; credit per conversion sums to 1 and splits
+    * 40% first touch / 40% last touch / 20% evenly across the middle
+    * (1 touch → 100%, 2 touches → 50/50 — the standard position-based
+    * model). Output: total credit and touch count per event type.
+    *
+    * Scale shape: conversions are one per-user struct-min aggregate
+    * (map-side partials); the touch path re-joins events on user_id —
+    * one key-partitioned shuffle — and the position/count windows
+    * partition BY USER, so no global sort and no single reducer;
+    * per-touch credit is pinned to DECIMAL(28,12) before the order-
+    * sensitive final sum (the D44 discipline), so the result is exact
+    * and partitioning-independent. Ties in ts break on event_id — a
+    * total order, so ranks are deterministic in both engines. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val evs = Tables.events(s, dir)
+    val conv = evs.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("c"))
+      .select(col("user_id"), col("c.ts").as("conv_ts"),
+        col("c.event_id").as("conv_id"))
+    val touches = evs
+      .filter(col("event_type").isin("view", "click"))
+      .join(conv, Seq("user_id"))
+      .filter(col("ts") < col("conv_ts") ||
+        (col("ts") === col("conv_ts") && col("event_id") < col("conv_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val credited = touches
+      .withColumn("rn", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("credit",
+        when(col("k") === 1, lit(1.0))
+          .when(col("k") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("k"), lit(0.4))
+          .otherwise(lit(0.2) / (col("k") - 2).cast("double"))
+          .cast(DecimalType(28, 12)))
+    credited.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("credit")).cast("double"), 6).as("credit"))
+  }
+
+  val attributionSql: String =
+    """WITH conv AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id
+      |  FROM (SELECT user_id, ts, event_id,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS rn
+      |    FROM events WHERE event_type = 'purchase')
+      |  WHERE rn = 1),
+      |touch AS (SELECT e.user_id, e.event_id, e.event_type, e.ts
+      |  FROM events e JOIN conv c ON e.user_id = c.user_id
+      |  WHERE e.event_type IN ('view', 'click')
+      |    AND (e.ts < c.conv_ts
+      |      OR (e.ts = c.conv_ts AND e.event_id < c.conv_id))),
+      |pos AS (SELECT event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS k
+      |  FROM touch),
+      |cr AS (SELECT event_type, CAST(CASE
+      |    WHEN k = 1 THEN 1.0
+      |    WHEN k = 2 THEN 0.5
+      |    WHEN rn = 1 OR rn = k THEN 0.4
+      |    ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS DECIMAL(28,12)) AS credit
+      |  FROM pos)
+      |SELECT event_type, COUNT(*) AS n_touches,
+      |  ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credit
+      |FROM cr GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- D80
+  /** Exponentially time-decayed event counts (the "what's trending
+    * NOW" statistic: a plain count weighs a click from last month like
+    * one from this morning): each event contributes 2^(−age/halflife)
+    * with age measured from the corpus max timestamp and a 1-day
+    * half-life — yesterday's event counts half, last week's ~1%. This
+    * is the batch form of the streaming EWMA (F21): same decay law,
+    * recomputed exactly instead of folded incrementally.
+    *
+    * Scale shape: the anchor timestamp is a 1-row aggregate broadcast
+    * back; the weight is a pure per-row projection (exact integer-µs
+    * age, one pow()); the sum is one hash aggregate with map-side
+    * partials. Each engine's pow() may wobble in the last ULP, so
+    * per-row weights pin to DECIMAL(28,12) before the commutative sum
+    * and the output rounds to 6 — the C33/E63 libm discipline. */
+  def decayedCounts(s: SparkSession, dir: String,
+                    halflifeDays: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val evs = Tables.events(s, dir)
+    val anchor = evs.agg(max(col("ts")).as("tmax"))
+    evs.crossJoin(broadcast(anchor))
+      .select(col("event_type"),
+        pow(lit(0.5),
+          (unix_micros(col("tmax")) - unix_micros(col("ts"))).cast("double")
+            / lit(halflifeDays * 86400e6))
+          .cast(DecimalType(28, 12)).as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w")).cast("double"), 6).as("decayed_count"))
+  }
+
+  val decayedCountsSql: String =
+    """WITH t AS (SELECT MAX(ts) AS tmax FROM events),
+      |w AS (SELECT event_type,
+      |    CAST(POWER(0.5, CAST(epoch_us(tmax) - epoch_us(ts) AS DOUBLE)
+      |      / 86400000000.0) AS DECIMAL(28,12)) AS w
+      |  FROM events, t)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  ROUND(CAST(SUM(w) AS DOUBLE), 6) AS decayed_count
+      |FROM w GROUP BY event_type""".stripMargin
 }

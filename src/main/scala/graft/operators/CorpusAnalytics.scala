@@ -1623,4 +1623,70 @@ object CorpusAnalytics {
       |  (CASE WHEN COALESCE(r.max_dup_run, 0) > 0
       |    THEN r.max_dup_run + 4 ELSE 0 END) >= 50 AS flag_50
       |FROM tot t LEFT JOIN runs r USING (doc_id)""".stripMargin
+
+  // --------------------------------------------------------------- E80
+  /** Inverted-index build (the materialized-postings half of the
+    * search stack E36's BM25 scores against on the fly): for every
+    * term with document frequency in [dfMin, dfMax], the HEAD of its
+    * posting list — the [[postingCap]] smallest doc_ids, each with the
+    * term's first 1-based position — plus the TRUE df and total
+    * occurrence count. dfMin drops hapax/noise terms; dfMax (when the
+    * caller sets a finite one) excludes stopword-grade terms BEFORE
+    * any per-term work, the E70 rare-gram discipline. The emitted head
+    * is bounded WITHOUT an unbounded collect: a per-term rank window
+    * runs only over band-surviving terms and keeps rank ≤ cap rows
+    * before the posting aggregate ever forms an array — no operator
+    * materializes a posting longer than the cap (at real scale the
+    * FULL list pages into fixed-size posting BLOCKS keyed
+    * (term, block_no): the same plan with rank div cap as the extra
+    * group column).
+    *
+    * Scale shape: tokenize/posexplode is a pure projection; df/occ
+    * stats and the capped posting heads are hash aggregates with
+    * map-side partials keyed by term; the rank window partitions by
+    * term AFTER the df band bounds the partition width; array_sort
+    * touches ≤ cap structs per term. */
+  val postingCap = 20
+
+  def invertedIndex(s: SparkSession, dir: String,
+                    dfMin: Int = 5, dfMax: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+    val perDoc = toks.groupBy(col("term"), col("doc_id"))
+      .agg((min(col("pos")) + 1).as("first_pos"), count(lit(1)).as("occ"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("occ")).as("n_occ"))
+      .filter(col("df") >= dfMin && col("df") <= dfMax)
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val heads = perDoc.join(stats.select(col("term")), Seq("term"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= postingCap)
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"),
+          col("first_pos")))),
+          x => concat_ws(":", x("doc_id"), x("first_pos"))), ",")
+        .as("postings"))
+    stats.join(heads, Seq("term"))
+      .select(col("term"), col("df"), col("n_occ"), col("postings"))
+  }
+
+  val invertedIndexSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |e AS (SELECT doc_id, u.pos AS pos, u.term AS term
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      |      i -> {'pos': i, 'term': toks[i]})) AS u FROM d)
+      |  WHERE len(u.term) > 0),
+      |g1 AS (SELECT term, doc_id, MIN(pos) AS first_pos, COUNT(*) AS occ
+      |  FROM e GROUP BY term, doc_id),
+      |g2 AS (SELECT term, COUNT(*) AS df, CAST(SUM(occ) AS BIGINT) AS n_occ,
+      |    array_to_string(
+      |      list(CAST(doc_id AS VARCHAR) || ':' || CAST(first_pos AS VARCHAR)
+      |           ORDER BY doc_id)[1:20], ',') AS postings
+      |  FROM g1 GROUP BY term)
+      |SELECT term, df, n_occ, postings FROM g2 WHERE df >= 5""".stripMargin
 }

@@ -413,4 +413,126 @@ object DataQuality {
       |        / (CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE)))
       |    ELSE 0.0 END, 6) AS contrib
       |FROM j, t""".stripMargin
+
+  // --------------------------------------------------------------- C36
+  /** Exact two-sample Kolmogorov–Smirnov drift test between two table
+    * versions — the distribution alarm with a SIGNIFICANCE story that
+    * C33's PSI lacks (PSI has conventional thresholds; KS has an exact
+    * null distribution): D = sup_x |F_base(x) − F_cur(x)| over the
+    * empirical CDFs, compared against the α=0.05 two-sample critical
+    * value 1.358·√((n_b+n_c)/(n_b·n_c)). Same simulated drift as C33
+    * (every 5th order's total shifted +10%) so the two monitors are
+    * directly comparable on one planted change.
+    *
+    * Scale shape: both versions reduce to per-DISTINCT-VALUE counts in
+    * one hash aggregate (map-side partials — the table never sorts).
+    * The empirical CDFs are inclusive prefix sums over that value-
+    * distinct frame, and ride [[Relational.globalRunningSum]]'s native
+    * prefix-scan (range exchange + counting pass, no single-reducer
+    * window) — two passes, one per side's counts, each an exchange of
+    * |distinct values| rows, negligible beside the scan. The argmax is
+    * a struct-max aggregate (deterministic: ties on D break toward the
+    * smallest value). D's per-row arithmetic is two exact-long
+    * divisions by the broadcast totals in IEEE doubles — identical in
+    * both engines — and rounds to 6 at the single output row. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").as("v"))
+    val cur = base.select(
+      when(col("o_orderkey") % 5 === 0, col("v") * 1.1)
+        .otherwise(col("v")).as("v"))
+    val tagged = base.select(col("v"), lit(1L).as("one_b"), lit(0L).as("one_c"))
+      .unionByName(cur.select(col("v"), lit(0L).as("one_b"), lit(1L).as("one_c")))
+    val counts = tagged.groupBy(col("v"))
+      .agg(sum(col("one_b")).as("cb"), sum(col("one_c")).as("cc"))
+    // two prefix passes (exact at ANY row count — a single combined-
+    // limb encoding cb·2³¹+cc would overflow past 2³¹ rows per side);
+    // the second pass re-ranges the already-ranged frame: cheap
+    val run1 = Relational.globalRunningSum(counts, Nil, Seq("v"), "cb",
+      rankCol = "rn_b", countCol = "n_vals_b", runCol = "run_b")
+    val run2 = Relational.globalRunningSum(run1, Nil, Seq("v"), "cc",
+      rankCol = "rn_c", countCol = "n_vals_c", runCol = "run_c")
+    val tot = counts.agg(sum(col("cb")).as("nb"), sum(col("cc")).as("nc"))
+    run2.crossJoin(broadcast(tot))
+      .select(col("v"), col("nb"), col("nc"),
+        abs(col("run_b").cast("double") / col("nb").cast("double")
+          - col("run_c").cast("double") / col("nc").cast("double")).as("dd"))
+      .agg(max(struct(col("dd"), (-col("v")).as("nv"))).as("m"),
+        first(col("nb")).as("n_base"), first(col("nc")).as("n_cur"))
+      .select(round(col("m.dd"), 6).as("d_stat"),
+        (-col("m.nv")).as("at_value"),
+        col("n_base"), col("n_cur"),
+        round(lit(1.358) * sqrt((col("n_base") + col("n_cur")).cast("double")
+          / (col("n_base") * col("n_cur")).cast("double")), 6).as("crit_05"),
+        (col("m.dd") > lit(1.358)
+          * sqrt((col("n_base") + col("n_cur")).cast("double")
+            / (col("n_base") * col("n_cur")).cast("double"))).as("drifted"))
+  }
+
+  val ksDriftSql: String =
+    """WITH base AS (SELECT o_totalprice AS v FROM orders),
+      |cur AS (SELECT CASE WHEN o_orderkey % 5 = 0
+      |    THEN o_totalprice * 1.1 ELSE o_totalprice END AS v FROM orders),
+      |u AS (SELECT v, 1 AS one_b, 0 AS one_c FROM base
+      |      UNION ALL SELECT v, 0, 1 FROM cur),
+      |g AS (SELECT v, SUM(one_b) AS cb, SUM(one_c) AS cc FROM u GROUP BY v),
+      |t AS (SELECT SUM(cb) AS nb, SUM(cc) AS nc FROM g),
+      |w AS (SELECT v,
+      |    SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS rb,
+      |    SUM(cc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS rc
+      |  FROM g),
+      |d AS (SELECT v,
+      |    ABS(CAST(rb AS DOUBLE) / nb - CAST(rc AS DOUBLE) / nc) AS dd
+      |  FROM w, t),
+      |m AS (SELECT v, dd FROM d ORDER BY dd DESC, v ASC LIMIT 1)
+      |SELECT ROUND(dd, 6) AS d_stat, v AS at_value,
+      |  CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+      |  ROUND(1.358 * sqrt(CAST(nb + nc AS DOUBLE)
+      |    / CAST(nb * nc AS DOUBLE)), 6) AS crit_05,
+      |  dd > 1.358 * sqrt(CAST(nb + nc AS DOUBLE)
+      |    / CAST(nb * nc AS DOUBLE)) AS drifted
+      |FROM m, t""".stripMargin
+
+  // --------------------------------------------------------------- C37
+  /** Join-cardinality pre-flight (the OTHER number a 100 TB join needs
+    * beside C26's per-side skew profile): the EXACT output row count
+    * of an equi-join is Σ_k cnt_A(k)·cnt_B(k) — computable from two
+    * keys-sized count aggregates WITHOUT running the join, so the
+    * planner (or the engineer) learns "this self-join explodes 40×"
+    * for the price of two scans and a keys-sized join of count tables.
+    * Demonstrated on the lineitem×lineitem self-join on l_partkey (the
+    * C26 skew subject): reports the total output rows, the blow-up
+    * factor vs the input, and the top-5 contributing keys with their
+    * output share — the keys salting/AQE-skew-split would target.
+    *
+    * Scale shape: one hash aggregate per side (map-side partials),
+    * both keys-sized; the count-table join shuffles only keys; top-5
+    * is TakeOrdered (bounded), totals are a 1-row aggregate broadcast
+    * back. Nothing the size of the join output is ever materialized —
+    * that is the point. */
+  def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    val pk = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .select(col("l_partkey"), (col("cnt") * col("cnt")).as("contrib"))
+    val tot = pk.agg(sum(col("contrib")).as("join_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = pk.orderBy(col("contrib").desc, col("l_partkey").asc).limit(5)
+    top.crossJoin(broadcast(tot))
+      .select(col("l_partkey").as("part_key"), col("contrib").as("out_rows"),
+        col("join_rows").as("total_join_rows"), col("n_keys"),
+        round(col("contrib").cast("double")
+          / col("join_rows").cast("double"), 6).as("out_share"))
+  }
+
+  val joinSizeEstimateSql: String =
+    """WITH pk AS (SELECT l_partkey, COUNT(*) * COUNT(*) AS contrib
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT CAST(SUM(contrib) AS BIGINT) AS join_rows,
+      |    COUNT(*) AS n_keys FROM pk),
+      |top5 AS (SELECT * FROM pk ORDER BY contrib DESC, l_partkey ASC LIMIT 5)
+      |SELECT l_partkey AS part_key, CAST(contrib AS BIGINT) AS out_rows,
+      |  join_rows AS total_join_rows, CAST(n_keys AS BIGINT) AS n_keys,
+      |  ROUND(CAST(contrib AS DOUBLE) / CAST(join_rows AS DOUBLE), 6)
+      |    AS out_share
+      |FROM top5, t""".stripMargin
 }

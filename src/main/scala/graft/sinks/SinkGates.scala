@@ -542,4 +542,72 @@ object SinkGates {
        |  CAST(${checksumSqlOf("c_custkey")} AS BIGINT) AS key_checksum_latest,
        |  TRUE AS expired_gone_latest_intact
        |FROM customer WHERE c_custkey % 5 < 5""".stripMargin
+
+  // ------------------------------------------------------------ C38
+  /** Atomic multi-table publish gate over [[Sinks.publishTableSet]]:
+    * a fact rollup (orders by status) and the dimension summary it
+    * pairs with (customer) publish TOGETHER, twice, each epoch
+    * carrying an epoch marker INSIDE both tables. The gate pins the
+    * cross-table contract C28 can't: at every retained version the two
+    * tables' epochs AGREE (a reader can never join fact v2 against dim
+    * v1), the previous snapshot stays readable and internally
+    * consistent after the next publish, no staging residue survives,
+    * and the latest pointer resolves both tables to epoch 2. */
+  def multiPublishGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = base(dir, "multi_publish")
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true) // rerun-idempotent
+    def slices(epoch: Int): Seq[(String, DataFrame)] = {
+      // epoch 1 = half the keys, epoch 2 = all: both tables derive
+      // from the SAME epoch filter, so a mixed-version read is
+      // detectable as an epoch mismatch
+      val m = if (epoch == 1) 2 else 1
+      val or = Tables.orders(s, dir).filter(col("o_orderkey") % m === 0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("epoch", lit(epoch))
+      val cu = Tables.customer(s, dir).filter(col("c_custkey") % m === 0)
+        .agg(count(lit(1)).as("n_cust"),
+          checksum(col("c_custkey")).as("cust_ck"))
+        .withColumn("epoch", lit(epoch))
+      Seq("orders_rollup" -> or, "customer_rollup" -> cu)
+    }
+    val v1 = Sinks.publishTableSet(slices(1), root, retain = 3)
+    val v2 = Sinks.publishTableSet(slices(2), root, retain = 3)
+    def epochOf(name: String, v: Int): Int =
+      Sinks.readTableSet(s, root, name, v)
+        .select(min(col("epoch"))).head().getInt(0)
+    val epochsAgree =
+      epochOf("orders_rollup", 1) == 1 && epochOf("customer_rollup", 1) == 1 &&
+      epochOf("orders_rollup", 2) == 2 && epochOf("customer_rollup", 2) == 2
+    val noStaging = !fs.listStatus(new Path(root))
+      .exists(_.getPath.getName.contains("_staging"))
+    val latestCu = Sinks.readTableSet(s, root, "customer_rollup").head()
+    val nStatusLatest = Sinks.readTableSet(s, root, "orders_rollup").count()
+    val v1CustN = Sinks.readTableSet(s, root, "customer_rollup", 1)
+      .head().getLong(0)
+    val v1Expected = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 2 === 0).count()
+    Seq(("multi_publish", 2L, nStatusLatest,
+        latestCu.getLong(0), latestCu.getLong(1),
+        v1 == 1 && v2 == 2 && epochsAgree && noStaging &&
+          v1CustN == v1Expected &&
+          Sinks.latestVersion(s, root).contains(2)))
+      .toDF("metric", "n_published", "n_status_latest", "n_cust_latest",
+        "cust_checksum_latest", "atomic_consistent")
+  }
+
+  val multiPublishGateSql: String =
+    s"""SELECT 'multi_publish' AS metric,
+       |  CAST(2 AS BIGINT) AS n_published,
+       |  (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders)
+       |    AS n_status_latest,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cust_latest,
+       |  CAST(${checksumSqlOf("c_custkey")} AS BIGINT)
+       |    AS cust_checksum_latest,
+       |  TRUE AS atomic_consistent
+       |FROM customer""".stripMargin
 }

@@ -487,4 +487,59 @@ object Sinks {
         throw new IllegalArgumentException(s"no published version at $tablePath"))
     spark.read.parquet(s"$tablePath/v_$v")
   }
+
+  // --------------------------------------------------------------- C38
+  /** Atomic MULTI-table publish (the cross-table consistency half of
+    * C28's contract): N tables stage together under ONE version dir
+    * (`v_N._staging/<name>/`), become visible through ONE directory
+    * rename, and share ONE `_LATEST` pointer — so a reader can never
+    * observe table A at version 2 beside table B still at version 1.
+    * That pairing is what a star schema needs: a fact rollup and the
+    * dimension it joins must flip together or a window of readers
+    * joins across snapshots (the classic "dashboard shows yesterday's
+    * dims against today's facts" bug). Same write-sibling-then-rename
+    * pointer discipline and retention GC as [[versionedPublish]].
+    *
+    * Scale shape: each table's write is an ordinary distributed
+    * parquet write; the atomicity cost is ONE rename + ONE pointer
+    * flip regardless of table count or size. */
+  def publishTableSet(tables: Seq[(String, DataFrame)], rootPath: String,
+                      retain: Int = 3): Int = {
+    import org.apache.hadoop.fs.Path
+    require(tables.nonEmpty, "publishTableSet needs at least one table")
+    val spark = tables.head._2.sparkSession
+    val fs = new Path(rootPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = latestVersion(spark, rootPath).getOrElse(0) + 1
+    val staging = new Path(rootPath, s"v_$next._staging")
+    fs.delete(staging, true) // rerun-safe: a crashed prior attempt
+    tables.foreach { case (name, df) =>
+      writeParquet(df, new Path(staging, name).toString)
+    }
+    require(fs.rename(staging, new Path(rootPath, s"v_$next")),
+      s"table-set publish rename failed for v_$next")
+    val tmp = new Path(rootPath, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new Path(rootPath, "_LATEST"), false)
+    require(fs.rename(tmp, new Path(rootPath, "_LATEST")),
+      "latest-pointer flip failed")
+    (1 until next - retain + 1).foreach { v =>
+      fs.delete(new Path(rootPath, s"v_$v"), true)
+    }
+    next
+  }
+
+  /** Read table `name` from a [[publishTableSet]] snapshot (latest
+    * when `version` < 0) — every table resolved from the SAME pointer
+    * read, which is the whole point. */
+  def readTableSet(spark: SparkSession, rootPath: String, name: String,
+                   version: Int = -1): DataFrame = {
+    val v =
+      if (version > 0) version
+      else latestVersion(spark, rootPath).getOrElse(
+        throw new IllegalArgumentException(s"no published set at $rootPath"))
+    spark.read.parquet(s"$rootPath/v_$v/$name")
+  }
 }
