@@ -11,7 +11,7 @@ object Bench {
     "agg_maintain_gate", "dpp_gate", "exchange_reuse_gate",
     "bucketed_join_gate", "csv_quarantine_gate", "schema_evolved_gate",
     "ann_ivf_persist_gate", "join_view_maintain_gate",
-    "multi_publish_gate")
+    "multi_publish_gate", "quarantine_replay_gate")
 
   def main(args: Array[String]): Unit = {
     val loadStart = java.lang.management.ManagementFactory

@@ -1627,4 +1627,118 @@ object Analytics {
       |SELECT event_type, COUNT(*) AS n_events,
       |  ROUND(CAST(SUM(w) AS DOUBLE), 6) AS decayed_count
       |FROM w GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- D81
+  /** Chi-square test of independence over a contingency table
+    * (event_type × 6-hour time-of-day band): the categorical-
+    * association screen behind "does behaviour differ by daypart?" —
+    * the analytical complement of C32's numeric correlation matrix.
+    *
+    * Scale shape: ONE scan reduces to the |types|×4 cell table in a
+    * single hash aggregate with map-side partials; row totals, column
+    * totals and N are then WINDOW sums over that keys-sized frame —
+    * the scan has exactly one consumer, so nothing recomputes and no
+    * broadcast-join scaffolding is needed (the SURVEY §4 multi-
+    * consumer rule, solved structurally instead of by checkpoint).
+    * Expected counts and contributions are doubles derived once from
+    * exact BIGINT operands — identical in any engine. */
+  def chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"), (hour(col("ts")) / 6).cast("int").as("band"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("observed"))
+    val byType = Window.partitionBy(col("event_type"))
+    val byBand = Window.partitionBy(col("band"))
+    val all = Window.partitionBy()
+    val e = sum(col("observed")).over(byType).cast("double") *
+      sum(col("observed")).over(byBand).cast("double") /
+      sum(col("observed")).over(all).cast("double")
+    cells
+      .withColumn("expected", round(e, 6))
+      .withColumn("contrib",
+        round(pow(col("observed").cast("double") - e, 2) / e, 6))
+      .select(col("event_type"), col("band"), col("observed"),
+        col("expected"), col("contrib"))
+  }
+
+  val chi2IndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS band,
+      |    COUNT(*) AS observed
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, band, observed,
+      |  CAST(SUM(observed) OVER (PARTITION BY event_type) AS DOUBLE) *
+      |    CAST(SUM(observed) OVER (PARTITION BY band) AS DOUBLE) /
+      |    CAST(SUM(observed) OVER () AS DOUBLE) AS e
+      |  FROM cells)
+      |SELECT event_type, band, observed, ROUND(e, 6) AS expected,
+      |  ROUND(POWER(CAST(observed AS DOUBLE) - e, 2) / e, 6) AS contrib
+      |FROM w""".stripMargin
+
+  // --------------------------------------------------------------- D82
+  /** Time-bounded funnel (D54's ordered-reach funnel with per-step
+    * conversion WINDOWS — the form marketing actually runs: a click
+    * only converts if it happens within 4 h of the first view, a
+    * purchase within 4 h of that click): t1 = first view per user,
+    * t2 = first click in [t1, t1+4h], t3 = first purchase in
+    * [t2, t2+4h]. Reports per-stage reachers and the mean step delay.
+    *
+    * Scale shape: three per-type filtered aggregates, each keyed on
+    * user_id; the two step joins rehash on the SAME user_id key, so
+    * the exchange partitioning is reused down the chain and no stage
+    * ever holds more than one row per user. Step delays are exact
+    * integer µs; the mean divides two exact BIGINTs in one double op
+    * — bit-identical in any engine, any partitioning. */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val evs = Tables.events(s, dir)
+    def firstOf(t: String) = evs.filter(col("event_type") === t)
+    val v1 = firstOf("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c2 = firstOf("click").join(v1, "user_id")
+      .filter(col("ts") >= col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 4 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("t1")).as("t1"), min(col("ts")).as("t2"))
+    val p3 = firstOf("purchase").join(c2, "user_id")
+      .filter(col("ts") >= col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 4 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("t2")).as("t2"), min(col("ts")).as("t3"))
+    def stage(n: Int, d: DataFrame, from: String, to: String) = {
+      val agged =
+        if (from.isEmpty)
+          d.agg(count(lit(1)).as("users"))
+            .withColumn("avg_step_delay_sec", lit(null).cast("double"))
+        else d.agg(count(lit(1)).as("users"),
+          round(sum(unix_micros(col(to)) - unix_micros(col(from)))
+            .cast("double") / (count(lit(1)) * 1000000L).cast("double"), 6)
+            .as("avg_step_delay_sec"))
+      agged.select(lit(n).as("stage"), col("users"), col("avg_step_delay_sec"))
+    }
+    stage(1, v1, "", "t1")
+      .unionAll(stage(2, c2, "t1", "t2"))
+      .unionAll(stage(3, p3, "t2", "t3"))
+  }
+
+  val funnelWindowedSql: String =
+    """WITH v1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c2 AS (SELECT e.user_id, MIN(v1.t1) AS t1, MIN(e.ts) AS t2
+      |  FROM events e JOIN v1 ON e.user_id = v1.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts >= v1.t1 AND e.ts <= v1.t1 + INTERVAL 4 HOUR
+      |  GROUP BY e.user_id),
+      |p3 AS (SELECT e.user_id, MIN(c2.t2) AS t2, MIN(e.ts) AS t3
+      |  FROM events e JOIN c2 ON e.user_id = c2.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts >= c2.t2 AND e.ts <= c2.t2 + INTERVAL 4 HOUR
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS stage, COUNT(*) AS users,
+      |  CAST(NULL AS DOUBLE) AS avg_step_delay_sec FROM v1
+      |UNION ALL
+      |SELECT 2, COUNT(*),
+      |  ROUND(CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS DOUBLE)
+      |    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) FROM c2
+      |UNION ALL
+      |SELECT 3, COUNT(*),
+      |  ROUND(CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS DOUBLE)
+      |    / CAST(COUNT(*) * 1000000 AS DOUBLE), 6) FROM p3""".stripMargin
 }

@@ -202,6 +202,63 @@ object EtlQueries {
       |  CAST(3 AS BIGINT) AS n_quarantined
       |FROM events WHERE event_id < 500""".stripMargin
 
+  // ----------------------------------------------------------- C39
+  /** Dead-letter repair & replay (the second half of A4b's quarantine
+    * contract — quarantined rows are not a graveyard, they are a work
+    * queue): rows that failed the strict parse are pushed through a
+    * repair rule (here: a feed that switched its delimiter to `|`),
+    * re-parsed with `from_csv` against the SAME schema, and the
+    * recovered rows are accounted alongside the clean read. Rows the
+    * repair cannot save stay quarantined — nothing is dropped
+    * silently, nothing is double-counted.
+    *
+    * Scale shape: the repair is a per-row projection (regexp +
+    * from_csv, both codegen'd) over the quarantine frame only — the
+    * clean path is never rescanned; accounting is one aggregate per
+    * frame over the already-cached permissive parse. */
+  def quarantineReplayGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/replay"
+    val ev = Tables.events(s, dir).filter(col("event_id") < 500)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.coalesce(1).write.mode("overwrite")
+      .options(graft.sources.Readers.csvOptions).csv(out)
+    val bad = java.nio.file.Paths.get(out, "bad_rows.csv")
+    java.nio.file.Files.write(bad, java.util.Arrays.asList(
+      "event_id,event_type,value",
+      "777|view|3.25",      // delimiter drift — repairable
+      "888|click|1.5",      // delimiter drift — repairable
+      "zzz,purchase,bad"))  // genuinely unparseable — stays dead
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val (good, quarantined) =
+      graft.sources.Readers.csvWithQuarantine(s, Seq(out), schema)
+    val repaired = quarantined
+      .withColumn("p", from_csv(
+        regexp_replace(col("_corrupt_record"), "\\|", ","),
+        schema, Map.empty[String, String]))
+      .filter(col("p.event_id").isNotNull && col("p.value").isNotNull)
+      .select(col("p.event_id").as("event_id"),
+        col("p.event_type").as("event_type"), col("p.value").as("value"))
+    val g = good.count()
+    val r = repaired.agg(count(lit(1)).as("n"),
+      graft.operators.Relational.dsum(col("value")).as("v")).head()
+    Seq(("quarantine_replay", g, quarantined.count(), r.getLong(0),
+      g + r.getLong(0), r.getDouble(1)))
+      .toDF("metric", "n_good", "n_quarantined", "n_repaired",
+        "n_after_replay", "repaired_value_sum")
+  }
+
+  val quarantineReplayGateSql: String =
+    """SELECT 'quarantine_replay' AS metric, COUNT(*) AS n_good,
+      |  CAST(3 AS BIGINT) AS n_quarantined,
+      |  CAST(2 AS BIGINT) AS n_repaired,
+      |  CAST(COUNT(*) + 2 AS BIGINT) AS n_after_replay,
+      |  CAST(4.75 AS DOUBLE) AS repaired_value_sum
+      |FROM events WHERE event_id < 500""".stripMargin
+
   // ----------------------------------------------------------- A5c
   /** Schema-evolved parquet read gate: two generations of the same
     * table (columns added over time) merged by footer-schema union —

@@ -58,6 +58,37 @@ object Similarity {
         (-col("t.neg_cos")).as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Hard-negative mining for contrastive training (E81): for each
+    * query vector, the top-k most-similar corpus vectors that carry a
+    * DIFFERENT label, excluding near-duplicates (cos ≥ `nearDupCos` —
+    * those are mislabeled twins, not informative negatives). Same
+    * bounded-aggregate scale shape as [[bruteForceTopK]]: the label
+    * test and the near-dup ceiling are per-pair projections evaluated
+    * BEFORE the aggregate, so the exchange still carries O(|Q|·k)
+    * rows, never the scored cross product. Brute force is the exact
+    * baseline; at corpus scale the same selection runs against the
+    * persisted IVF index (E7c) with the label filter applied at cell-
+    * probe time. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nearDupCos: Double = 0.95): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"), col("embedding").as("q_emb"))
+      .withColumn("q_nrm", norm("q_emb"))
+    val c = corpus.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("c_nrm", norm("embedding"))
+    c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos",
+        round(dot("q_emb", "embedding") / (col("q_nrm") * col("c_nrm")), 6))
+      .filter(col("cos") < nearDupCos)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.boundedTopK(
+        struct((-col("cos")).as("neg_cos"), col("vec_id")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.vec_id").as("vec_id"),
+        (-col("t.neg_cos")).as("cos"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Random hyperplanes for LSH: deterministic from `seed`. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -1702,6 +1702,56 @@ object TrainingQueries {
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  // ----------------------------------------------------------- E81
+  /** Hard-negative mining over the embedding table: per query vector
+    * (bounded probe set), the 5 nearest neighbors with a DIFFERENT
+    * label below the near-dup ceiling — the contrastive-training
+    * counterpart of E6's plain top-k. See
+    * [[Similarity.hardNegatives]] for the scale shape. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(e.filter(col("vec_id") < 5), e, k = 5)
+  }
+
+  val hardNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+      |    CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |sc AS (SELECT q_id, vec_id,
+      |  ROUND(list_dot_product(qe, e) /
+      |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+      |    AS cos
+      |  FROM q, c WHERE c.label <> q.q_label)
+      |SELECT q_id, vec_id, cos, rn FROM (
+      |  SELECT q_id, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rn
+      |  FROM sc WHERE cos < 0.95) WHERE rn <= 5""".stripMargin
+
+  // ----------------------------------------------------------- E82
+  /** k-anonymity audit over quasi-identifiers (the privacy pre-flight
+    * before a corpus release: any combination of externally-knowable
+    * attributes shared by fewer than k documents is a re-
+    * identification handle): QI = (lang, source, length band); every
+    * QI group is reported with its population and an at-risk flag
+    * (n < 5). One hash aggregate with map-side partials; the output
+    * is bounded by the QI domain (|langs|·|sources|·|bands|), never
+    * by rows — the same keys-sized discipline as C14's profiler. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        (col("n_chars") / 500).cast("long").as("len_band"))
+      .groupBy(col("lang"), col("source"), col("len_band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < 5)
+
+  val kAnonymitySql: String =
+    """SELECT lang, source, n_chars // 500 AS len_band,
+      |  COUNT(*) AS n_docs, COUNT(*) < 5 AS at_risk
+      |FROM documents GROUP BY 1, 2, 3""".stripMargin
+
   val similarityPrefixJoinSql: String =
     """WITH base AS (SELECT doc_id, text FROM documents),
       |planted AS (SELECT doc_id + 1000000 AS doc_id,
