@@ -511,15 +511,25 @@ object DataQuality {
     * back. Nothing the size of the join output is ever materialized —
     * that is the point. */
   def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    // Counts and their squares ride DECIMAL(38,0): under non-ANSI
+    // int64 a hot key past ~3e9 rows wraps cnt*cnt silently — and
+    // explosive-join pre-flight is exactly the regime where counts
+    // are extreme. Decimal is exact to 1e38; the final BIGINT cast
+    // saturates visibly at Long.MaxValue instead of wrapping.
     val pk = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("cnt"))
       .select(col("l_partkey"), (col("cnt") * col("cnt")).as("contrib"))
     val tot = pk.agg(sum(col("contrib")).as("join_rows"),
       count(lit(1)).as("n_keys"))
     val top = pk.orderBy(col("contrib").desc, col("l_partkey").asc).limit(5)
+    val maxL = lit(Long.MaxValue).cast("decimal(38,0)")
+    def toLong(c: org.apache.spark.sql.Column) =
+      when(c > maxL, lit(Long.MaxValue)).otherwise(c.cast("long"))
     top.crossJoin(broadcast(tot))
-      .select(col("l_partkey").as("part_key"), col("contrib").as("out_rows"),
-        col("join_rows").as("total_join_rows"), col("n_keys"),
+      .select(col("l_partkey").as("part_key"),
+        toLong(col("contrib")).as("out_rows"),
+        toLong(col("join_rows")).as("total_join_rows"), col("n_keys"),
         round(col("contrib").cast("double")
           / col("join_rows").cast("double"), 6).as("out_share"))
   }

@@ -171,10 +171,27 @@ object EtlQueries {
     * into exactly the clean slice (count + value sum vs the oracle)
     * and exactly three quarantined raw records — bad ROWS never cost
     * the file, and good rows never leak into quarantine. */
+  /** Unique per-invocation scratch dir: a FIXED path re-used across
+    * same-JVM invocations races CacheManager's overwrite-triggered
+    * recache against side-files written after the Spark write — the
+    * recache re-materializes the rep-1 cached read while the dir holds
+    * only the fresh part files, so the rep-2 read (same canonical
+    * plan) silently reuses a cache missing `bad_rows.csv` (the r13
+    * quarantine_replay_gate rep-2 ROW_VALUE_IS_NULL failure). */
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def scratchDir(dir: String, name: String): String =
+    s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/" +
+      s"$name-p${ProcessHandle.current().pid()}-${scratchSeq.incrementAndGet()}"
+
+  private def dropScratch(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   def csvQuarantineGate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import s.implicits._
-    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/quarantine"
+    val out = scratchDir(dir, "quarantine")
     val ev = Tables.events(s, dir).filter(col("event_id") < 500)
       .select(col("event_id"), col("event_type"), col("value"))
     ev.coalesce(1).write.mode("overwrite")
@@ -188,11 +205,14 @@ object EtlQueries {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    val (good, quarantined) =
-      graft.sources.Readers.csvWithQuarantine(s, Seq(out), schema)
+    val (good, quarantined, parsed) =
+      graft.sources.Readers.csvWithQuarantineCached(s, Seq(out), schema)
     val g = good.agg(count(lit(1)).as("n"),
       graft.operators.Relational.dsum(col("value")).as("sum_value")).head()
-    Seq(("csv_quarantine", g.getLong(0), g.getDouble(1), quarantined.count()))
+    val nq = quarantined.count()
+    parsed.unpersist()
+    dropScratch(s, out)
+    Seq(("csv_quarantine", g.getLong(0), g.getDouble(1), nq))
       .toDF("metric", "n_good", "sum_value", "n_quarantined")
   }
 
@@ -219,7 +239,7 @@ object EtlQueries {
   def quarantineReplayGate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import s.implicits._
-    val out = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/replay"
+    val out = scratchDir(dir, "replay")
     val ev = Tables.events(s, dir).filter(col("event_id") < 500)
       .select(col("event_id"), col("event_type"), col("value"))
     ev.coalesce(1).write.mode("overwrite")
@@ -233,8 +253,8 @@ object EtlQueries {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    val (good, quarantined) =
-      graft.sources.Readers.csvWithQuarantine(s, Seq(out), schema)
+    val (good, quarantined, parsed) =
+      graft.sources.Readers.csvWithQuarantineCached(s, Seq(out), schema)
     val repaired = quarantined
       .withColumn("p", from_csv(
         regexp_replace(col("_corrupt_record"), "\\|", ","),
@@ -244,8 +264,12 @@ object EtlQueries {
         col("p.event_type").as("event_type"), col("p.value").as("value"))
     val g = good.count()
     val r = repaired.agg(count(lit(1)).as("n"),
-      graft.operators.Relational.dsum(col("value")).as("v")).head()
-    Seq(("quarantine_replay", g, quarantined.count(), r.getLong(0),
+      coalesce(graft.operators.Relational.dsum(col("value")), lit(0.0)).as("v"))
+      .head()
+    val nq = quarantined.count()
+    parsed.unpersist()
+    dropScratch(s, out)
+    Seq(("quarantine_replay", g, nq, r.getLong(0),
       g + r.getLong(0), r.getDouble(1)))
       .toDF("metric", "n_good", "n_quarantined", "n_repaired",
         "n_after_replay", "repaired_value_sum")

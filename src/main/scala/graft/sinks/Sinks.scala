@@ -401,20 +401,38 @@ object Sinks {
     next
   }
 
-  /** Latest published version of a [[versionedPublish]] table, from the
-    * pointer file; None for a table that was never published. */
+  /** Latest published version of a [[versionedPublish]] /
+    * [[publishTableSet]] table, from the pointer file; None for a
+    * table that was never published.
+    *
+    * The pointer flip is delete-then-rename (HDFS rename does not
+    * overwrite), so a reader can land in the brief no-pointer window.
+    * Rather than throw — which would contradict the publish APIs'
+    * "readers never observe an inconsistent state" contract — a
+    * missing pointer falls back to the max committed `v_N` directory
+    * on disk, which is exactly the version the in-flight flip is
+    * about to point at (staging dirs are `v_N._staging` and never
+    * match). */
   def latestVersion(spark: SparkSession, tablePath: String): Option[Int] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(tablePath, "_LATEST")
-    if (!fs.exists(p)) None
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
       Some(s.toInt)
+    } else {
+      val root = new Path(tablePath)
+      if (!fs.exists(root)) None
+      else {
+        val vPat = "^v_(\\d+)$".r
+        val vs = fs.listStatus(root).iterator.filter(_.isDirectory)
+          .map(_.getPath.getName).collect { case vPat(n) => n.toInt }.toSeq
+        if (vs.isEmpty) None else Some(vs.max)
+      }
     }
   }
 

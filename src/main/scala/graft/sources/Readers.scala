@@ -44,6 +44,20 @@ object Readers {
   def csvWithQuarantine(spark: SparkSession, paths: Seq[String],
                         schema: org.apache.spark.sql.types.StructType):
       (DataFrame, DataFrame) = {
+    val (good, bad, _) = csvWithQuarantineCached(spark, paths, schema)
+    (good, bad)
+  }
+
+  /** [[csvWithQuarantine]] plus the underlying cached permissive
+    * parse, so a caller that materializes both splits can
+    * `parsed.unpersist()` when done. A caller that re-reads the SAME
+    * path in one JVM must unpersist (or use a fresh path): an
+    * `overwrite` write to a path with a live cached read triggers
+    * CacheManager's recache at a moment when side-files written after
+    * the Spark write are absent, leaving the cache stale. */
+  def csvWithQuarantineCached(spark: SparkSession, paths: Seq[String],
+                              schema: org.apache.spark.sql.types.StructType):
+      (DataFrame, DataFrame, DataFrame) = {
     val corrupt = "_corrupt_record"
     val parsed = spark.read.options(csvOptions)
       .option("mode", "PERMISSIVE")
@@ -52,7 +66,7 @@ object Readers {
       .csv(paths: _*)
       .cache()
     (parsed.filter(col(corrupt).isNull).drop(corrupt),
-      parsed.filter(col(corrupt).isNotNull).select(col(corrupt)))
+      parsed.filter(col(corrupt).isNotNull).select(col(corrupt)), parsed)
   }
 
   /** Tag each row with the basename of the file it came from

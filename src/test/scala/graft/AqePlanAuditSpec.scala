@@ -72,6 +72,11 @@ class AqePlanAuditSpec extends SparkSpec {
     // still runs.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val failures = scala.collection.mutable.ArrayBuffer[String]()
+    // try/finally around the whole loop: a throw OUTSIDE the inner
+    // per-query trys (missing queries key, helper error) must not
+    // leak autoBroadcastJoinThreshold=-1 / a toggled AQE flag into
+    // every later suite sharing this SparkSession
+    try {
     for (name <- expensive) {
       val fn = SparkEntry.queries(name)
       // static reference plan (AQE off)
@@ -109,8 +114,10 @@ class AqePlanAuditSpec extends SparkSpec {
             s"(static plan had ${codegenSpans(off)})"
       }
     }
-    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }

@@ -66,6 +66,29 @@ class EmptyInputSpec extends SparkSpec {
       assert(rowsOf(n, fn) == 0L, n)
   }
 
+  test("round-13 operators return zero rows on empty tables") {
+    for ((n, fn) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "attribution" -> Analytics.attribution _,
+      "decayed_counts" -> ((s, d) => Analytics.decayedCounts(s, d)),
+      "hard_negatives" -> TrainingQueries.hardNegatives _,
+      "inverted_index" -> ((s, d) => CorpusAnalytics.invertedIndex(s, d)),
+      "join_size_estimate" -> DataQuality.joinSizeEstimate _,
+      "k_anonymity" -> TrainingQueries.kAnonymity _,
+      "q_chi2" -> Analytics.chi2Independence _))
+      assert(rowsOf(n, fn) == 0L, n)
+  }
+
+  test("round-13 global shapes emit well-formed rows on empty input") {
+    // ks_drift: one all-null row (global struct-max/first over nothing),
+    // never a throw — this is exactly the shape the suite exists to pin
+    val ks = DataQuality.ksDrift(spark, emptyDir).collect()
+    assert(ks.length == 1 && ks.head.isNullAt(0))
+    // funnel: the 3 stage rows survive with users=0 and null delay
+    val fw = Analytics.funnelWindowed(spark, emptyDir).collect()
+    assert(fw.length == 3)
+    assert(fw.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+  }
+
   test("global-aggregate shapes emit well-formed rows on empty input") {
     // corr_matrix: 6 pair rows whose corr is NaN/null — never a throw
     val corr = Analytics.corrMatrix(spark, emptyDir).collect()

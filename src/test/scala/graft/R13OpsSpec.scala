@@ -138,4 +138,25 @@ class R13OpsSpec extends SparkSpec {
       assert(ea == v && eb == v)
     }
   }
+
+  // ------------------------------------------------------------ C39/A4b
+  // The r13 rep-2 failure: a fixed scratch path + cached permissive read
+  // left the second same-JVM invocation reading a stale cache missing
+  // bad_rows.csv (replay threw ROW_VALUE_IS_NULL; the A4b gate would have
+  // silently returned n_quarantined=0). ProbeOne only counts rows, so
+  // this pins the VALUES of both gates across two same-JVM runs.
+  test("quarantine gates: identical correct values on re-execution") {
+    def runBoth(): (Seq[Any], Seq[Any]) = (
+      EtlQueries.quarantineReplayGate(spark, sf).head().toSeq,
+      EtlQueries.csvQuarantineGate(spark, sf).head().toSeq)
+    val (r1, q1) = runBoth()
+    val (r2, q2) = runBoth()
+    assert(r1 == r2, s"replay gate drifted across reps: $r1 vs $r2")
+    assert(q1 == q2, s"quarantine gate drifted across reps: $q1 vs $q2")
+    // replay: 3 quarantined, 2 repaired, repaired sum 3.25 + 1.5
+    assert(r1(2) == 3L && r1(3) == 2L && r1(5) == 4.75)
+    assert(r1(4) == r1(1).asInstanceOf[Long] + 2L)
+    // A4b: exactly the 3 injected bad rows quarantined
+    assert(q1(3) == 3L)
+  }
 }

@@ -332,5 +332,12 @@ class SinksSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "/v_1")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "/v_2")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(table + "/v_3")))
+    // the pointer flip is delete-then-rename: a reader landing in the
+    // no-pointer window must still resolve (max committed v_N on disk),
+    // and a leftover staging dir must never be taken for a version
+    fs.delete(new org.apache.hadoop.fs.Path(table + "/_LATEST"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table + "/v_9._staging"))
+    assert(Sinks.latestVersion(spark, table).contains(5))
+    assert(Sinks.readVersion(spark, table).count() == 50)
   }
 }

@@ -21,7 +21,7 @@ tuned DuckDB port — for the dedup/similarity family the oracle is the
 O(n^2) definition while the Spark side is the bucketed production
 algorithm, so those ratios compare different algorithms by design.
 """
-import sys, json, time
+import sys, json, time, queue
 import multiprocessing as mp
 import duckdb
 
@@ -64,7 +64,13 @@ for i, (name, sql) in enumerate(sorted(oracle.items())):
         p.join()
         results[name] = {"timeout": TIMEOUT_SEC}
     else:
-        r = q.get() if not q.empty() else {"error": "worker died"}
+        # q.empty() can transiently be True while the child's feeder
+        # thread is still flushing — a timed get never misrecords a
+        # successful query as 'worker died'
+        try:
+            r = q.get(timeout=5)
+        except queue.Empty:
+            r = {"error": "worker died"}
         if "error" in r:
             errors[name] = r["error"]
         else:
