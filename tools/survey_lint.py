@@ -24,6 +24,19 @@ dumped = {d for d in os.listdir(outdir)
           if os.path.isdir(os.path.join(outdir, d))}
 registered = dumped | set(oracle)
 
+# Refuse a STALE outdir: r13's lint "passed" against an old /tmp/verify_out
+# that predated 5 new queries. The source registry is the truth — if the
+# outdir doesn't carry every key SparkEntry registers, the lint would
+# silently under-check, so fail loudly instead.
+entry = open("src/main/scala/graft/SparkEntry.scala").read()
+source_keys = set(re.findall(r'"([a-z0-9_]+)"\s*->', entry))
+missing = sorted(source_keys - registered)
+if missing:
+    print(f"STALE OUTDIR: {outdir} lacks {len(missing)} queries that "
+          f"SparkEntry registers: {missing}")
+    print("Re-run `graft.Verify <sfDir> {}` first.".format(outdir))
+    sys.exit(1)
+
 survey = open("SURVEY.md").read()
 sec2 = survey.split("## §2")[1].split("\n## ")[0]
 rows = [l for l in sec2.splitlines() if l.startswith("| ")]
