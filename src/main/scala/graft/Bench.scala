@@ -102,9 +102,27 @@ object Bench {
     // min is kept alongside as the load-independent floor. A query
     // that errors on rep 1 is not retried (the error is the result).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+    // per-query telemetry: (median, min, GC ms across the reps, used
+    // heap MB after). The r13 judge traced an 8x in-bench drift on
+    // quality_deciles (plans unchanged, fresh-JVM ProbeOne 0.5 s) to
+    // bench-JVM neighbor state; these fields make that class of drift
+    // attributable from the artifact instead of a round of archaeology.
+    case class QT(med: Double, min: Double, gcMs: Long, heapMb: Long)
     def timed(name: String,
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double) = {
+        : QT = {
+      // neighbor isolation: drop whatever the PREVIOUS query left in
+      // the cache manager (operators that .cache() internally without
+      // an unpersist accumulate across 225 queries into executor
+      // memory pressure). Same-query reps still reuse the cache the
+      // query itself builds — the clear happens once per query block.
+      spark.catalog.clearCache()
+      val gc0 = gcMillis()
       val ts = scala.collection.mutable.ArrayBuffer[Double]()
       var i = 0
       while (i < reps && !errors.contains(name)) {
@@ -112,24 +130,34 @@ object Bench {
         if (!t.isNaN) ts += t
         i += 1
       }
+      val gcMs = gcMillis() - gc0
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1024L * 1024L)
       // A query that already errored (e.g. during the cold pass) skips
       // the reps loop entirely; emit NaN rather than indexing an empty
       // buffer so the bench still prints its JSON line with the error
       // recorded and rc=1, instead of dying mid-run.
-      if (ts.isEmpty) (Double.NaN, Double.NaN)
+      if (ts.isEmpty) QT(Double.NaN, Double.NaN, gcMs, heapMb)
       else {
         val sorted = ts.sorted
-        (sorted(sorted.size / 2), sorted.head)
+        QT(sorted(sorted.size / 2), sorted.head, gcMs, heapMb)
       }
     }
-    val cold = named.map { case (name, fn) => name -> once(name, fn) }
+    val cold = named.map { case (name, fn) =>
+      spark.catalog.clearCache()
+      name -> once(name, fn)
+    }
     val timedResults = named.map { case (name, fn) => name -> timed(name, fn) }
-    val results = timedResults.map { case (n, (med, _)) => n -> med }
-    val mins = timedResults.map { case (n, (_, mn)) => n -> mn }
+    val results = timedResults.map { case (n, qt) => n -> qt.med }
+    val mins = timedResults.map { case (n, qt) => n -> qt.min }
     val sinkTimed = sinkGates.map { case (name, fn) => name -> timed(name, fn) }
-    val sinkResults = sinkTimed.map { case (n, (med, _)) => n -> med }
+    val sinkResults = sinkTimed.map { case (n, qt) => n -> qt.med }
     val streamTimed = streamGates.map { case (name, fn) => name -> timed(name, fn) }
-    val streamResults = streamTimed.map { case (n, (med, _)) => n -> med }
+    val streamResults = streamTimed.map { case (n, qt) => n -> qt.med }
+    val gcTel = (timedResults ++ sinkTimed ++ streamTimed)
+      .map { case (n, qt) => n -> qt.gcMs }
+    val heapTel = (timedResults ++ sinkTimed ++ streamTimed)
+      .map { case (n, qt) => n -> qt.heapMb }
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
@@ -149,7 +177,9 @@ object Bench {
     // from the artifact alone.
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"queries_min":${js(mins)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"gate_total":$gateTotal,"queries_gate":${js(sinkResults)},"stream_total":$streamTotal,"queries_stream":${js(streamResults)},"errors":$errJs,"rc":${if (errors.isEmpty) 0 else 1},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+    def jsL(rs: Seq[(String, Long)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"queries_min":${js(mins)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"gate_total":$gateTotal,"queries_gate":${js(sinkResults)},"stream_total":$streamTotal,"queries_stream":${js(streamResults)},"queries_gc_ms":${jsL(gcTel)},"queries_heap_mb":${jsL(heapTel)},"errors":$errJs,"rc":${if (errors.isEmpty) 0 else 1},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncated
     // every past round's headline: persist the complete JSON as a file
