@@ -545,4 +545,159 @@ object DataQuality {
       |  ROUND(CAST(contrib AS DOUBLE) / CAST(join_rows AS DOUBLE), 6)
       |    AS out_share
       |FROM top5, t""".stripMargin
+
+  // ----------------------------------------------------------- C40
+  /** Cost-based join-order probe (the third pre-flight beside C26's
+    * skew profile and C37's cardinality estimate — the one an
+    * optimizer actually runs): for a star fact with three filtered
+    * dimension branches (part p_size<10, supplier s_acctbal>5000,
+    * orders 1-URGENT), rank every left-deep dimension-join order by
+    * the textbook uniform-containment cost model — after joining a
+    * dim with selectivity σ the fact shrinks by σ, cost = Σ of
+    * intermediate sizes — and report the model's estimates beside the
+    * TRUE intermediate sizes, so the advisor's pick is auditable, not
+    * just asserted. Most-selective-first wins; the model's rank order
+    * must agree with the actual-cost rank order (the spec pins it).
+    *
+    * Scale shape: three keys-sized dim aggregates (one per branch)
+    * give the selectivities; ALL SEVEN true intermediate sizes come
+    * from ONE scan of the fact — three broadcast key-membership
+    * probes attach boolean flags, then a single hash aggregate takes
+    * the 2³−1 conditional counts (an actual intermediate size depends
+    * only on WHICH dims are applied, not their order). The 6-row
+    * permutation frame and the rank windows are constant-sized; no
+    * join output is ever materialized — the probe costs three dim
+    * scans plus one fact scan regardless of scale. */
+  def joinOrderProbe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    def selOf(df: DataFrame, pred: Column, out: String) =
+      df.agg((sum(when(pred, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as(out))
+    val selP = selOf(Tables.part(s, dir), col("p_size") < 10, "sel_part")
+    val selS = selOf(Tables.supplier(s, dir), col("s_acctbal") > 5000, "sel_supplier")
+    val selO = selOf(Tables.orders(s, dir),
+      col("o_orderpriority") === "1-URGENT", "sel_orders")
+    // key-membership probes: UNHINTED equi-joins on the filtered key
+    // sets — the planner broadcasts a key set that fits (the common
+    // case: 8-byte keys after a selective filter) and falls back to a
+    // shuffle join when a branch's surviving keys outgrow the
+    // threshold, which a 100 TB orders branch would; a forced
+    // broadcast() here would be a scale bug, not a hint
+    val flags = li
+      .join(Tables.part(s, dir).filter(col("p_size") < 10)
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"), "left")
+      .join(Tables.supplier(s, dir).filter(col("s_acctbal") > 5000)
+        .select(col("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("p_partkey").isNotNull.as("fp"),
+        col("s_suppkey").isNotNull.as("fs"),
+        col("o_orderkey").isNotNull.as("fo"))
+    def cnt(c: Column, out: String) =
+      sum(when(c, 1L).otherwise(0L)).as(out)
+    val acts = flags.agg(count(lit(1)).as("n_l"),
+      cnt(col("fp"), "a_p"), cnt(col("fs"), "a_s"), cnt(col("fo"), "a_o"),
+      cnt(col("fp") && col("fs"), "a_ps"),
+      cnt(col("fp") && col("fo"), "a_po"),
+      cnt(col("fs") && col("fo"), "a_so"),
+      cnt(col("fp") && col("fs") && col("fo"), "a_pso"))
+    val perms = s.createDataFrame(Seq(
+      ("part,supplier,orders", "part", "supplier", "orders"),
+      ("part,orders,supplier", "part", "orders", "supplier"),
+      ("supplier,part,orders", "supplier", "part", "orders"),
+      ("supplier,orders,part", "supplier", "orders", "part"),
+      ("orders,part,supplier", "orders", "part", "supplier"),
+      ("orders,supplier,part", "orders", "supplier", "part")))
+      .toDF("perm", "d1", "d2", "d3")
+    def sel(d: Column) = when(d === "part", col("sel_part"))
+      .when(d === "supplier", col("sel_supplier")).otherwise(col("sel_orders"))
+    def act1(d: Column) = when(d === "part", col("a_p"))
+      .when(d === "supplier", col("a_s")).otherwise(col("a_o"))
+    // the pair after step 2 is identified by the dim NOT yet joined
+    def act2(d3: Column) = when(d3 === "orders", col("a_ps"))
+      .when(d3 === "supplier", col("a_po")).otherwise(col("a_so"))
+    val est1 = col("n_l").cast("double") * sel(col("d1"))
+    val est2 = est1 * sel(col("d2"))
+    val est3 = est2 * sel(col("d3"))
+    // constant 6-row frame: the unpartitioned rank windows are bounded
+    // by the permutation count, never by data (the q_chi2 discipline)
+    val byEst = Window.orderBy(
+      (est1 + est2 + est3).asc_nulls_last, col("perm").asc)
+    val byAct = Window.orderBy(
+      (col("a_1") + col("a_2") + col("a_pso")).asc_nulls_last, col("perm").asc)
+    perms.crossJoin(broadcast(selP)).crossJoin(broadcast(selS))
+      .crossJoin(broadcast(selO)).crossJoin(broadcast(acts))
+      .withColumn("a_1", act1(col("d1")))
+      .withColumn("a_2", act2(col("d3")))
+      .withColumn("rank_est", row_number().over(byEst))
+      .withColumn("rank_act", row_number().over(byAct))
+      .select(col("perm"), col("rank_est"), col("rank_act"),
+        round(est1 + est2 + est3, 6).as("est_cost"),
+        (col("a_1") + col("a_2") + col("a_pso")).as("act_cost"),
+        round(est3, 6).as("est_final"), col("a_pso").as("act_final"))
+      .orderBy(col("rank_est"))
+  }
+
+  val joinOrderProbeSql: String =
+    """WITH dp AS (SELECT CAST(COUNT(*) FILTER (WHERE p_size < 10) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS sel_part FROM part),
+      |ds AS (SELECT CAST(COUNT(*) FILTER (WHERE s_acctbal > 5000) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS sel_supplier FROM supplier),
+      |dd AS (SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS sel_orders FROM orders),
+      |fl AS (SELECT
+      |    l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10) AS fp,
+      |    l_suppkey IN (SELECT s_suppkey FROM supplier
+      |      WHERE s_acctbal > 5000) AS fs,
+      |    l_orderkey IN (SELECT o_orderkey FROM orders
+      |      WHERE o_orderpriority = '1-URGENT') AS fo
+      |  FROM lineitem),
+      |acts AS (SELECT COUNT(*) AS n_l,
+      |    COUNT(*) FILTER (WHERE fp) AS a_p,
+      |    COUNT(*) FILTER (WHERE fs) AS a_s,
+      |    COUNT(*) FILTER (WHERE fo) AS a_o,
+      |    COUNT(*) FILTER (WHERE fp AND fs) AS a_ps,
+      |    COUNT(*) FILTER (WHERE fp AND fo) AS a_po,
+      |    COUNT(*) FILTER (WHERE fs AND fo) AS a_so,
+      |    COUNT(*) FILTER (WHERE fp AND fs AND fo) AS a_pso
+      |  FROM fl),
+      |perms(perm, d1, d2, d3) AS (VALUES
+      |  ('part,supplier,orders', 'part', 'supplier', 'orders'),
+      |  ('part,orders,supplier', 'part', 'orders', 'supplier'),
+      |  ('supplier,part,orders', 'supplier', 'part', 'orders'),
+      |  ('supplier,orders,part', 'supplier', 'orders', 'part'),
+      |  ('orders,part,supplier', 'orders', 'part', 'supplier'),
+      |  ('orders,supplier,part', 'orders', 'supplier', 'part')),
+      |calc AS (SELECT perm,
+      |    CAST(n_l AS DOUBLE) * (CASE d1 WHEN 'part' THEN sel_part
+      |      WHEN 'supplier' THEN sel_supplier ELSE sel_orders END) AS est1,
+      |    CAST(n_l AS DOUBLE) * (CASE d1 WHEN 'part' THEN sel_part
+      |      WHEN 'supplier' THEN sel_supplier ELSE sel_orders END)
+      |      * (CASE d2 WHEN 'part' THEN sel_part
+      |      WHEN 'supplier' THEN sel_supplier ELSE sel_orders END) AS est2,
+      |    CAST(n_l AS DOUBLE) * (CASE d1 WHEN 'part' THEN sel_part
+      |      WHEN 'supplier' THEN sel_supplier ELSE sel_orders END)
+      |      * (CASE d2 WHEN 'part' THEN sel_part
+      |      WHEN 'supplier' THEN sel_supplier ELSE sel_orders END)
+      |      * (CASE d3 WHEN 'part' THEN sel_part
+      |      WHEN 'supplier' THEN sel_supplier ELSE sel_orders END) AS est3,
+      |    (CASE d1 WHEN 'part' THEN a_p WHEN 'supplier' THEN a_s
+      |      ELSE a_o END) AS a_1,
+      |    (CASE d3 WHEN 'orders' THEN a_ps WHEN 'supplier' THEN a_po
+      |      ELSE a_so END) AS a_2,
+      |    a_pso
+      |  FROM perms, dp, ds, dd, acts)
+      |SELECT perm,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY est1 + est2 + est3 ASC NULLS LAST,
+      |    perm ASC) AS INTEGER) AS rank_est,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY a_1 + a_2 + a_pso ASC NULLS LAST,
+      |    perm ASC) AS INTEGER) AS rank_act,
+      |  ROUND(est1 + est2 + est3, 6) AS est_cost,
+      |  CAST(a_1 + a_2 + a_pso AS BIGINT) AS act_cost,
+      |  ROUND(est3, 6) AS est_final,
+      |  CAST(a_pso AS BIGINT) AS act_final
+      |FROM calc ORDER BY rank_est""".stripMargin
 }

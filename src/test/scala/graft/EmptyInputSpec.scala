@@ -87,6 +87,11 @@ class EmptyInputSpec extends SparkSpec {
     val fw = Analytics.funnelWindowed(spark, emptyDir).collect()
     assert(fw.length == 3)
     assert(fw.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+    // join_order_probe: all 6 permutation rows survive with null costs
+    // (0/0 selectivities), ranks still a permutation of 1..6
+    val jp = DataQuality.joinOrderProbe(spark, emptyDir).collect()
+    assert(jp.length == 6)
+    assert(jp.map(_.getInt(1)).sorted.toSeq == (1 to 6))
   }
 
   test("global-aggregate shapes emit well-formed rows on empty input") {

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Oracle-independent invariants for the round-14 operators (the
+  * merge_into lesson: a same-shaped SQL oracle can agree with a bug,
+  * so every operator also pins a property the oracle doesn't test). */
+class R14OpsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ C40
+  test("join_order_probe: ranks are permutations, finals agree, model picks truth") {
+    val rows = DataQuality.joinOrderProbe(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 6), "rank_est not 1..6")
+    assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 6), "rank_act not 1..6")
+    // every order ends at the same final cardinality, estimated and true
+    assert(rows.map(_.getDouble(5)).distinct.length == 1)
+    assert(rows.map(_.getLong(6)).distinct.length == 1)
+    // cost monotonicity: est_cost is non-decreasing in rank_est (ditto act)
+    val byEst = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(byEst.zip(byEst.tail).forall { case (a, b) => a <= b })
+    val byAct = rows.sortBy(_.getInt(2)).map(_.getLong(4))
+    assert(byAct.zip(byAct.tail).forall { case (a, b) => a <= b })
+    // the model's pick (rank_est 1) starts with the most selective dim
+    val sels = Map(
+      "part" -> {
+        val p = Tables.part(spark, sf)
+        p.filter(col("p_size") < 10).count().toDouble / p.count()
+      },
+      "supplier" -> {
+        val su = Tables.supplier(spark, sf)
+        su.filter(col("s_acctbal") > 5000).count().toDouble / su.count()
+      },
+      "orders" -> {
+        val o = Tables.orders(spark, sf)
+        o.filter(col("o_orderpriority") === "1-URGENT").count().toDouble / o.count()
+      })
+    val best = rows.find(_.getInt(1) == 1).get.getString(0)
+    val greedy = sels.toSeq.sortBy { case (n, v) => (v, n) }.map(_._1).mkString(",")
+    assert(best == greedy, s"model pick $best != greedy-selectivity $greedy")
+    // the model's pick must also be truly cheapest (uniform-containment
+    // holds on this schema: FKs are assigned independently of the dims'
+    // filter columns)
+    assert(rows.find(_.getInt(1) == 1).get.getInt(2) == 1,
+      "est-best order is not act-best")
+  }
+
+}
