@@ -404,7 +404,11 @@ object SinkGates {
       .select(col("day")).distinct().collect().map(_.getString(0))
       .map("day=" + _).toSet
     val audit = Sinks.purgeKeys(s, table, "user_id", purge, "day")
-    val removed = audit.agg(sum(col("rows_removed"))).head().getLong(0)
+    // null-safe: on a dataset where no row carries a purge key (e.g. a
+    // MakeSlice dir whose user_id % m filter drops users 7 and 42) the
+    // audit is empty and a bare sum() returns NULL
+    val removed = audit.agg(coalesce(sum(col("rows_removed")), lit(0L)))
+      .head().getLong(0)
     val filesAfter = partFiles()
     val untouchedIntact = filesBefore.keySet.forall { d =>
       affectedDays.contains(d) || filesBefore(d) == filesAfter(d)
