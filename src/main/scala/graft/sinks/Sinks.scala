@@ -452,14 +452,24 @@ object Sinks {
     import org.apache.spark.sql.functions._
     val t = spark.read.parquet(tablePath)
     // materialize the audit BEFORE the rewrite — these frames read the
-    // pre-purge files, which the dynamic overwrite is about to replace
+    // pre-purge files, which the dynamic overwrite is about to replace.
+    // The partition key is collected as a STRING: partition-value
+    // inference types day=... directories as DATE, and decoding a
+    // DateType row on the driver needs JVM module opens
+    // (sun.util.calendar.ZoneInfo) that a bare `java -cp` launch
+    // doesn't grant — the engine-side cast keeps the audit portable
+    // across launchers and engines
     val affectedRows = t.filter(col(keyCol).isin(keys: _*))
-      .groupBy(col(partCol)).agg(count(lit(1)).as("rows_removed"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .groupBy(col(partCol).cast("string").as(partCol))
+      .agg(count(lit(1)).as("rows_removed"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val affectedVals = affectedRows.map(_._1)
+    // filter on the NATIVE column (literals coerce) so partition
+    // pruning survives; only the grouped output is cast for the collect
     val beforeRows = t.filter(col(partCol).isin(affectedVals: _*))
-      .groupBy(col(partCol)).agg(count(lit(1)).as("rows_before"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+      .groupBy(col(partCol).cast("string").as(partCol))
+      .agg(count(lit(1)).as("rows_before"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val staging = tablePath + "_graft_purge_tmp"
     t.filter(col(partCol).isin(affectedVals: _*) && !col(keyCol).isin(keys: _*))
       .write.mode(SaveMode.Overwrite).parquet(staging)

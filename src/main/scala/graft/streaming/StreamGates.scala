@@ -1312,4 +1312,106 @@ object StreamGates {
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
       |  TRUE AS stream_matches_batch
       |FROM events WHERE event_id < 2000""".stripMargin
+
+  // ------------------------------------------------------------- F23
+  /** Streaming watermark-lateness histogram — the watermark SLO as a
+    * DISTRIBUTION rather than F13's planted-cohort count: how far
+    * behind the engine's own watermark does each arriving event land?
+    * At 100 TB this is the ops dashboard that decides the watermark
+    * delay (and therefore state size) — "99% of events arrive within
+    * 1 h of the watermark" is the statistic the `withWatermark`
+    * parameter is tuned against, and it must come from the ENGINE's
+    * per-batch watermark, not a re-derivation, or the histogram lies
+    * exactly when the tracker misbehaves.
+    *
+    * Protocol: the slice is staged as four arrival chunks keyed by
+    * `user_id % 4` (arrival order decoupled from event time, like real
+    * ingest), one parquet file each with strictly increasing mtimes so
+    * `AvailableNow` + `maxFilesPerTrigger=1` drains them as batches
+    * 0..3 in chunk order. The stream is watermarked 1 h and lands each
+    * micro-batch with its `batch_id` provenance (the F6 pattern — the
+    * landing write production does anyway). After the drain, the
+    * per-batch watermark is read from the terminated query's
+    * `recentProgress` (`eventTime.watermark` — the value the engine
+    * USED for that batch: max event-time ms over prior batches minus
+    * the delay, monotonic, 0 before any data). The histogram is then
+    * one broadcast join of arrivals against the batches-sized
+    * (batch_id → watermark_ms) frame plus a 4-bin classification and
+    * hash aggregate — at scale: map-side classify, keys-sized shuffle,
+    * nothing driver-bound but the watermark map itself.
+    *
+    * The oracle recomputes the engine's watermark semantics in SQL
+    * (running max of prior-chunk max event-time ms, minus 1 h) and
+    * must land every event in the SAME bin — pinning both the
+    * histogram arithmetic and the tracker's advance rule cross-engine.
+    * Event times are ms-truncated on both sides (`unix_millis` /
+    * `epoch_ms`), matching the engine's own ms watermark precision. */
+  def streamLatenessHistogram(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    import org.apache.hadoop.fs.Path
+    val ev = slice(s, dir)
+    val in = tempDir("graft_sg_lhist_in")
+    val fs = new Path(in).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val baseMs = System.currentTimeMillis()
+    (0 until 4).foreach { c =>
+      val tmp = tempDir(s"graft_sg_lhist_tmp$c")
+      // repartition(1), not coalesce: guarantees one part file per
+      // chunk even from a zero-partition empty frame
+      ev.filter(pmod(col("user_id"), lit(4L)) === c.toLong).repartition(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).headOption
+        .getOrElse(throw new IllegalStateException(s"no part file staged for chunk $c"))
+      val dst = new Path(in, f"chunk_$c%02d.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, baseMs + c * 1000L, -1)
+    }
+    val out = tempDir("graft_sg_lhist_out") + "/arrivals"
+    val q = drainQ(
+      EventStream.foreachBatchSink(
+          fileStream(s, in, ev.schema).withWatermark("ts", "1 hour"),
+          uniq("sg_lhist")) { (batch, _) =>
+        batch.write.mode("append").parquet(out)
+      }.option("checkpointLocation", tempDir("graft_sg_lhist_ck")))
+    val wmByBatch = q.recentProgress.toSeq.flatMap { p =>
+      Option(p.eventTime.get("watermark")).map(w =>
+        (p.batchId, java.time.Instant.parse(w).toEpochMilli))
+    }
+    val wmDf = wmByBatch.toDF("batch_id", "wm_ms")
+    val lateMs = col("wm_ms") - unix_millis(col("ts"))
+    val bin = when(col("wm_ms") <= 0L || lateMs <= 0L, "a_on_time")
+      .when(lateMs <= 3600000L, "b_late_le_1h")
+      .when(lateMs <= 7200000L, "c_late_1h_2h")
+      .otherwise("d_late_gt_2h")
+    // explicit schema: an all-empty drain appends no part files, and
+    // schema inference over the bare _SUCCESS dir would throw
+    val arrSchema = ev.schema.add("batch_id", org.apache.spark.sql.types.LongType)
+    s.read.schema(arrSchema).parquet(out)
+      .join(broadcast(wmDf), Seq("batch_id"))
+      .groupBy(bin.as("lateness_bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("stream_lateness_histogram").as("metric"),
+        col("lateness_bin"), col("n"))
+      .orderBy(col("lateness_bin"))
+  }
+
+  val streamLatenessHistogramSql: String =
+    """WITH s AS (SELECT user_id % 4 AS chunk, epoch_ms(ts) AS ts_ms
+      |           FROM events WHERE event_id < 2000),
+      |cm AS (SELECT chunk, max(ts_ms) AS mx FROM s GROUP BY 1),
+      |wm AS (SELECT chunk,
+      |         max(mx) OVER (ORDER BY chunk
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         - 3600000 AS wm_ms
+      |       FROM cm),
+      |b AS (SELECT CASE
+      |        WHEN wm.wm_ms IS NULL OR s.ts_ms >= wm.wm_ms THEN 'a_on_time'
+      |        WHEN wm.wm_ms - s.ts_ms <= 3600000 THEN 'b_late_le_1h'
+      |        WHEN wm.wm_ms - s.ts_ms <= 7200000 THEN 'c_late_1h_2h'
+      |        ELSE 'd_late_gt_2h' END AS lateness_bin
+      |      FROM s JOIN wm USING (chunk))
+      |SELECT 'stream_lateness_histogram' AS metric, lateness_bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM b GROUP BY 2 ORDER BY 2""".stripMargin
 }

@@ -102,4 +102,11 @@ class EmptyInputSpec extends SparkSpec {
     // psi_drift: no buckets exist — zero rows, not an error
     assert(DataQuality.psiDrift(spark, emptyDir).count() == 0L)
   }
+
+  test("stream lateness histogram drains an empty slice to zero rows") {
+    // four empty chunk files still make four micro-batches; the
+    // watermark never advances and the histogram is empty, not a throw
+    assert(graft.streaming.StreamGates
+      .streamLatenessHistogram(spark, emptyDir).count() == 0L)
+  }
 }

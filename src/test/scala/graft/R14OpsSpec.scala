@@ -46,4 +46,26 @@ class R14OpsSpec extends SparkSpec {
       "est-best order is not act-best")
   }
 
+  // ------------------------------------------------------------ F23
+  test("stream_lateness_histogram: bins partition the slice, lateness real, rerun-stable") {
+    def run() = graft.streaming.StreamGates
+      .streamLatenessHistogram(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val h1 = run()
+    val slice = Tables.events(spark, sf)
+      .filter(col("event_id") < 2000).count()
+    // the four bins partition the slice exactly — every arrival was
+    // matched to a per-batch watermark (a batch missing from progress
+    // would silently drop its rows at the join)
+    assert(h1.values.sum == slice, s"bins ${h1.values.sum} != slice $slice")
+    // batch 0 rides watermark 0, so on-time rows must exist; chunks are
+    // keyed by user (event-time-independent), so chunks 1..3 span the
+    // full ts range and genuine lateness must appear too
+    assert(h1.getOrElse("a_on_time", 0L) > 0L, s"no on-time rows: $h1")
+    assert((h1 - "a_on_time").values.sum > 0L, s"no late rows: $h1")
+    // same-JVM re-execution (the r13 quarantine lesson): fresh scratch
+    // dirs per invocation make the histogram identical, not corrupted
+    assert(run() == h1, "rerun drifted")
+  }
+
 }
