@@ -1374,10 +1374,13 @@ object StreamGates {
           uniq("sg_lhist")) { (batch, _) =>
         batch.write.mode("append").parquet(out)
       }.option("checkpointLocation", tempDir("graft_sg_lhist_ck")))
+    // keyed through a Map: were a batch ever to report progress twice,
+    // a duplicate (batch_id, wm) row would double-count its arrivals
+    // through the join rather than fail loudly
     val wmByBatch = q.recentProgress.toSeq.flatMap { p =>
       Option(p.eventTime.get("watermark")).map(w =>
         (p.batchId, java.time.Instant.parse(w).toEpochMilli))
-    }
+    }.toMap.toSeq
     val wmDf = wmByBatch.toDF("batch_id", "wm_ms")
     val lateMs = col("wm_ms") - unix_millis(col("ts"))
     val bin = when(col("wm_ms") <= 0L || lateMs <= 0L, "a_on_time")
