@@ -65,6 +65,28 @@ object EtlStage {
     drop
   }
 
+  /** Stage the events table as a DATE-PARTITIONED drop
+    * (`day=YYYY-MM-DD/part-*.csv`) — the layout whose first-level
+    * date directories the `graft-catalog` DataSourceV2 source (A14)
+    * prunes at LIST time. One file per day (repartition by day).
+    * Idempotent per sfDir, like [[stageEventsCsv]]. */
+  def stageEventsCsvByDay(spark: SparkSession, sfDir: String): String = {
+    val drop = dropDir(sfDir) + "_byday"
+    val marker = Paths.get(drop).getParent.resolve("_STAGED_BYDAY")
+    if (Files.exists(marker)) return drop
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .drop("ts")
+      .repartition(col("day"))
+      .write.mode("overwrite")
+      .options(graft.sources.Readers.csvOptions)
+      .partitionBy("day")
+      .csv(drop)
+    Files.createFile(marker)
+    drop
+  }
+
   private def gzipTo(src: Path, dst: Path): Unit = {
     val in = new BufferedInputStream(new FileInputStream(src.toFile))
     val out = new GZIPOutputStream(new BufferedOutputStream(new FileOutputStream(dst.toFile)))

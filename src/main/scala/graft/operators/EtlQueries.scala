@@ -147,6 +147,82 @@ object EtlQueries {
       |  CAST(1 AS BIGINT) AS n_files
       |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-16'""".stripMargin
 
+  // ----------------------------------------------------------- A14
+  /** The catalog as a DataSourceV2 TABLE (`graft-catalog`): one row
+    * per object over the date-partitioned drop, date column derived
+    * in-source from the `day=` directory names. The per-day file
+    * count is the oracle-pinned invariant (one file per day by the
+    * staging contract). See [[graft.sources.CatalogSource]]. */
+  def catalogV2(s: SparkSession, dir: String): DataFrame = {
+    val drop = EtlStage.stageEventsCsvByDay(s, dir)
+    s.read.format("graft-catalog").load(drop)
+      .groupBy(col("extracted_date"))
+      .agg(count(lit(1)).as("n_files"))
+  }
+
+  val catalogV2Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS extracted_date,
+      |  CAST(1 AS BIGINT) AS n_files
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- A14b
+  /** Pushdown PROOF for the `graft-catalog` source, asserted from the
+    * executed plan's own DSv2 metrics — not a side-channel counter:
+    * a `WHERE extracted_date = d` read must (a) prune every other
+    * date subtree BEFORE any LIST call (`dirs_pruned` = days − 1,
+    * `dirs_listed` = 1), (b) leave NO residual FilterExec in the plan
+    * (the source enforces date predicates fully), and (c) still
+    * return exactly the day's files. At 100 TB this gate is the
+    * difference between one prefix LIST and paging the whole bucket. */
+  def catalogV2PushdownGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val drop = EtlStage.stageEventsCsvByDay(s, dir)
+    val nDays = s.read.format("graft-catalog").load(drop)
+      .select(col("extracted_date")).distinct().count()
+    val one = s.read.format("graft-catalog").load(drop)
+      .filter(col("extracted_date") === "2024-01-16")
+      .select(col("name"), col("extracted_date"))
+    // execute THIS queryExecution, then read ITS metrics (a separate
+    // .count() would plan and meter a different physical tree)
+    val nMatch = one.collect().length.toLong
+    // pre-order walk stepping through adaptive wrappers (the
+    // PlanAuditSweepSpec idiom)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val all = nodes(one.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan)
+    val noResidualFilter = !all.exists(_.isInstanceOf[FilterExec])
+    val scan = all.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(throw new IllegalStateException("no BatchScanExec in plan"))
+    val pruned = scan.metrics("dirs_pruned").value
+    val listed = scan.metrics("dirs_listed").value
+    val emptyOk = nDays == 0 && nMatch == 0
+    Seq(("catalog_v2_pushdown", nDays, nMatch,
+        emptyOk || pruned == nDays - 1,
+        emptyOk || listed == 1L,
+        noResidualFilter))
+      .toDF("metric", "n_days", "n_files_match", "pushdown_pruned",
+        "single_dir_listed", "no_residual_filter")
+  }
+
+  val catalogV2PushdownGateSql: String =
+    """SELECT 'catalog_v2_pushdown' AS metric,
+      |  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+      |  CAST(1 AS BIGINT) AS n_files_match,
+      |  TRUE AS pushdown_pruned,
+      |  TRUE AS single_dir_listed,
+      |  TRUE AS no_residual_filter
+      |FROM events""".stripMargin
+
   // ----------------------------------------------------------- A4
   /** Whole-drop CSV read (mixed .csv/.csv.gz): values must round-trip
     * exactly vs the original parquet. */

@@ -103,6 +103,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(DataQuality.psiDrift(spark, emptyDir).count() == 0L)
   }
 
+  test("catalog DSv2 survives an empty drop") {
+    // empty staged drop = root dir with only _SUCCESS: zero partitions
+    // planned, zero rows; the pushdown gate still emits its one row
+    assert(EtlQueries.catalogV2(spark, emptyDir).count() == 0L)
+    assert(EtlQueries.catalogV2PushdownGate(spark, emptyDir).count() == 1L)
+  }
+
   test("stream lateness histogram drains an empty slice to zero rows") {
     // four empty chunk files still make four micro-batches; the
     // watermark never advances and the histogram is empty, not a throw

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
 import graft.operators._
 
 /** Oracle-independent invariants for the round-14 operators (the
@@ -44,6 +45,50 @@ class R14OpsSpec extends SparkSpec {
     // filter columns)
     assert(rows.find(_.getInt(1) == 1).get.getInt(2) == 1,
       "est-best order is not act-best")
+  }
+
+  // ------------------------------------------------------------ A14
+  test("graft-catalog DSv2: listing pushdown, column pruning, v1 equivalence") {
+    import graft.sources.{CatalogScan, CatalogScanBuilder, FileCatalog}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val drop = EtlStage.stageEventsCsvByDay(spark, sf)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // equality pushdown: residual empty, exactly ONE partition planned
+    val sb = new CatalogScanBuilder(drop, conf)
+    val residual = sb.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("extracted_date", "2024-01-16")))
+    assert(residual.isEmpty, "date filter must be fully pushed")
+    val one = sb.build().asInstanceOf[CatalogScan].planInputPartitions()
+    assert(one.length == 1, s"pushdown planned ${one.length} partitions")
+    // unfiltered: one partition per day directory
+    val nDays = spark.read.format("graft-catalog").load(drop)
+      .select("extracted_date").distinct().count()
+    val all = new CatalogScanBuilder(drop, conf).build()
+      .asInstanceOf[CatalogScan].planInputPartitions()
+    assert(all.length == nDays, s"${all.length} partitions for $nDays days")
+    // a range predicate prunes to the in-range days
+    val sb2 = new CatalogScanBuilder(drop, conf)
+    sb2.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("extracted_date", "2024-01-10"),
+      org.apache.spark.sql.sources.LessThan("extracted_date", "2024-01-13")))
+    assert(sb2.build().asInstanceOf[CatalogScan].planInputPartitions().length == 3)
+    // column pruning reaches the scan
+    val prunedDf = spark.read.format("graft-catalog").load(drop).select("name")
+    prunedDf.collect()
+    val scan = prunedDf.asInstanceOf[ClassicDataset[_]].queryExecution
+      .executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("name"))
+    // equivalence with the v1 DataFrame catalog on the same tree
+    val v2 = spark.read.format("graft-catalog").load(drop)
+      .select("path", "size").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val v1 = FileCatalog.listFiles(spark, drop)
+      .filter(!col("name").startsWith("_") && !col("name").startsWith("."))
+      .select("path", "size").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(v2 == v1, s"v2 ${v2.size} files vs v1 ${v1.size}")
   }
 
   // ------------------------------------------------------------ F23
