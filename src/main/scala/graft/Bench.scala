@@ -11,7 +11,8 @@ object Bench {
     "agg_maintain_gate", "dpp_gate", "exchange_reuse_gate",
     "bucketed_join_gate", "csv_quarantine_gate", "schema_evolved_gate",
     "ann_ivf_persist_gate", "join_view_maintain_gate",
-    "multi_publish_gate", "quarantine_replay_gate")
+    "multi_publish_gate", "quarantine_replay_gate",
+    "join_reorder_rewrite_gate")
 
   def main(args: Array[String]): Unit = {
     val loadStart = java.lang.management.ManagementFactory
@@ -62,6 +63,43 @@ object Bench {
     // replaces that query with a deliberate throw, proving the error
     // path end-to-end (null time in every section, error recorded,
     // rc 1) without touching any real operator.
+    // Machine-calibration probe (r14 judge finding 1: cross-round
+    // ratios needed a prose "the machine was 1.3-1.5x slower" estimate
+    // that no artifact could reproduce). Two FIXED probes — frozen
+    // here, independent of the query registry, identical every round —
+    // timed min-of-3 at bench start AND end:
+    //   cpu : sum(xxhash64(id)) over a 50M range — pure whole-stage
+    //         codegen CPU, no I/O; tracks clock/contention drift.
+    //   scan: lineitem groupBy(flag,status) 3-agg — parquet scan +
+    //         one hash exchange; tracks the I/O + shuffle floor.
+    // Any future cross-round comparison divides the two rounds'
+    // calibration floors to get the machine factor FROM THE ARTIFACTS
+    // (tools/bench_regress.py applies it automatically).
+    def calibrate(): (Double, Double) = {
+      import org.apache.spark.sql.functions._
+      def minOf3(body: => Unit): Double = {
+        body // untimed warm-up: absorb the probe's own codegen compile
+        (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val cpu = minOf3 {
+        // shiftright(…,32) keeps |value| < 2^31 so 50M of them cannot
+        // overflow Long under ANSI mode (raw xxhash64 sums do)
+        spark.range(0L, 50000000L, 1L, cpus.toInt)
+          .select(sum(shiftright(xxhash64(
+            org.apache.spark.sql.functions.col("id")), 32)))
+          .collect()
+      }
+      val scan = minOf3 {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+          .collect()
+      }
+      (cpu, scan)
+    }
+    val (calibCpuStart, calibScanStart) = calibrate()
     val injectFail = sys.env.get("SPARK_GRAFT_BENCH_INJECT_FAIL")
     val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
       if (injectFail.contains(n)) {
@@ -177,9 +215,11 @@ object Bench {
     // from the artifact alone.
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val (calibCpuEnd, calibScanEnd) = calibrate()
+    val calibJs = s"""{"cpu_start":$calibCpuStart,"scan_start":$calibScanStart,"cpu_end":$calibCpuEnd,"scan_end":$calibScanEnd}"""
     def jsL(rs: Seq[(String, Long)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"queries_min":${js(mins)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"gate_total":$gateTotal,"queries_gate":${js(sinkResults)},"stream_total":$streamTotal,"queries_stream":${js(streamResults)},"queries_gc_ms":${jsL(gcTel)},"queries_heap_mb":${jsL(heapTel)},"errors":$errJs,"rc":${if (errors.isEmpty) 0 else 1},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"queries_min":${js(mins)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"gate_total":$gateTotal,"queries_gate":${js(sinkResults)},"stream_total":$streamTotal,"queries_stream":${js(streamResults)},"queries_gc_ms":${jsL(gcTel)},"queries_heap_mb":${jsL(heapTel)},"errors":$errJs,"rc":${if (errors.isEmpty) 0 else 1},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"calibration":$calibJs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a 2000-char tail of stdout, which truncated
     // every past round's headline: persist the complete JSON as a file

@@ -983,7 +983,17 @@ object Analytics {
     * bit-identical across engines; the deviation |x − med| is one IEEE
     * subtraction of identical doubles. Two rank passes over the group
     * + a broadcast of the per-group medians (group cardinality is
-    * small by construction — it bounds GlobalRank's offsets map). */
+    * small by construction — it bounds GlobalRank's offsets map).
+    *
+    * `base` feeds both rank passes and the dev join, so the §4
+    * multi-consumer rule nominates a localCheckpoint cut — but the
+    * cut was MEASURED SLOWER here (r15: 1.7→2.9 s floor at sf0.1,
+    * fresh-JVM 3-rep ProbeOne): the recomputed subtree is a 2-column
+    * parquet scan, cheaper than materializing and re-reading 600k
+    * checkpoint rows. The residual cost of q_mad is the two exact
+    * rank selections themselves (GlobalRank range exchanges by
+    * construction — parallel, scale-safe); the one-pass approximate
+    * path is q_approx_quantile (GK). */
   def madAgg(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.lineitem(s, dir)
       .select(col("l_linestatus"), col("l_quantity").as("value"))

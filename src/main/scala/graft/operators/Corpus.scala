@@ -116,9 +116,13 @@ object Corpus {
                        maxRatio: Double = 0.5, hashGrams: Boolean = false,
                        broadcastCommon: Boolean = true,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val gramExpr = explode(Dedup.wordShingles(textCol, n))
-    val grams = docs.select(col(idCol),
-      (if (hashGrams) xxhash64(gramExpr) else gramExpr).as("gram"))
+    // generators must be top-level in a select — explode first, hash
+    // in a follow-up projection (both stay in one codegen stage)
+    val exploded = docs.select(col(idCol),
+      explode(Dedup.wordShingles(textCol, n)).as("gram"))
+    val grams =
+      if (hashGrams) exploded.select(col(idCol), xxhash64(col("gram")).as("gram"))
+      else exploded
     // each doc's grams are distinct → count(*) IS the document frequency
     val common = grams.groupBy(col("gram")).agg(count(lit(1)).as("docfreq"))
       .filter(col("docfreq") >= minDocs)

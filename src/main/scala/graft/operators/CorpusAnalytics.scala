@@ -223,21 +223,27 @@ object CorpusAnalytics {
     * (a source whose grams are all already covered adds volume, not
     * diversity).
     *
-    * Scale shape: per-doc distinct grams explode once and are
-    * distinct-ed per (source, gram) with map-side combine before the
-    * only gram-keyed exchange; `min(source)` per gram is an algebraic
-    * aggregate (partials combine map-side), and the final counts are
-    * per-source (≤ |sources| rows). Nothing shuffles the corpus
-    * itself, and no step is quadratic in sources. For 100 TB, swap the
-    * gram string for xxhash64(gram) exactly as boilerplateScore's
-    * hashGrams mode — 8-byte exchange keys, collision probability
-    * G²/2⁶⁵ irrelevant for a novelty ratio. */
+    * Scale shape: grams travel as 8-byte xxhash64 keys — no exchange
+    * ever carries a gram STRING (same discipline as boilerplateScore's
+    * hashGrams mode; a collision merges two grams' novelty
+    * attribution, P ≈ G²/2⁶⁵ — irrelevant for a novelty ratio, and the
+    * DuckDB oracle keeps the literal-gram formulation so a collision
+    * would fail the compare). The corpus explodes once into a
+    * (source, gram_h)-distinct frame which is localCheckpoint-cut
+    * before feeding its TWO consumers (min-source-per-gram and
+    * distinct-grams-per-source) — without the cut the explode+distinct
+    * subtree recomputes per consumer (the §4 multi-consumer rule).
+    * `min(source)` per gram is algebraic (map-side partials), and the
+    * final counts are per-source (≤ |sources| rows). Nothing shuffles
+    * the corpus itself, and no step is quadratic in sources. */
   def sourceNovelty(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val grams = docs
       .select(col("source"), explode(Dedup.wordShingles("text", 3)).as("gram"))
+      .select(col("source"), xxhash64(col("gram")).as("gram_h"))
       .distinct()
-    val first = grams.groupBy(col("gram")).agg(min(col("source")).as("source"))
+      .localCheckpoint()
+    val first = grams.groupBy(col("gram_h")).agg(min(col("source")).as("source"))
     val novelty = first.groupBy(col("source")).agg(count(lit(1)).as("new_grams"))
     grams.groupBy(col("source")).agg(count(lit(1)).as("distinct_grams"))
       .join(novelty, Seq("source"), "left")

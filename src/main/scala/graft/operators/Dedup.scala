@@ -24,13 +24,24 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** Distinct word n-gram shingles (falls back to the whole text when
-    * shorter than n tokens). */
+    * shorter than n tokens).
+    *
+    * The tokenization is bound ONCE per row via the single-element
+    * `transform(array(split(..)), toks -> ..)` idiom: SQL expressions
+    * have no let-binding, and writing `split(text)` inline inside the
+    * per-position lambda re-tokenizes the document for EVERY gram —
+    * O(tokens²) character work that measured as the dominant cost of
+    * the whole shingle operator family (source_novelty/boilerplate:
+    * ~2 s of a ~2.5 s floor was the explode projection alone at
+    * sf0.1). With the hoist each row splits once and the lambda only
+    * slices. */
   def wordShingles(textCol: String, n: Int): Column = expr(
-    s"""CASE WHEN size(split($textCol, ' ')) >= $n
-       |  THEN array_distinct(transform(
-       |    sequence(0, size(split($textCol, ' ')) - $n),
-       |    i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $n))))
-       |  ELSE array($textCol) END""".stripMargin)
+    s"""element_at(transform(array(split($textCol, ' ')), toks ->
+       |  CASE WHEN size(toks) >= $n
+       |    THEN array_distinct(transform(
+       |      sequence(0, size(toks) - $n),
+       |      i -> concat_ws(' ', slice(toks, i + 1, $n))))
+       |    ELSE array($textCol) END), 1)""".stripMargin)
 
   /** LSH candidate pairs (id_a < id_b): per-band minhash bucket keys
     * (single-pass codegen, [[graft.functions.MinHashBandKeys]] — one

@@ -204,11 +204,16 @@ object EtlQueries {
     val scan = all.collectFirst { case b: BatchScanExec => b }
       .getOrElse(throw new IllegalStateException("no BatchScanExec in plan"))
     val pruned = scan.metrics("dirs_pruned").value
-    val listed = scan.metrics("dirs_listed").value
+    // single-dir check from the PLANNED partitions (driver-side, one
+    // CatalogPartition per dir) rather than the dirs_listed task-sum
+    // metric: a retried or speculative task attempt re-emits its
+    // constant 1 and would double-count, flipping the check false
+    // even when pruning worked (r14 advisor note).
+    val plannedDirs = scan.inputPartitions.length.toLong
     val emptyOk = nDays == 0 && nMatch == 0
     Seq(("catalog_v2_pushdown", nDays, nMatch,
         emptyOk || pruned == nDays - 1,
-        emptyOk || listed == 1L,
+        emptyOk || plannedDirs == 1L,
         noResidualFilter))
       .toDF("metric", "n_days", "n_files_match", "pushdown_pruned",
         "single_dir_listed", "no_residual_filter")
@@ -267,29 +272,35 @@ object EtlQueries {
   def csvQuarantineGate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     import s.implicits._
+    // try/finally on BOTH resources: an action throwing mid-gate must
+    // not leak the per-invocation scratch dir (accumulating /tmp dirs
+    // across bench reps) or the cached permissive parse (executor
+    // memory held until session end).
     val out = scratchDir(dir, "quarantine")
-    val ev = Tables.events(s, dir).filter(col("event_id") < 500)
-      .select(col("event_id"), col("event_type"), col("value"))
-    ev.coalesce(1).write.mode("overwrite")
-      .options(graft.sources.Readers.csvOptions).csv(out)
-    val bad = java.nio.file.Paths.get(out, "bad_rows.csv")
-    java.nio.file.Files.write(bad, java.util.Arrays.asList(
-      "event_id,event_type,value",
-      "not_a_number,click,1.0",
-      "12.5,signup,oops",
-      "xyz,purchase,"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType)))
-    val (good, quarantined, parsed) =
-      graft.sources.Readers.csvWithQuarantineCached(s, Seq(out), schema)
-    val g = good.agg(count(lit(1)).as("n"),
-      graft.operators.Relational.dsum(col("value")).as("sum_value")).head()
-    val nq = quarantined.count()
-    parsed.unpersist()
-    dropScratch(s, out)
-    Seq(("csv_quarantine", g.getLong(0), g.getDouble(1), nq))
-      .toDF("metric", "n_good", "sum_value", "n_quarantined")
+    try {
+      val ev = Tables.events(s, dir).filter(col("event_id") < 500)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.coalesce(1).write.mode("overwrite")
+        .options(graft.sources.Readers.csvOptions).csv(out)
+      val bad = java.nio.file.Paths.get(out, "bad_rows.csv")
+      java.nio.file.Files.write(bad, java.util.Arrays.asList(
+        "event_id,event_type,value",
+        "not_a_number,click,1.0",
+        "12.5,signup,oops",
+        "xyz,purchase,"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val (good, quarantined, parsed) =
+        graft.sources.Readers.csvWithQuarantineCached(s, Seq(out), schema)
+      try {
+        val g = good.agg(count(lit(1)).as("n"),
+          graft.operators.Relational.dsum(col("value")).as("sum_value")).head()
+        val nq = quarantined.count()
+        Seq(("csv_quarantine", g.getLong(0), g.getDouble(1), nq))
+          .toDF("metric", "n_good", "sum_value", "n_quarantined")
+      } finally parsed.unpersist()
+    } finally dropScratch(s, out)
   }
 
   val csvQuarantineGateSql: String =
@@ -316,39 +327,41 @@ object EtlQueries {
     import org.apache.spark.sql.types._
     import s.implicits._
     val out = scratchDir(dir, "replay")
-    val ev = Tables.events(s, dir).filter(col("event_id") < 500)
-      .select(col("event_id"), col("event_type"), col("value"))
-    ev.coalesce(1).write.mode("overwrite")
-      .options(graft.sources.Readers.csvOptions).csv(out)
-    val bad = java.nio.file.Paths.get(out, "bad_rows.csv")
-    java.nio.file.Files.write(bad, java.util.Arrays.asList(
-      "event_id,event_type,value",
-      "777|view|3.25",      // delimiter drift — repairable
-      "888|click|1.5",      // delimiter drift — repairable
-      "zzz,purchase,bad"))  // genuinely unparseable — stays dead
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType)))
-    val (good, quarantined, parsed) =
-      graft.sources.Readers.csvWithQuarantineCached(s, Seq(out), schema)
-    val repaired = quarantined
-      .withColumn("p", from_csv(
-        regexp_replace(col("_corrupt_record"), "\\|", ","),
-        schema, Map.empty[String, String]))
-      .filter(col("p.event_id").isNotNull && col("p.value").isNotNull)
-      .select(col("p.event_id").as("event_id"),
-        col("p.event_type").as("event_type"), col("p.value").as("value"))
-    val g = good.count()
-    val r = repaired.agg(count(lit(1)).as("n"),
-      coalesce(graft.operators.Relational.dsum(col("value")), lit(0.0)).as("v"))
-      .head()
-    val nq = quarantined.count()
-    parsed.unpersist()
-    dropScratch(s, out)
-    Seq(("quarantine_replay", g, nq, r.getLong(0),
-      g + r.getLong(0), r.getDouble(1)))
-      .toDF("metric", "n_good", "n_quarantined", "n_repaired",
-        "n_after_replay", "repaired_value_sum")
+    try {
+      val ev = Tables.events(s, dir).filter(col("event_id") < 500)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.coalesce(1).write.mode("overwrite")
+        .options(graft.sources.Readers.csvOptions).csv(out)
+      val bad = java.nio.file.Paths.get(out, "bad_rows.csv")
+      java.nio.file.Files.write(bad, java.util.Arrays.asList(
+        "event_id,event_type,value",
+        "777|view|3.25",      // delimiter drift — repairable
+        "888|click|1.5",      // delimiter drift — repairable
+        "zzz,purchase,bad"))  // genuinely unparseable — stays dead
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val (good, quarantined, parsed) =
+        graft.sources.Readers.csvWithQuarantineCached(s, Seq(out), schema)
+      try {
+        val repaired = quarantined
+          .withColumn("p", from_csv(
+            regexp_replace(col("_corrupt_record"), "\\|", ","),
+            schema, Map.empty[String, String]))
+          .filter(col("p.event_id").isNotNull && col("p.value").isNotNull)
+          .select(col("p.event_id").as("event_id"),
+            col("p.event_type").as("event_type"), col("p.value").as("value"))
+        val g = good.count()
+        val r = repaired.agg(count(lit(1)).as("n"),
+          coalesce(graft.operators.Relational.dsum(col("value")), lit(0.0)).as("v"))
+          .head()
+        val nq = quarantined.count()
+        Seq(("quarantine_replay", g, nq, r.getLong(0),
+          g + r.getLong(0), r.getDouble(1)))
+          .toDF("metric", "n_good", "n_quarantined", "n_repaired",
+            "n_after_replay", "repaired_value_sum")
+      } finally parsed.unpersist()
+    } finally dropScratch(s, out)
   }
 
   val quarantineReplayGateSql: String =

@@ -1234,9 +1234,14 @@ object TrainingQueries {
 
   // ----------------------------------------------------------- E28
   /** Cross-document boilerplate fraction per doc (5-grams shared by
-    * ≥ 3 docs), exact oracle. */
+    * ≥ 3 docs). Registered in hashGrams mode — the 100 TB shape: the
+    * docfreq exchange carries 8-byte xxhash64 keys, never gram
+    * strings. The DuckDB oracle keeps the literal-gram formulation, so
+    * a hash collision (P ≈ G²/2⁶⁵) would fail the compare — the same
+    * discipline as source_novelty / E55 / E69. */
   def boilerplateScoreQ(s: SparkSession, dir: String): DataFrame =
-    Corpus.boilerplateScore(Tables.documents(s, dir), n = 5, minDocs = 3)
+    Corpus.boilerplateScore(Tables.documents(s, dir), n = 5, minDocs = 3,
+      hashGrams = true)
 
   val boilerplateScoreSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -431,7 +431,21 @@ object Sinks {
         val vPat = "^v_(\\d+)$".r
         val vs = fs.listStatus(root).iterator.filter(_.isDirectory)
           .map(_.getPath.getName).collect { case vPat(n) => n.toInt }.toSeq
-        if (vs.isEmpty) None else Some(vs.max)
+        if (vs.isEmpty) None
+        else {
+          // Fallback semantics are wider than the brief delete-then-
+          // rename window the comment above describes: a crashed
+          // publish (v_N renamed, _LATEST flip never ran) becomes
+          // retroactively visible, and a genuinely deleted/corrupted
+          // pointer is masked. Safe — renamed v_N dirs are complete
+          // snapshots — but log so an unexpectedly missing pointer is
+          // observable instead of silent.
+          System.err.println(
+            s"[graft] $tablePath/_LATEST missing; falling back to max " +
+              s"committed v_${vs.max} (mid-flip, crashed publish, or " +
+              "lost pointer)")
+          Some(vs.max)
+        }
       }
     }
   }

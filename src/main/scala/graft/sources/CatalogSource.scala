@@ -250,10 +250,25 @@ class CatalogReaderFactory(conf: SerializableConfiguration,
             f.isFile && !hidden(f.getPath.getName))
         else {
           val it = fs.listFiles(dirPath, true)
+          // Spark's file sources skip hidden entries at EVERY path
+          // level: a normally-named file under `.staging/` or
+          // `_temporary/` must not surface either. The recursive LIST
+          // yields leaf files directly, so check every directory
+          // component between the file and the partition root.
+          val dirRaw = dirPath.toUri.getPath
+          def underHiddenDir(file: Path): Boolean = {
+            var q = file.getParent
+            while (q != null && q.toUri.getPath != dirRaw) {
+              if (hidden(q.getName)) return true
+              q = q.getParent
+            }
+            false
+          }
           new Iterator[org.apache.hadoop.fs.FileStatus] {
             def hasNext: Boolean = it.hasNext
             def next(): org.apache.hadoop.fs.FileStatus = it.next()
-          }.filter(f => !hidden(f.getPath.getName))
+          }.filter(f =>
+            !hidden(f.getPath.getName) && !underHiddenDir(f.getPath))
         }
       private var current: InternalRow = _
 

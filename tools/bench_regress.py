@@ -32,8 +32,45 @@ def main() -> int:
 
     fa, fb = a.get("queries_min", {}), b.get("queries_min", {})
     common = sorted(k for k in fa if k in fb and fa[k] and fb[k])
-    movers = [(k, fa[k], fb[k], fb[k] / fa[k]) for k in common
-              if fb[k] / fa[k] > THRESHOLD or fa[k] / fb[k] > THRESHOLD]
+
+    # Machine-calibration normalization (r14 lesson: cross-round ratios
+    # shifted 1.24-1.44x uniformly with unchanged plans — pure host
+    # drift). When BOTH artifacts carry the bench's fixed-probe
+    # "calibration" block, divide B's floors by the machine factor
+    # (geometric mean of the cpu and scan probe ratios, each taken as
+    # min(start, end) — the probe's own load-independent floor) before
+    # flagging movers, so only code-attributable movement survives.
+    machine = 1.0
+    ca, cb = a.get("calibration"), b.get("calibration")
+    if ca and cb:
+        def floor(c, probe):
+            vals = [c.get(f"{probe}_start"), c.get(f"{probe}_end")]
+            vals = [v for v in vals if v]
+            return min(vals) if vals else None
+        ratios = []
+        for probe in ("cpu", "scan"):
+            va, vb = floor(ca, probe), floor(cb, probe)
+            if va and vb:
+                ratios.append(vb / va)
+        if ratios:
+            prod = 1.0
+            for r in ratios:
+                prod *= r
+            machine = prod ** (1.0 / len(ratios))
+            print(f"machine factor (B/A from calibration probes): "
+                  f"{machine:.3f} — B floors normalized by it")
+    else:
+        print("no calibration block in one/both artifacts; "
+              "comparing raw floors (pre-r15 artifact?)")
+
+    fbn = {k: v / machine for k, v in fb.items() if v}
+    med_common = sorted(fbn[k] / fa[k] for k in common)
+    if med_common:
+        med = med_common[len(med_common) // 2]
+        print(f"normalized min-to-min median ratio over {len(common)} "
+              f"common queries: {med:.3f}")
+    movers = [(k, fa[k], fbn[k], fbn[k] / fa[k]) for k in common
+              if fbn[k] / fa[k] > THRESHOLD or fa[k] / fbn[k] > THRESHOLD]
     movers.sort(key=lambda t: -t[3])
 
     if not movers:
