@@ -83,4 +83,119 @@ object RuleGates {
       |  ON l_orderkey < 1000
       |  AND l_quantity >= CAST(n_nationkey AS DOUBLE)
       |  AND l_quantity < CAST(n_nationkey AS DOUBLE) + 0.5""".stripMargin
+
+  // ------------------------------------------------------------- C41
+  private val gateSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Extract the left-deep dimension order of the FIRST join chain in
+    * an optimized plan, naming each right branch by which dim key its
+    * output carries (works for catalog tables and raw scans alike). */
+  private def dimChain(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+    def dimOf(b: LogicalPlan): String = {
+      val names = b.output.map(_.name).toSet
+      if (names.contains("p_partkey")) "part"
+      else if (names.contains("s_suppkey")) "supplier"
+      else if (names.contains("o_orderkey")) "orders"
+      else "?"
+    }
+    // look through the pass-through Projects column pruning interleaves
+    def chain(q: LogicalPlan): Seq[String] = q match {
+      case Join(l, r, _, _, _) => chain(l) :+ dimOf(r)
+      case p: Project => chain(p.child)
+      case _ => Nil
+    }
+    p.collectFirst { case j: Join => chain(j) }.getOrElse(Nil)
+  }
+
+  /** DimJoinReorder gate: the uniform-containment cost model as an
+    * optimizer DECISION (C40 reports the same ranking as a
+    * diagnostic). The fact joins three filtered dims written in the
+    * deliberately WORST estimated order (supplier, orders, part);
+    * with ANALYZE-collected stats + CBO stats propagation the rule
+    * must rebuild the chain most-selective-first, while the identical
+    * query over raw parquet scans (no rowCount stats) must come back
+    * UNTOUCHED — the no-stats negative guard. The emitted order
+    * string is checked against the oracle's independently-computed
+    * true-selectivity ranking, and rows/sums pin semantics
+    * preservation across the permutation.
+    *
+    * Scratch tables get unique per-invocation names (same-JVM rerun
+    * discipline) and are dropped in a finally; CBO conf is restored
+    * likewise. */
+  def joinReorderRewriteGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withRule(s, DimJoinReorder) {
+      val tag = s"grjr_${ProcessHandle.current().pid()}_${gateSeq.incrementAndGet()}"
+      val pT = s"${tag}_part"; val sT = s"${tag}_supplier"; val oT = s"${tag}_orders"
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      try {
+        Tables.part(s, dir).select(col("p_partkey"), col("p_size"))
+          .write.saveAsTable(pT)
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_acctbal"))
+          .write.saveAsTable(sT)
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+          .write.saveAsTable(oT)
+        Seq(pT, sT, oT).foreach(t =>
+          s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        val fact = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity"))
+        def q(pa: DataFrame, su: DataFrame, or: DataFrame) = fact
+          .join(su.filter(col("s_acctbal") > 5000),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(or.filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(pa.filter(col("p_size") < 10),
+            col("l_partkey") === col("p_partkey"))
+          .agg(count(lit(1)).as("n"),
+            graft.operators.Relational.dsum(col("l_quantity")).as("qty"))
+        val withStats = q(s.table(pT), s.table(sT), s.table(oT))
+        val row = withStats.collect().head
+        val statsOrder = dimChain(
+          withStats.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.optimizedPlan).mkString(",")
+        // negative guard: raw parquet scans carry sizeInBytes only —
+        // no rowCount, no rewrite; the written order must survive
+        val noStats = q(Tables.part(s, dir), Tables.supplier(s, dir),
+          Tables.orders(s, dir))
+        val noStatsOrder = dimChain(
+          noStats.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.optimizedPlan).mkString(",")
+        Seq(("join_reorder", row.getLong(0), row.getDouble(1), statsOrder,
+            noStatsOrder == "supplier,orders,part"))
+          .toDF("metric", "n_rows", "sum_qty", "stats_order",
+            "nostats_untouched")
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", prevCbo)
+        Seq(pT, sT, oT).foreach(t =>
+          try s.sql(s"DROP TABLE IF EXISTS $t")
+          catch { case _: Throwable => () })
+      }
+    }
+  }
+
+  val joinReorderRewriteGateSql: String =
+    """WITH sig AS (
+      |  SELECT 'part' AS d,
+      |    (SELECT CAST(COUNT(*) FILTER (WHERE p_size < 10) AS DOUBLE)
+      |       / COUNT(*) FROM part) AS s
+      |  UNION ALL SELECT 'supplier',
+      |    (SELECT CAST(COUNT(*) FILTER (WHERE s_acctbal > 5000) AS DOUBLE)
+      |       / COUNT(*) FROM supplier)
+      |  UNION ALL SELECT 'orders',
+      |    (SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+      |       AS DOUBLE) / COUNT(*) FROM orders)),
+      |j AS (SELECT COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS q
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey AND s_acctbal > 5000
+      |  JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+      |  JOIN part ON l_partkey = p_partkey AND p_size < 10)
+      |SELECT 'join_reorder' AS metric, n AS n_rows, q AS sum_qty,
+      |  (SELECT string_agg(d, ',' ORDER BY s ASC) FROM sig) AS stats_order,
+      |  TRUE AS nostats_untouched
+      |FROM j""".stripMargin
 }
