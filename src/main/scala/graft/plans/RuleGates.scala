@@ -112,7 +112,11 @@ object RuleGates {
   /** DimJoinReorder gate: the uniform-containment cost model as an
     * optimizer DECISION (C40 reports the same ranking as a
     * diagnostic). The fact joins three filtered dims written in the
-    * deliberately WORST estimated order (supplier, orders, part);
+    * deliberately WORST estimated order (supplier σ≈0.9, part σ≈0.5,
+    * orders σ≈0.2 — gaps ≈0.3 wide so the ESTIMATED and TRUE rankings
+    * agree at every test SF: sf0.001's 10-row supplier flips a narrow
+    * gap under sampling noise, which sank the first cut of this gate
+    * with s_acctbal > 5000 / p_size < 10 / 1-URGENT there);
     * with ANALYZE-collected stats + CBO stats propagation the rule
     * must rebuild the chain most-selective-first, while the identical
     * query over raw parquet scans (no rowCount stats) must come back
@@ -144,12 +148,12 @@ object RuleGates {
           .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
             col("l_quantity"))
         def q(pa: DataFrame, su: DataFrame, or: DataFrame) = fact
-          .join(su.filter(col("s_acctbal") > 5000),
+          .join(su.filter(col("s_acctbal") > 0),
             col("l_suppkey") === col("s_suppkey"))
+          .join(pa.filter(col("p_size") < 25),
+            col("l_partkey") === col("p_partkey"))
           .join(or.filter(col("o_orderpriority") === "1-URGENT"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(pa.filter(col("p_size") < 10),
-            col("l_partkey") === col("p_partkey"))
           .agg(count(lit(1)).as("n"),
             graft.operators.Relational.dsum(col("l_quantity")).as("qty"))
         val withStats = q(s.table(pT), s.table(sT), s.table(oT))
@@ -165,7 +169,7 @@ object RuleGates {
           noStats.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
             .queryExecution.optimizedPlan).mkString(",")
         Seq(("join_reorder", row.getLong(0), row.getDouble(1), statsOrder,
-            noStatsOrder == "supplier,orders,part"))
+            noStatsOrder == "supplier,part,orders"))
           .toDF("metric", "n_rows", "sum_qty", "stats_order",
             "nostats_untouched")
       } finally {
@@ -180,10 +184,10 @@ object RuleGates {
   val joinReorderRewriteGateSql: String =
     """WITH sig AS (
       |  SELECT 'part' AS d,
-      |    (SELECT CAST(COUNT(*) FILTER (WHERE p_size < 10) AS DOUBLE)
+      |    (SELECT CAST(COUNT(*) FILTER (WHERE p_size < 25) AS DOUBLE)
       |       / COUNT(*) FROM part) AS s
       |  UNION ALL SELECT 'supplier',
-      |    (SELECT CAST(COUNT(*) FILTER (WHERE s_acctbal > 5000) AS DOUBLE)
+      |    (SELECT CAST(COUNT(*) FILTER (WHERE s_acctbal > 0) AS DOUBLE)
       |       / COUNT(*) FROM supplier)
       |  UNION ALL SELECT 'orders',
       |    (SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
@@ -191,9 +195,9 @@ object RuleGates {
       |j AS (SELECT COUNT(*) AS n,
       |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS q
       |  FROM lineitem
-      |  JOIN supplier ON l_suppkey = s_suppkey AND s_acctbal > 5000
+      |  JOIN supplier ON l_suppkey = s_suppkey AND s_acctbal > 0
       |  JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
-      |  JOIN part ON l_partkey = p_partkey AND p_size < 10)
+      |  JOIN part ON l_partkey = p_partkey AND p_size < 25)
       |SELECT 'join_reorder' AS metric, n AS n_rows, q AS sum_qty,
       |  (SELECT string_agg(d, ',' ORDER BY s ASC) FROM sig) AS stats_order,
       |  TRUE AS nostats_untouched
