@@ -871,4 +871,145 @@ object EtlQueries {
       |FROM events
       |WHERE strftime(ts, '%Y-%m-%d') > '2024-01-15'
       |GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------- A15
+  /** Transactional DSv2 sink gate (`graft-atomic`,
+    * [[graft.sources.AtomicSink]]): the write-side commit contract the
+    * reference's chunked INSERT loop lacks (etl_pipeline.py:485-517 —
+    * a crash mid-load leaves a half-loaded table). Pins, end to end
+    * against live writes through `df.write.format("graft-atomic")`:
+    *
+    *  1. COMMIT — two appends land the full documents projection;
+    *     manifest-only readback equals the source row-for-row
+    *     (symmetric anti-join count 0), and the second append FOLDS
+    *     the first's manifest rather than clobbering it.
+    *  2. ATOMIC ABORT — an overwrite that throws mid-task (planted
+    *     `raise_error` on the max doc_id) must leave the PREVIOUS
+    *     committed state bit-identical: same rows visible, manifest
+    *     untouched. All-or-nothing, not half-truncated — the exact
+    *     failure the reference cannot survive.
+    *  3. NO RESIDUE — after the abort, the physical directory holds
+    *     exactly the manifest-listed files + the manifest itself: the
+    *     failed attempt's task files were swept by the writer/driver
+    *     abort hooks (and had they leaked, manifest-only visibility
+    *     still hides them — C31's vacuum is the backstop).
+    */
+  def atomicSinkGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratchDir(dir, "atomic")
+    try {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.format("graft-atomic").mode("append").save(out)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.format("graft-atomic").mode("append").save(out)
+      val back = graft.sources.AtomicSink.readCommitted(s, out)
+      val rowDiff = back.except(docs).count() + docs.except(back).count()
+      val agg = back.agg(count(lit(1)).as("n"),
+        dsum(col("n_chars").cast("double")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources")).head()
+      // planted mid-write failure: overwrite would truncate on commit,
+      // so the job MUST die before the manifest is touched
+      val failId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val aborted =
+        try {
+          docs.select(col("doc_id"), col("source"),
+            when(col("doc_id") === failId,
+              raise_error(lit("planted mid-write failure")))
+              .otherwise(col("n_chars")).cast("long").as("n_chars"))
+            .write.format("graft-atomic").mode("overwrite").save(out)
+          false
+        } catch { case _: Exception => true }
+      val after = graft.sources.AtomicSink.readCommitted(s, out)
+      val unchanged = aborted &&
+        after.except(docs).count() == 0 && docs.except(after).count() == 0
+      // physical listing == manifest-listed files + _MANIFEST, nothing else
+      val rootPath = new org.apache.hadoop.fs.Path(out)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val mf = new org.apache.hadoop.fs.Path(rootPath, graft.sources.AtomicSink.MANIFEST)
+      val listed = graft.sources.AtomicSink.readManifest(fs, mf)._2.map(_._1).toSet
+      val physical = fs.listStatus(rootPath).map(_.getPath.getName).toSet
+      val noStray = physical == listed + graft.sources.AtomicSink.MANIFEST
+      Seq(("atomic_sink", agg.getLong(0), agg.getDouble(1), agg.getLong(2),
+          rowDiff, unchanged, noStray))
+        .toDF("metric", "n_rows", "sum_chars", "n_sources", "row_diff",
+          "atomic_after_abort", "no_stray_files")
+    } finally dropScratch(s, out)
+  }
+
+  // ----------------------------------------------------------- A16
+  /** Runtime-filtering (DPP) proof for the `graft-catalog` source:
+    * the one-day pruning of A14b, but with the day decided AT RUNTIME
+    * by a JOIN instead of a literal predicate. The catalog side
+    * carries NO static date filter — statically every date subtree
+    * survives pushdown — yet joining it to a selectively-filtered,
+    * broadcastable dimension on `extracted_date` must hand the
+    * surviving key set to the scan via [[org.apache.spark.sql
+    * .connector.read.SupportsRuntimeFiltering]] BEFORE tasks launch:
+    * dynamic partition pruning applied to the LISTING itself. At
+    * 100 TB this is "which days do I even LIST?" answered by a dim
+    * table, not a constant — the gate asserts from the executed plan
+    * that (a) a runtime filter was attached to the DSv2 scan and
+    * (b) exactly ONE date subtree was listed (`dirs_listed` = 1)
+    * out of `n_days` statically-eligible ones. */
+  def catalogV2DppGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val drop = EtlStage.stageEventsCsvByDay(s, dir)
+    val dimDir = scratchDir(dir, "dpp_dim")
+    try {
+      val catalog = s.read.format("graft-catalog").load(drop)
+      val nDays = catalog.select(col("extracted_date")).distinct().count()
+      // dim: one row per drop date, parquet-backed so the filter below
+      // is a real selective predicate over a scan (what the DPP rule
+      // looks for on the filtering side)
+      catalog.select(col("extracted_date").as("loaded_date")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      val dim = s.read.parquet(dimDir)
+        .filter(col("loaded_date") === "2024-01-16")
+      val joined = catalog
+        .join(dim, col("extracted_date") === col("loaded_date"))
+        .select(col("name"), col("extracted_date"))
+      val nMatch = joined.collect().length.toLong
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        p +: kids.flatMap(nodes)
+      }
+      val all = nodes(joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan)
+      val scan = all.collect { case b: BatchScanExec
+          if b.scan.isInstanceOf[graft.sources.CatalogScan] => b }
+        .headOption
+        .getOrElse(throw new IllegalStateException("no graft-catalog scan in plan"))
+      val runtimePlanned = scan.runtimeFilters.nonEmpty
+      val dirsListed = scan.metrics("dirs_listed").value
+      Seq(("catalog_v2_dpp", nDays, nMatch, runtimePlanned,
+          dirsListed == 1L && nDays > 1L))
+        .toDF("metric", "n_days", "n_files_match", "runtime_filter_planned",
+          "single_dir_listed")
+    } finally dropScratch(s, dimDir)
+  }
+
+  val catalogV2DppGateSql: String =
+    """SELECT 'catalog_v2_dpp' AS metric,
+      |  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+      |  CAST(1 AS BIGINT) AS n_files_match,
+      |  TRUE AS runtime_filter_planned,
+      |  TRUE AS single_dir_listed
+      |FROM events""".stripMargin
+
+  val atomicSinkGateSql: String =
+    """SELECT 'atomic_sink' AS metric, COUNT(*) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,6))), 2) AS DOUBLE)
+      |    AS sum_chars,
+      |  COUNT(DISTINCT source) AS n_sources, CAST(0 AS BIGINT) AS row_diff,
+      |  TRUE AS atomic_after_abort, TRUE AS no_stray_files
+      |FROM documents""".stripMargin
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -189,14 +190,30 @@ class FilesEmittedMetric extends CustomSumMetric {
 
 class CatalogScan(root: String, conf: SerializableConfiguration,
     required: StructType, bounds: CatalogSource.DateBounds)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   import CatalogSource._
   private var prunedDirs = 0L
+  /* Static pushed bounds, possibly narrowed at RUNTIME by dynamic
+   * partition pruning (A16): when the catalog joins a filtered dim on
+   * extracted_date, Spark evaluates the dim side first and hands this
+   * scan the surviving key set via filter() — listing-level DPP. The
+   * narrowed bounds only PRUNE date-dir partitions (the join re-applies
+   * the condition, so best-effort pruning is always safe); per-file
+   * enforcement inside readers stays at the statically-pushed bounds. */
+  @volatile private var effectiveBounds: DateBounds = bounds
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-catalog root=$root pushed=$bounds"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("extracted_date"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val supported = filters.filter(DateBounds.supported)
+    effectiveBounds = supported.foldLeft(effectiveBounds)(DateBounds.merge)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val rootPath = new Path(root)
@@ -209,7 +226,7 @@ class CatalogScan(root: String, conf: SerializableConfiguration,
     val dirParts = dirs.toSeq.flatMap { d =>
       val dd = dirDate(d.getPath.getName)
       dd match {
-        case Some(date) if !bounds.accepts(Some(date)) =>
+        case Some(date) if !effectiveBounds.accepts(Some(date)) =>
           pruned += 1; None // whole subtree skipped — never listed
         case _ =>
           Some(CatalogPartition(d.getPath.toString, dd, looseFilesOnly = false))

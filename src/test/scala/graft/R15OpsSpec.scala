@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import graft.operators.EtlQueries
+
+/** Oracle-independent invariants for the round-15 operators. */
+class R15OpsSpec extends SparkSpec {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    p +: kids.flatMap(nodes)
+  }
+
+  private def catalogScan(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    val all = nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan)
+    all.collect { case b: BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.CatalogScan] => b }.head
+  }
+
+  // ------------------------------------------------------------ A16
+  test("catalog DPP gate: runtime filter fires, one dir listed") {
+    val row = EtlQueries.catalogV2DppGate(spark, sf).head()
+    assert(row.getLong(1) > 1, "needs a multi-day drop")
+    assert(row.getBoolean(3), "no runtime filter planned on the DSv2 scan")
+    assert(row.getBoolean(4), "runtime pruning did not reduce the listing to one dir")
+  }
+
+  test("catalog DPP: runtime-filtered join equals the static-filter read") {
+    val drop = EtlStage.stageEventsCsvByDay(spark, sf)
+    import spark.implicits._
+    val catalog = spark.read.format("graft-catalog").load(drop)
+    val dim = Seq("2024-01-16").toDF("loaded_date")
+    val viaJoin = catalog
+      .join(broadcast(dim), col("extracted_date") === col("loaded_date"))
+      .select(col("name")).collect().map(_.getString(0)).sorted.toSeq
+    val viaStatic = spark.read.format("graft-catalog").load(drop)
+      .filter(col("extracted_date") === "2024-01-16")
+      .select(col("name")).collect().map(_.getString(0)).sorted.toSeq
+    assert(viaJoin == viaStatic && viaJoin.nonEmpty)
+  }
+
+  test("catalog DPP negative guard: unfiltered dim plans no runtime filter") {
+    val drop = EtlStage.stageEventsCsvByDay(spark, sf)
+    val catalog = spark.read.format("graft-catalog").load(drop)
+    val dim = catalog.select(col("extracted_date").as("loaded_date")).distinct()
+    val joined = catalog
+      .join(dim, col("extracted_date") === col("loaded_date"))
+      .select(col("name"), col("extracted_date"))
+    val n = joined.collect().length
+    val scan = catalogScan(joined)
+    assert(scan.runtimeFilters.isEmpty,
+      "runtime filter planned without a selective dim predicate")
+    assert(n > 0)
+  }
+
+  // ------------------------------------------------------------ A15
+  test("atomic sink gate end-to-end at the spec SF") {
+    val row = EtlQueries.atomicSinkGate(spark, sf).head()
+    assert(row.getLong(4) == 0L, "readback row diff")
+    assert(row.getBoolean(5), "abort was not atomic")
+    assert(row.getBoolean(6), "stray files after abort")
+  }
+}
