@@ -33,6 +33,104 @@ object HashExprs {
     * from bit j of each token's xxhash64. */
   def simHash64(tokens: Column): Column =
     VectorExprs.col(SimHash64(VectorExprs.expr(tokens)))
+
+  /** Distinct word n-gram hashes straight from the text's UTF-8 bytes
+    * — the zero-allocation form of
+    * `array_distinct(transform(...)) |> explode |> xxhash64`. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    VectorExprs.col(WordShingleHashes(VectorExprs.expr(text), n))
+}
+
+/** Hashes of the word n-gram shingles of `text` WITHOUT materializing
+  * gram strings: a gram's joined-with-spaces form is byte-identical to
+  * the original substring spanning its tokens (split/`concat_ws(' ')`
+  * preserve empty tokens from repeated spaces), so each window hash is
+  * xxhash64 (seed 42 — Spark's own) over a byte RANGE of the input —
+  * the VALUES equal `xxhash64(gram_string)` exactly; only the string
+  * slice/join/array_distinct allocations disappear. Fewer than n
+  * tokens falls back to hashing the whole text, mirroring
+  * [[graft.operators.Dedup.wordShingles]]'s `ELSE array(text)` arm.
+  * Output is first-occurrence-distinct, like `array_distinct`. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes expects STRING, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashes.hashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingleHashes.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  private final val Seed = 42L // Spark's xxhash64 default seed
+
+  def hashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // token starts: 0 and every byte after a 0x20 (space never occurs
+    // inside a UTF-8 multibyte sequence)
+    var tokens = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) tokens += 1
+      i += 1
+    }
+    if (tokens < n)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(base, off, len, Seed)))
+    val starts = new Array[Int](tokens)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    val windows = tokens - n + 1
+    val out = new Array[Long](windows)
+    // open-address set for first-occurrence dedup (size ≥ 2·windows)
+    var cap = java.lang.Integer.highestOneBit(math.max(4, windows * 2) - 1) << 1
+    if (cap < 4) cap = 4
+    val slots = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var outN = 0
+    var w = 0
+    while (w < windows) {
+      val a = starts(w)
+      // window ends at the byte before the (w+n)-th token's separator
+      val b = if (w + n < tokens) starts(w + n) - 1 else len
+      val h = XXH64.hashUnsafeBytes(base, off + a, b - a, Seed)
+      var slot = (h ^ (h >>> 33)).toInt & (cap - 1)
+      var dup = false
+      while (used(slot) && !dup) {
+        if (slots(slot) == h) dup = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (!dup) {
+        used(slot) = true; slots(slot) = h
+        out(outN) = h; outN += 1
+      }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (outN == windows) out else java.util.Arrays.copyOf(out, outN))
+  }
 }
 
 case class MinHashBandKeys(child: Expression, numBands: Int, rowsPerBand: Int)

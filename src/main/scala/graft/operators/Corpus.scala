@@ -116,13 +116,15 @@ object Corpus {
                        maxRatio: Double = 0.5, hashGrams: Boolean = false,
                        broadcastCommon: Boolean = true,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // generators must be top-level in a select — explode first, hash
-    // in a follow-up projection (both stay in one codegen stage)
-    val exploded = docs.select(col(idCol),
-      explode(Dedup.wordShingles(textCol, n)).as("gram"))
+    // hashGrams never even BUILDS gram strings: WordShingleHashes
+    // hashes each window as a byte range of the text (values identical
+    // to xxhash64(gram), zero slice/join allocations)
     val grams =
-      if (hashGrams) exploded.select(col(idCol), xxhash64(col("gram")).as("gram"))
-      else exploded
+      if (hashGrams) docs.select(col(idCol),
+        explode(graft.functions.HashExprs.wordShingleHashes(col(textCol), n))
+          .as("gram"))
+      else docs.select(col(idCol),
+        explode(Dedup.wordShingles(textCol, n)).as("gram"))
     // each doc's grams are distinct → count(*) IS the document frequency
     val common = grams.groupBy(col("gram")).agg(count(lit(1)).as("docfreq"))
       .filter(col("docfreq") >= minDocs)

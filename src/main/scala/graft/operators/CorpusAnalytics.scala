@@ -224,11 +224,14 @@ object CorpusAnalytics {
     * diversity).
     *
     * Scale shape: grams travel as 8-byte xxhash64 keys — no exchange
-    * ever carries a gram STRING (same discipline as boilerplateScore's
-    * hashGrams mode; a collision merges two grams' novelty
-    * attribution, P ≈ G²/2⁶⁵ — irrelevant for a novelty ratio, and the
+    * ever carries a gram STRING, and no gram string is even BUILT:
+    * [[graft.functions.WordShingleHashes]] hashes each n-gram window
+    * as a byte range of the original text (same values as
+    * `xxhash64(gram)`, zero slice/join/array_distinct allocations).
+    * A collision merges two grams' novelty attribution,
+    * P ≈ G²/2⁶⁵ — irrelevant for a novelty ratio, and the
     * DuckDB oracle keeps the literal-gram formulation so a collision
-    * would fail the compare). The corpus explodes once into a
+    * would fail the compare. The corpus explodes once into a
     * (source, gram_h)-distinct frame which is localCheckpoint-cut
     * before feeding its TWO consumers (min-source-per-gram and
     * distinct-grams-per-source) — without the cut the explode+distinct
@@ -239,8 +242,9 @@ object CorpusAnalytics {
   def sourceNovelty(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val grams = docs
-      .select(col("source"), explode(Dedup.wordShingles("text", 3)).as("gram"))
-      .select(col("source"), xxhash64(col("gram")).as("gram_h"))
+      .select(col("source"),
+        explode(graft.functions.HashExprs.wordShingleHashes(col("text"), 3))
+          .as("gram_h"))
       .distinct()
       .localCheckpoint()
     val first = grams.groupBy(col("gram_h")).agg(min(col("source")).as("source"))

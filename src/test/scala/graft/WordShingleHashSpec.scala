@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashExprs
+import graft.operators.Dedup
+
+/** [[graft.functions.WordShingleHashes]] must be value-identical to
+  * the string formulation `xxhash64(explode(wordShingles(text, n)))`
+  * on every document — including repeated-space, short-text, and
+  * unicode corners — or the byte-range shortcut is wrong. */
+class WordShingleHashSpec extends SparkSpec {
+
+  private def viaStrings(df: org.apache.spark.sql.DataFrame, n: Int) = df
+    .select(col("doc_id"), explode(Dedup.wordShingles("text", n)).as("g"))
+    .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def viaBytes(df: org.apache.spark.sql.DataFrame, n: Int) = df
+    .select(col("doc_id"),
+      explode(HashExprs.wordShingleHashes(col("text"), n)).as("h"))
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("corners: repeated spaces, short text, unicode, leading/trailing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a  b   c"),          // empty tokens from repeated spaces
+      (3L, "one two"),           // shorter than n=3 -> whole-text arm
+      (4L, ""),                  // empty string
+      (5L, " leading and trailing "),
+      (6L, "héllo wörld ünïcode tokens"),
+      (7L, "x x x x x x"),       // heavy duplicate grams
+      (8L, "single")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      assert(viaBytes(docs, n) == viaStrings(docs, n), s"mismatch at n=$n")
+    }
+  }
+
+  test("real documents table agrees end to end") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    assert(viaBytes(docs, 3) == viaStrings(docs, 3))
+  }
+
+  test("distinctness: no duplicate hashes per document") {
+    import spark.implicits._
+    val dup = Seq((1L, "x y x y x y x y"))
+      .toDF("doc_id", "text")
+      .select(explode(HashExprs.wordShingleHashes(col("text"), 2)).as("h"))
+      .groupBy(col("h")).count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+}
