@@ -41,6 +41,13 @@ object GraftFunctions {
       MinHashBandKeys(args(0),
         intArg(args(1), "numBands"), intArg(args(2), "rowsPerBand"))
     },
+    // distinct word n-gram hashes straight from the text bytes — the
+    // zero-allocation xxhash64(explode(shingles)) (A15-era hot path)
+    "word_shingle_hashes" -> { args =>
+      WordShingleHashes(args(0), intArg(args(1), "n"))
+    },
+    // content-defined chunking boundaries+hashes (E74)
+    "cdc_chunks" -> { args => CdcChunks(args.head) },
     // per-group bounded top-k as SQL: bounded_top_k(expr, k) — the
     // window-free top-k aggregate (ascending child order, struct for
     // compound/descending orderings)
@@ -99,6 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.inject(ext)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinRewrite)
+    // cost-based dimension-join reorder (C41): inert without catalog
+    // rowCount stats (raw file scans are never touched), so it is safe
+    // to switch on cluster-wide
+    ext.injectOptimizerRule(_ => graft.plans.DimJoinReorder)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
   }

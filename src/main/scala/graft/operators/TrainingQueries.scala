@@ -1329,12 +1329,19 @@ object TrainingQueries {
       .select(col("doc_id").as("train_id"),
         when(col("doc_id") % 50 === 0, concat_ws(" ", col("text"), col("span")))
           .otherwise(col("text")).as("text"))
+    // grams never surface in the output — probe on 8-byte window
+    // hashes (WordShingleHashes: no gram string is ever built; the
+    // literal-gram oracle would fail the compare on a collision), so
+    // the broadcast carries longs and the train side hashes bytes
     val evalGrams = evalDocs.select(col("doc_id").as("eval_id"),
-      explode(Dedup.wordShingles("text", n)).as("gram"))
+      explode(graft.functions.HashExprs.wordShingleHashes(col("text"), n))
+        .as("gram"))
     val evalSizes = evalGrams.groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_eval"))
     train
-      .select(col("train_id"), explode(Dedup.wordShingles("text", n)).as("gram"))
+      .select(col("train_id"),
+        explode(graft.functions.HashExprs.wordShingleHashes(col("text"), n))
+          .as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col("train_id"), col("eval_id")).agg(count(lit(1)).as("n_hit"))
       .join(broadcast(evalSizes), "eval_id")

@@ -84,6 +84,29 @@ object AtomicSink {
       .csv(files.map(f => new Path(root, f._1).toString): _*)
   }
 
+  /** Reclaim physical files the manifest does not list — the orphans a
+    * crashed job can leave (invisible to readers, but paid for in
+    * storage). Returns (keptFiles, deletedFiles). The C31 vacuum idea
+    * applied to this sink's visibility contract: the manifest IS the
+    * liveness root, so anything else named `part-*` is garbage. */
+  def vacuum(s: SparkSession, root: String): (Long, Long) = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mf = new Path(rootPath, MANIFEST)
+    val live: Set[String] =
+      if (fs.exists(mf)) readManifest(fs, mf)._2.map(_._1).toSet else Set.empty
+    var kept = 0L
+    var deleted = 0L
+    fs.listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n == MANIFEST || live.contains(n)) kept += 1
+      else if (st.isFile && n.startsWith("part-")) {
+        fs.delete(st.getPath, false); deleted += 1
+      } else kept += 1 // foreign files are not ours to reclaim
+    }
+    (kept, deleted)
+  }
+
   /** Manifest format: line 1 = schema DDL; then one `name\trows\tbytes`
     * line per committed file. Hand-parsed — no JSON dependency. */
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,

@@ -102,6 +102,25 @@ class AtomicSinkSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("unsupported")))
   }
 
+  test("vacuum reclaims orphans, keeps committed files and foreign files") {
+    import spark.implicits._
+    val out = scratch("vacuum")
+    try {
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("graft-atomic").mode("append").save(out)
+      // plant a crashed job's orphan + a foreign file
+      val f = fs(out)
+      f.create(new Path(out, "part-99999-0-deadbeef.csv"), true).close()
+      f.create(new Path(out, "unrelated.txt"), true).close()
+      val before = AtomicSink.readCommitted(spark, out).count()
+      val (kept, deleted) = AtomicSink.vacuum(spark, out)
+      assert(deleted == 1L, "exactly the orphan reclaimed")
+      assert(kept == 3L, "manifest + committed file + foreign file kept")
+      assert(AtomicSink.readCommitted(spark, out).count() == before)
+      assert(f.exists(new Path(out, "unrelated.txt")))
+    } finally fs(out).delete(new Path(out), true)
+  }
+
   test("manifest audit counts equal written rows") {
     import spark.implicits._
     val out = scratch("audit")

@@ -65,6 +65,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(s2.sessionState.planner.strategies
         .contains(graft.plans.GlobalRankStrategy),
         s2.sessionState.planner.strategies.mkString(", "))
+      // 4. the byte-range shingle hasher resolves in SQL and agrees
+      // with xxhash64 of the gram string
+      val sh = s2.sql(
+        "SELECT word_shingle_hashes('a b c', 2) AS h, " +
+          "array(xxhash64('a b'), xxhash64('b c')) AS e")
+        .collect().head
+      assert(sh.getSeq[Long](0).toSet == sh.getSeq[Long](1).toSet)
+      // 5. the dim-join reorder rule is installed (its no-stats guard
+      // keeps it inert on raw scans)
+      assert(s2.sessionState.optimizer.batches.flatMap(_.rules)
+        .contains(graft.plans.DimJoinReorder))
     }
   }
 
