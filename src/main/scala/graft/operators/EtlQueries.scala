@@ -1005,6 +1005,76 @@ object EtlQueries {
       |  TRUE AS single_dir_listed
       |FROM events""".stripMargin
 
+  // ----------------------------------------------------------- A17
+  /** Aggregate-pushdown proof for the `graft-catalog` source
+    * (SupportsPushDownAggregates): `GROUP BY extracted_date` with
+    * COUNT/MIN/MAX is answered from the LISTING metadata — each
+    * partition's reader folds its directory into ONE partial row per
+    * group, so per-file rows never exist and Spark's final Aggregate
+    * merges day-sized partials. The gate runs the same aggregation
+    * twice against the same source: once pushable (count + max), once
+    * deliberately UNPUSHABLE (a sum, which the source rejects, so the
+    * whole aggregation falls back to per-file rows + Spark-side agg) —
+    * results must agree, the pushed plan's scan must be the agg scan
+    * with `files_emitted` = one row per date dir, and the fallback
+    * scan must have emitted every file. */
+  def catalogV2AggPushdownGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val drop = EtlStage.stageEventsCsvByDay(s, dir)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def scanOf(df: DataFrame): BatchScanExec =
+      nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan)
+        .collect { case b: BatchScanExec => b }.head
+    val pushed = s.read.format("graft-catalog").load(drop)
+      .groupBy(col("extracted_date"))
+      .agg(count(lit(1)).as("n_files"), max(col("size")).as("max_size"))
+    val pushedRows = pushed.collect()
+    val pushedScan = scanOf(pushed)
+    val isAggScan = pushedScan.scan.isInstanceOf[graft.sources.CatalogAggScan]
+    val pushedEmitted = pushedScan.metrics("files_emitted").value
+    // sum(size) is outside the pushable set -> per-file fallback
+    val fallback = s.read.format("graft-catalog").load(drop)
+      .groupBy(col("extracted_date"))
+      .agg(count(lit(1)).as("n_files"), max(col("size")).as("max_size"),
+        sum(col("size")).as("sum_size"))
+    val fallbackRows = fallback.collect()
+    val fallbackScan = scanOf(fallback)
+    val fallbackIsPlain = fallbackScan.scan.isInstanceOf[graft.sources.CatalogScan]
+    val fallbackEmitted = fallbackScan.metrics("files_emitted").value
+    val nDays = pushedRows.length.toLong
+    val nFiles = pushedRows.map(_.getLong(1)).sum
+    val agree = pushedRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq ==
+      fallbackRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    Seq(("catalog_v2_agg_pushdown", nDays, nFiles,
+        isAggScan && pushedEmitted == nDays,
+        fallbackIsPlain && fallbackEmitted == nFiles,
+        agree))
+      .toDF("metric", "n_days", "n_files", "pushed_one_row_per_day",
+        "fallback_per_file", "results_agree")
+  }
+
+  val catalogV2AggPushdownGateSql: String =
+    """SELECT 'catalog_v2_agg_pushdown' AS metric,
+      |  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+      |  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_files,
+      |  TRUE AS pushed_one_row_per_day,
+      |  TRUE AS fallback_per_file,
+      |  TRUE AS results_agree
+      |FROM events""".stripMargin
+
   val atomicSinkGateSql: String =
     """SELECT 'atomic_sink' AS metric, COUNT(*) AS n_rows,
       |  CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,6))), 2) AS DOUBLE)

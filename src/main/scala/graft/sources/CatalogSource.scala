@@ -147,22 +147,257 @@ class CatalogTable(root: String) extends Table with SupportsRead {
 
 class CatalogScanBuilder(root: String, conf: SerializableConfiguration)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import CatalogSource._
   private var required: StructType = CatalogSource.schema
   private var bounds: DateBounds = DateBounds.empty
   private var accepted: Array[Filter] = Array.empty
+  private var hadResidual = false
+  private var pushedAgg: Option[CatalogAggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition(DateBounds.supported)
     accepted = ok
     bounds = ok.foldLeft(DateBounds.empty)(DateBounds.merge)
+    hadResidual = residual.nonEmpty
     residual // date predicates are fully enforced in-source
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CatalogScan(root, conf, required, bounds)
+
+  /** Aggregate pushdown (A17): COUNT/MIN/MAX (+ GROUP BY
+    * extracted_date) are answered from the LISTING metadata — one row
+    * per (partition, group) leaves the reader instead of one per
+    * object. Partial pushdown: Spark's final Aggregate merges the
+    * per-partition partials (counts sum, mins min), which is exactly
+    * the map-side-combine shape — at 100 TB the per-file catalog rows
+    * never exist. Rejected whenever any filter stayed residual (the
+    * per-file rows those filters need are gone once aggregated). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false // partitions each emit partials; Spark merges
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (hadResidual) return false
+    CatalogAggSpec.translate(agg) match {
+      case Some(spec) => pushedAgg = Some(spec); true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(spec) => new CatalogAggScan(root, conf, spec, bounds)
+    case None => new CatalogScan(root, conf, required, bounds)
+  }
+}
+
+/** A pushed catalog aggregation: optional GROUP BY extracted_date plus
+  * count/min/max functions over the listing's long columns. */
+private[sources] case class CatalogAggSpec(groupByDate: Boolean,
+    funcs: Seq[(String, String)]) { // (kind, column) — column "" for count(*)
+  import CatalogSource.schema
+  /** Scan output contract: group columns first, then one column per
+    * aggregate in the Aggregation's order (count partials are longs,
+    * min/max keep the column type — all longs here). */
+  def readSchema: StructType = {
+    val g = if (groupByDate)
+      Seq(StructField("extracted_date", StringType, nullable = true)) else Nil
+    StructType(g ++ funcs.zipWithIndex.map { case ((kind, c), i) =>
+      StructField(s"agg_$i($kind:$c)", LongType,
+        nullable = kind != "count" && kind != "countstar")
+    })
+  }
+  override def toString: String = {
+    val fs = funcs.map { case (k, c) => if (c.isEmpty) s"$k(*)" else s"$k($c)" }
+    s"[${fs.mkString(", ")}]${if (groupByDate) " GROUP BY extracted_date" else ""}"
+  }
+}
+
+private[sources] object CatalogAggSpec {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression):
+      Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  def translate(agg: Aggregation): Option[CatalogAggSpec] = {
+    val groupByDate = agg.groupByExpressions() match {
+      case Array() => false
+      case Array(g) if colName(g).contains("extracted_date") => true
+      case _ => return None
+    }
+    val numeric = Set("size", "mtime_ms")
+    val funcs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => ("countstar", "")
+      case c: Count if !c.isDistinct =>
+        colName(c.column) match {
+          case Some(n) => ("count", n)
+          case None => return None
+        }
+      case m: Min => colName(m.column) match {
+        case Some(n) if numeric(n) => ("min", n)
+        case _ => return None
+      }
+      case m: Max => colName(m.column) match {
+        case Some(n) if numeric(n) => ("max", n)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(CatalogAggSpec(groupByDate, funcs))
+  }
+}
+
+/** The aggregate-pushdown scan: same partitioning and pruning as
+  * [[CatalogScan]], but each reader FOLDS its listing into one partial
+  * row per group instead of emitting per-file rows. */
+class CatalogAggScan(root: String, conf: SerializableConfiguration,
+    spec: CatalogAggSpec, bounds: CatalogSource.DateBounds)
+    extends Scan with Batch {
+  import CatalogSource._
+  private var prunedDirs = 0L
+
+  override def readSchema(): StructType = spec.readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-catalog root=$root pushed=$bounds PushedAggregation: $spec"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf.value)
+    val top =
+      if (fs.exists(rootPath)) fs.listStatus(rootPath)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val (dirs, files) = top.partition(_.isDirectory)
+    var pruned = 0L
+    val dirParts = dirs.toSeq.flatMap { d =>
+      val dd = dirDate(d.getPath.getName)
+      dd match {
+        case Some(date) if !bounds.accepts(Some(date)) =>
+          pruned += 1; None
+        case _ =>
+          Some(CatalogPartition(d.getPath.toString, dd, looseFilesOnly = false))
+      }
+    }
+    prunedDirs = pruned
+    val looseParts =
+      if (files.exists(f => !hidden(f.getPath.getName)))
+        Seq(CatalogPartition(root, None, looseFilesOnly = true))
+      else Nil
+    (dirParts ++ looseParts).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CatalogAggReaderFactory(conf, spec, bounds)
+
+  override def supportedCustomMetrics(): Array[CustomMetric] = Array(
+    new DirsPrunedMetric, new DirsListedMetric, new FilesEmittedMetric)
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    Array(GraftTaskMetric("dirs_pruned", prunedDirs))
+}
+
+class CatalogAggReaderFactory(conf: SerializableConfiguration,
+    spec: CatalogAggSpec, bounds: CatalogSource.DateBounds)
+    extends PartitionReaderFactory {
+  import CatalogSource._
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CatalogPartition]
+    new PartitionReader[InternalRow] {
+      private val dirPath = new Path(p.dir)
+      private val fs = dirPath.getFileSystem(conf.value)
+      private var emitted = 0L
+      // group key (date, possibly null) -> one accumulator per func:
+      // (count, min, max) folded as the listing streams by
+      private val acc = scala.collection.mutable.LinkedHashMap
+        .empty[Option[String], Array[Long]]
+      private def fold(): Unit = {
+        val files: Iterator[org.apache.hadoop.fs.FileStatus] =
+          if (p.looseFilesOnly)
+            fs.listStatus(dirPath).iterator.filter(f =>
+              f.isFile && !hidden(f.getPath.getName))
+          else {
+            val it = fs.listFiles(dirPath, true)
+            val dirRaw = dirPath.toUri.getPath
+            def underHiddenDir(file: Path): Boolean = {
+              var q = file.getParent
+              while (q != null && q.toUri.getPath != dirRaw) {
+                if (hidden(q.getName)) return true
+                q = q.getParent
+              }
+              false
+            }
+            new Iterator[org.apache.hadoop.fs.FileStatus] {
+              def hasNext: Boolean = it.hasNext
+              def next(): org.apache.hadoop.fs.FileStatus = it.next()
+            }.filter(f =>
+              !hidden(f.getPath.getName) && !underHiddenDir(f.getPath))
+          }
+        files.foreach { f =>
+          val date = p.dirDate.orElse(fileDate(f.getPath.getName))
+          if (p.dirDate.isDefined || bounds.accepts(date)) {
+            val key = if (spec.groupByDate) date else None
+            val a = acc.getOrElseUpdate(key,
+              spec.funcs.map { case (kind, _) => kind match {
+                case "min" => Long.MaxValue
+                case "max" => Long.MinValue
+                case _ => 0L
+              }}.toArray)
+            spec.funcs.zipWithIndex.foreach { case ((kind, c), i) =>
+              def v: Long = c match {
+                case "size" => f.getLen
+                case "mtime_ms" => f.getModificationTime
+                case _ => 0L
+              }
+              kind match {
+                case "countstar" => a(i) += 1
+                case "count" =>
+                  // only extracted_date is nullable; others always count
+                  if (c != "extracted_date" || date.isDefined) a(i) += 1
+                case "min" => if (v < a(i)) a(i) = v
+                case "max" => if (v > a(i)) a(i) = v
+              }
+            }
+          }
+        }
+      }
+      private var it: Iterator[(Option[String], Array[Long])] = _
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (it == null) { fold(); it = acc.iterator }
+        if (!it.hasNext) return false
+        val (key, a) = it.next()
+        val g: Seq[Any] =
+          if (spec.groupByDate) Seq(key.map(UTF8String.fromString).orNull)
+          else Nil
+        val vals: Seq[Any] = spec.funcs.zipWithIndex.map { case ((kind, _), i) =>
+          kind match {
+            // an empty group can't occur (groups exist only via files),
+            // but a min/max over zero rows must read as null
+            case "min" if a(i) == Long.MaxValue => null
+            case "max" if a(i) == Long.MinValue => null
+            case _ => a(i)
+          }
+        }
+        current = InternalRow.fromSeq(g ++ vals)
+        emitted += 1
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+      override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+        GraftTaskMetric("dirs_listed", 1L),
+        GraftTaskMetric("files_emitted", emitted))
+    }
+  }
 }
 
 private case class CatalogPartition(dir: String, dirDate: Option[String],

@@ -61,6 +61,40 @@ class R15OpsSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  // ------------------------------------------------------------ A17
+  test("agg pushdown: planted tree, null-date counts, global agg") {
+    import java.nio.file.{Files, Paths}
+    val root = s"/tmp/graft_aggpd_spec/${System.nanoTime()}"
+    Files.createDirectories(Paths.get(s"$root/day=2024-01-01"))
+    Files.createDirectories(Paths.get(s"$root/day=2024-01-02"))
+    Files.write(Paths.get(s"$root/day=2024-01-01/a.csv"), "xy".getBytes)
+    Files.write(Paths.get(s"$root/day=2024-01-02/b.csv"), "xyzw".getBytes)
+    Files.write(Paths.get(s"$root/nodate.csv"), "x".getBytes) // null date
+    try {
+      val cat = spark.read.format("graft-catalog").load(root)
+      // global (no group by): COUNT(*), COUNT(extracted_date), MIN/MAX(size)
+      val g = cat.agg(count(lit(1)).as("n"),
+        count(col("extracted_date")).as("n_dated"),
+        min(col("size")).as("min_s"), max(col("size")).as("max_s")).head()
+      assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+        == ((3L, 2L, 1L, 4L)))
+      // grouped: one partial row per scan partition-group
+      val rows = cat.groupBy(col("extracted_date"))
+        .agg(count(lit(1)).as("n"), max(col("size")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("2024-01-01", 1L, 2L), ("2024-01-02", 1L, 4L),
+        (null, 1L, 1L)))
+      // count-distinct and unsupported columns fall back, same answers
+      val fb = cat.groupBy(col("extracted_date"))
+        .agg(countDistinct(col("name")).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(fb == Set(("2024-01-01", 1L), ("2024-01-02", 1L), (null, 1L)))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   // ------------------------------------------------------------ A15
   test("atomic sink gate end-to-end at the spec SF") {
     val row = EtlQueries.atomicSinkGate(spark, sf).head()
