@@ -1699,4 +1699,137 @@ object CorpusAnalytics {
       |           ORDER BY doc_id)[1:20], ',') AS postings
       |  FROM g1 GROUP BY term)
       |SELECT term, df, n_occ, postings FROM g2 WHERE df >= 5""".stripMargin
+
+  // --------------------------------------------------------------- E83
+  /** BPE merge-table LEARNING — the loop around E75's single pair
+    * count (E75 reports step-0 candidates; this trains the actual
+    * merge table byte-pair-encoding tokenizers ship). Classic Sennrich
+    * et al. 2016 on the word-frequency table: start from characters,
+    * repeatedly (a) count adjacent symbol pairs weighted by word
+    * frequency, (b) merge the most frequent pair everywhere, greedy
+    * left-to-right (ties broken deterministically: count desc, then
+    * left/right lexicographic).
+    *
+    * Scale shape: the corpus collapses ONCE into the word-frequency
+    * vocab (hash agg, map-side partials — the only corpus-sized pass);
+    * each of the k iterations then runs on the VOCAB table only: one
+    * partial-aggregated pair count (exchange carries symbol pairs, ≤
+    * vocab·avg_word_len rows), ONE driver row for the argmax (bounded
+    * `limit(1)` collect), and a codegen `aggregate()` fold that applies
+    * the merge per word — no UDFs, no corpus re-scan, and each
+    * iteration is localCheckpoint-cut so lineage stays flat (the E70
+    * PageRank discipline). Words are restricted to `^[a-z]+$` so the
+    * symbol alphabet is closed under the SQL-literal embedding of
+    * learned pairs. */
+  def bpeLearn(s: SparkSession, dir: String, steps: Int = 8): DataFrame = {
+    import s.implicits._
+    def applyMergeExpr(l: String, r: String): String =
+      s"""aggregate(syms,
+         |  named_struct('out', cast(array() as array<string>),
+         |               'carry', cast(null as string)),
+         |  (acc, x) -> CASE
+         |    WHEN acc.carry IS NULL
+         |      THEN named_struct('out', acc.out, 'carry', x)
+         |    WHEN acc.carry = '$l' AND x = '$r'
+         |      THEN named_struct('out', array_append(acc.out, '$l$r'),
+         |                        'carry', cast(null as string))
+         |    ELSE named_struct('out', array_append(acc.out, acc.carry),
+         |                      'carry', x) END,
+         |  acc -> CASE WHEN acc.carry IS NULL THEN acc.out
+         |              ELSE array_append(acc.out, acc.carry) END)""".stripMargin
+    var vocab = bpeVocab(s, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).cast("long").as("n"))
+        .orderBy(desc("n"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, n))
+        vocab = vocab
+          .select(expr(applyMergeExpr(l, r)).as("syms"), col("freq"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** Character-symbol word-frequency table the BPE loop iterates on. */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(filter(split(col("w"), ""), x => x =!= "").as("syms"),
+        col("freq"))
+
+  /** Gate for [[bpeLearn]]: the iterative merge table cannot be
+    * expressed in one SQL pass, so (a) the oracle pins STEP 1 exactly
+    * (a single argmax over character pairs — SQL-expressible), and
+    * (b) the whole k-step table is replayed by an independent
+    * driver-side implementation over the collected vocab (bounded:
+    * raises past 200k words — the gate's replay is what caps it, not
+    * the distributed loop) and must match step for step. */
+  def bpeLearnGate(s: SparkSession, dir: String, steps: Int = 8): DataFrame = {
+    import s.implicits._
+    val learned = bpeLearn(s, dir, steps).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // independent replay: plain Scala over the collected vocab
+    val vocabRows = bpeVocab(s, dir).limit(200001).collect()
+    if (vocabRows.length > 200000)
+      throw new IllegalStateException("bpe_learn_gate replay vocab > 200k words")
+    var vocab = vocabRows.map(r => (r.getSeq[String](0).toList, r.getLong(1)))
+    val replay = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        replay += ((step, l, r, n))
+        def merge(syms: List[String]): List[String] = syms match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: merge(rest)
+          case a :: rest => a :: merge(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.map { case (syms, f) => (merge(syms), f) }
+        step += 1
+      }
+    }
+    val replayed = replay.result()
+    val matches = learned.toSeq == replayed
+    val s1 = learned.headOption.getOrElse((0, "", "", 0L))
+    Seq(("bpe_learn", learned.length.toLong, s1._2, s1._3, s1._4, matches))
+      .toDF("metric", "n_steps", "step1_left", "step1_right",
+        "step1_count", "replay_match")
+  }
+
+  val bpeLearnGateSql: String =
+    """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+      |           FROM documents),
+      |v AS (SELECT w, COUNT(*) AS freq FROM t
+      |      WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+      |      GROUP BY w),
+      |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |        i -> [substr(w, i, 1), substr(w, i + 1, 1)])) AS pr, freq
+      |      FROM v),
+      |pc AS (SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(freq) AS BIGINT) AS n
+      |       FROM p GROUP BY 1, 2)
+      |SELECT 'bpe_learn' AS metric, CAST(8 AS BIGINT) AS n_steps,
+      |  l AS step1_left, r AS step1_right, n AS step1_count,
+      |  TRUE AS replay_match
+      |FROM pc ORDER BY n DESC, l ASC, r ASC LIMIT 1""".stripMargin
 }

@@ -95,6 +95,30 @@ class R15OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ E83
+  test("bpe_learn: counts weakly decrease, merges build on the alphabet") {
+    val rows = graft.operators.CorpusAnalytics.bpeLearn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1 to rows.length))
+    // a step's winning count never exceeds the previous step's: the
+    // new pair existed (or was created from a sub-pair that existed)
+    // and was not chosen earlier
+    val counts = rows.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, counts.toSeq)
+    // every merge operand is either a single char or a previously
+    // learned merge result
+    val known = scala.collection.mutable.Set.empty[String]
+    rows.foreach { case (_, l, r, _) =>
+      assert((l.length == 1 || known(l)) && (r.length == 1 || known(r)),
+        s"merge ($l,$r) uses an unlearned compound symbol")
+      known += (l + r)
+    }
+    // same-JVM rerun determinism (localCheckpoint loop state is fresh)
+    val again = graft.operators.CorpusAnalytics.bpeLearn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   // ------------------------------------------------------------ A15
   test("atomic sink gate end-to-end at the spec SF") {
     val row = EtlQueries.atomicSinkGate(spark, sf).head()
