@@ -201,7 +201,18 @@ class AtomicBatchWrite(root: String, schema: StructType, queryId: String,
     val fresh = messages.toSeq.map { case AtomicFileCommit(n, r, b) => (n, r, b) }
     val mf = new Path(rootPath, AtomicSink.MANIFEST)
     val old: Seq[(String, Long, Long)] =
-      if (fs.exists(mf)) AtomicSink.readManifest(fs, mf)._2 else Nil
+      if (fs.exists(mf)) {
+        val (oldDdl, entries) = AtomicSink.readManifest(fs, mf)
+        // append folds old files under the NEW manifest's schema line —
+        // refuse a drifted writer schema rather than publish a manifest
+        // whose DDL misdescribes half its files (overwrite replaces the
+        // table, so drift is fine there)
+        if (!truncate && oldDdl != schema.toDDL)
+          throw new IllegalStateException(
+            s"graft-atomic append schema drift: table has [$oldDdl], " +
+              s"writer has [${schema.toDDL}]; use overwrite to replace")
+        entries
+      } else Nil
     val entries = (if (truncate) Nil else old) ++ fresh
     AtomicSink.writeManifest(fs, rootPath, schema.toDDL, entries)
     // previous-generation files become garbage only AFTER the new

@@ -121,6 +121,27 @@ class AtomicSinkSpec extends SparkSpec {
     } finally fs(out).delete(new Path(out), true)
   }
 
+  test("append with a drifted schema is refused; overwrite accepts it") {
+    import spark.implicits._
+    val out = scratch("drift")
+    try {
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("graft-atomic").mode("append").save(out)
+      val err = intercept[Exception] {
+        Seq((2L, 2.0)).toDF("id", "d")
+          .write.format("graft-atomic").mode("append").save(out)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(err).exists(_.contains("schema drift")), msgs(err).mkString("; "))
+      // the failed append changed nothing visible
+      assert(AtomicSink.readCommitted(spark, out).count() == 1)
+      Seq((2L, 2.0)).toDF("id", "d")
+        .write.format("graft-atomic").mode("overwrite").save(out)
+      assert(AtomicSink.readCommitted(spark, out).columns.toSeq == Seq("id", "d"))
+    } finally fs(out).delete(new Path(out), true)
+  }
+
   test("manifest audit counts equal written rows") {
     import spark.implicits._
     val out = scratch("audit")
