@@ -888,11 +888,13 @@ object EtlQueries {
     *     committed state bit-identical: same rows visible, manifest
     *     untouched. All-or-nothing, not half-truncated — the exact
     *     failure the reference cannot survive.
-    *  3. NO RESIDUE — after the abort, the physical directory holds
-    *     exactly the manifest-listed files + the manifest itself: the
-    *     failed attempt's task files were swept by the writer/driver
-    *     abort hooks (and had they leaked, manifest-only visibility
-    *     still hides them — C31's vacuum is the backstop).
+    *  3. NO RESIDUE — after the abort and a zero-retention vacuum
+    *     (commit itself deletes NOTHING — versioned readers keep their
+    *     snapshot), the physical directory holds exactly the latest
+    *     manifest's files + that manifest: the failed attempt's task
+    *     files were swept by the writer/driver abort hooks (and had
+    *     they leaked, manifest-only visibility still hides them —
+    *     vacuum is the single reclamation point).
     */
   def atomicSinkGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -924,13 +926,18 @@ object EtlQueries {
       val after = graft.sources.AtomicSink.readCommitted(s, out)
       val unchanged = aborted &&
         after.except(docs).count() == 0 && docs.except(after).count() == 0
-      // physical listing == manifest-listed files + _MANIFEST, nothing else
+      // after a zero-retention vacuum (test-scoped: no concurrent
+      // writers here), the physical listing == the LATEST manifest's
+      // files + that manifest itself, nothing else — aborted residue
+      // and superseded manifest versions all reclaimed
+      graft.sources.AtomicSink.vacuum(s, out, retentionMs = 0L)
       val rootPath = new org.apache.hadoop.fs.Path(out)
       val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val mf = new org.apache.hadoop.fs.Path(rootPath, graft.sources.AtomicSink.MANIFEST)
-      val listed = graft.sources.AtomicSink.readManifest(fs, mf)._2.map(_._1).toSet
+      val m = graft.sources.AtomicSink.latestManifest(fs, rootPath).get
+      val listed = m.entries.map(_._1).toSet
       val physical = fs.listStatus(rootPath).map(_.getPath.getName).toSet
-      val noStray = physical == listed + graft.sources.AtomicSink.MANIFEST
+      val noStray = physical == listed +
+        graft.sources.AtomicSink.manifestPath(rootPath, m.version).getName
       Seq(("atomic_sink", agg.getLong(0), agg.getDouble(1), agg.getLong(2),
           rowDiff, unchanged, noStray))
         .toDF("metric", "n_rows", "sum_chars", "n_sources", "row_diff",

@@ -6,18 +6,21 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-/** `graft-atomic` — a transactional DataSourceV2 WRITE path (A15),
-  * the write-side complement of the `graft-catalog` read source (A14).
-  * The reference's loader commits by chunked INSERTs with no
-  * all-or-nothing boundary (etl_pipeline.py:485-517); this sink gives
-  * a plain object store the commit contract a warehouse table has:
+/** `graft-atomic` — a transactional DataSourceV2 source (A15 write,
+  * A18 read), the commit-contract complement of the `graft-catalog`
+  * listing source (A14). The reference's loader commits by chunked
+  * INSERTs with no all-or-nothing boundary (etl_pipeline.py:485-517);
+  * this sink gives a plain object store the commit contract a
+  * warehouse table has:
   *
   *   - Tasks write attempt-unique files DIRECTLY into the target
   *     directory — `part-<partition>-<taskId>-<queryId>.csv` — with NO
@@ -26,26 +29,54 @@ import org.apache.spark.util.SerializableConfiguration
   *     v1/v2) cost O(data) at commit or lose atomicity; here commit
   *     cost is O(1) regardless of data size: the Iceberg/Delta
   *     insight, re-expressed minimally.
-  *   - Visibility is MANIFEST-ONLY: a reader ([[AtomicSink.readCommitted]])
-  *     lists nothing — it reads `_MANIFEST` (schema DDL + the exact
-  *     file names the driver committed) and opens only those files. A
-  *     crashed job's orphan files are invisible forever (and physically
-  *     reclaimable by a C31-style vacuum that keeps manifest-listed
-  *     files).
+  *   - Visibility is MANIFEST-ONLY and VERSIONED: a reader lists only
+  *     `_MANIFEST.v<n>` names, opens the highest version whose commit
+  *     footer validates, and reads exactly the files that manifest
+  *     names. A crashed job's orphan files are invisible forever; a
+  *     torn (partially written) manifest fails footer validation and
+  *     the reader falls back to the previous version — there is NO
+  *     window in which a committed table reads as empty, because
+  *     nothing is ever deleted or renamed on the commit path.
+  *   - `commit()` publishes version n+1 the Delta/HDFSLogStore way:
+  *     the COMPLETE manifest is written to an attempt-unique tmp name,
+  *     then atomically renamed-no-overwrite onto `_MANIFEST.v<n+1>` —
+  *     the version name only ever appears with complete content, and
+  *     the rename's dest-must-not-exist check is the compare-and-swap
+  *     (atomic on HDFS/POSIX; a conditional PUT — `If-None-Match: *` —
+  *     on an object store). A residual local-FS check-then-act race is
+  *     closed by reading the manifest back and verifying the committer
+  *     id in its footer. A loser re-reads the NEW latest manifest,
+  *     re-folds its entries, and retries at the next version —
+  *     concurrent appends BOTH stay visible (no lost update);
+  *     contention past [[AtomicSink.MaxCommitRetries]] fails loudly.
+  *   - Appends carry an optional idempotence TAG
+  *     (`.option("graft.tag", ...)`): a commit whose tag is already
+  *     recorded in the current manifest chain is a REPLAY — its files
+  *     are deleted and no new version is published. This is the
+  *     exactly-once handshake for foreachBatch streaming publishes
+  *     (tag = batch id): a checkpoint-restart re-execution of a batch
+  *     folds nothing twice.
   *   - Spark's output-commit coordinator admits ONE winning attempt
   *     per task; only winners' [[WriterCommitMessage]]s reach
   *     `commit()`, so a speculative or retried attempt's file never
   *     enters the manifest — exactly-once visibility without
   *     distributed locks.
-  *   - `commit()` publishes by writing `_MANIFEST.tmp` and renaming it
-  *     over `_MANIFEST` — atomic on a POSIX FS, a single last-writer-
-  *     wins PUT on an object store. Append mode folds the previous
-  *     manifest's files in; overwrite (via [[SupportsTruncate]])
-  *     replaces the manifest, then best-effort deletes the orphaned
-  *     previous-generation files AFTER the new manifest is live.
+  *   - NOTHING is physically deleted at commit time — an overwrite
+  *     publishes a manifest that simply stops listing the previous
+  *     generation, so concurrent readers of older versions keep their
+  *     snapshot. [[AtomicSink.vacuum]] is the single reclamation
+  *     point, and it only touches files older than its retention
+  *     threshold, so it cannot destroy a concurrent in-flight write's
+  *     task files (which are by definition young).
   *   - `abort()` (driver) and `DataWriter.abort()` (task) delete this
   *     query's physical files; even if a crash skips that cleanup, the
   *     manifest never saw them, so readers are unaffected.
+  *
+  * The READ side (A18) is first-class DSv2: `spark.read
+  * .format("graft-atomic").load(root)` plans one [[InputPartition]]
+  * per manifest-listed file, prunes columns into the CSV decoder
+  * (only required fields are converted), and reports exact row/byte
+  * statistics straight from the manifest — no listing, no sampling.
   *
   * Rows are RFC-4180 CSV (strings always quoted, internal quotes
   * doubled, null = unquoted empty), readable by Spark's splittable CSV
@@ -54,7 +85,25 @@ import org.apache.spark.util.SerializableConfiguration
   * need `multiLine` readback and are out of contract at scale.
   */
 object AtomicSink {
-  val MANIFEST = "_MANIFEST"
+  /** Versioned manifest name prefix; the 20-digit zero-pad keeps
+    * lexicographic and numeric order identical. */
+  val ManifestPrefix = "_MANIFEST.v"
+  /** Commit-contention bound: each retry re-reads the latest manifest
+    * and attempts the next version, so 50 failures means 50 other
+    * commits landed meanwhile — at that point give up loudly. */
+  val MaxCommitRetries = 50
+  /** Default vacuum retention: files younger than this are presumed to
+    * belong to an in-flight (not yet committed) write and are never
+    * reclaimed. Callers that can assert no concurrent writers (tests,
+    * single-job pipelines) may pass 0. */
+  val DefaultRetentionMs: Long = 24L * 60 * 60 * 1000
+
+  /** One committed table version: schema DDL, the exact files visible
+    * (name, rows, bytes), the idempotence tags already applied in this
+    * chain, and the committer id the CAS verification checks. */
+  case class Manifest(version: Long, ddl: String,
+      entries: Seq[(String, Long, Long)], tags: Set[String],
+      committerId: String)
 
   private[sources] def supportedType(t: DataType): Boolean = t match {
     case StringType | LongType | IntegerType | DoubleType | FloatType |
@@ -68,83 +117,225 @@ object AtomicSink {
     case other => other.toString
   }
 
-  /** Read back ONLY what a committed manifest makes visible. No
-    * directory listing: absent manifest = empty table (the defined
-    * state after an aborted first write). */
+  def manifestPath(root: Path, version: Long): Path =
+    new Path(root, f"$ManifestPrefix$version%020d")
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith(ManifestPrefix))
+      name.substring(ManifestPrefix.length).toLongOption
+    else None
+
+  /** All claimed version numbers, descending (claims happen by atomic
+    * rename, so a claimed name normally implies complete content — an
+    * invalid one is protocol-foreign garbage, skipped by readers). */
+  private def claimedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Array[Long] =
+    if (fs.exists(root))
+      fs.listStatus(root).flatMap(st => versionOf(st.getPath.getName))
+        .sorted(Ordering[Long].reverse)
+    else Array.empty[Long]
+
+  /** Highest-version manifest whose footer validates. Invalid claims
+    * (a non-protocol writer, or an object store whose emulated rename
+    * tore) are skipped — the previous version stays visible. */
+  def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Option[Manifest] =
+    claimedVersions(fs, root).iterator
+      .flatMap(v => readManifest(fs, manifestPath(root, v), v))
+      .nextOption()
+
+  /** Read back ONLY what a committed manifest makes visible. No data
+    * listing: absent manifest = empty table (the defined state after
+    * an aborted first write). */
   def readCommitted(s: SparkSession, root: String): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
-    val mf = new Path(root, MANIFEST)
-    val fs = mf.getFileSystem(conf)
-    if (!fs.exists(mf)) return s.emptyDataFrame
-    val (ddl, files) = readManifest(fs, mf)
-    val schema = StructType.fromDDL(ddl)
-    if (files.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else s.read.schema(schema)
-      .option("quote", "\"").option("escape", "\"")
-      .csv(files.map(f => new Path(root, f._1).toString): _*)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    latestManifest(fs, rootPath) match {
+      case None => s.emptyDataFrame
+      case Some(m) =>
+        val schema = StructType.fromDDL(m.ddl)
+        if (m.entries.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else s.read.schema(schema)
+          .option("quote", "\"").option("escape", "\"")
+          .csv(m.entries.map(f => new Path(rootPath, f._1).toString): _*)
+    }
   }
 
-  /** Reclaim physical files the manifest does not list — the orphans a
-    * crashed job can leave (invisible to readers, but paid for in
-    * storage). Returns (keptFiles, deletedFiles). The C31 vacuum idea
-    * applied to this sink's visibility contract: the manifest IS the
-    * liveness root, so anything else named `part-*` is garbage. */
-  def vacuum(s: SparkSession, root: String): (Long, Long) = {
+  /** Reclaim files the LATEST manifest does not list — crashed jobs'
+    * orphans and previous table generations — plus superseded manifest
+    * versions. Returns (keptFiles, deletedFiles).
+    *
+    * The retention guard is load-bearing for concurrency: an IN-FLIGHT
+    * write's task files exist before its manifest does, so an unguarded
+    * vacuum would delete them and the subsequent commit would publish
+    * dangling names. Anything younger than `retentionMs` is therefore
+    * presumed in-flight and kept (the Delta/Iceberg vacuum contract);
+    * pass 0 only when the caller can assert no concurrent writers. */
+  def vacuum(s: SparkSession, root: String,
+      retentionMs: Long = DefaultRetentionMs): (Long, Long) = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val mf = new Path(rootPath, MANIFEST)
-    val live: Set[String] =
-      if (fs.exists(mf)) readManifest(fs, mf)._2.map(_._1).toSet else Set.empty
+    val latest = latestManifest(fs, rootPath)
+    val live: Set[String] = latest.map(_.entries.map(_._1).toSet).getOrElse(Set.empty)
+    val latestName = latest.map(m => manifestPath(rootPath, m.version).getName)
+    val cutoff = System.currentTimeMillis() - retentionMs
     var kept = 0L
     var deleted = 0L
-    fs.listStatus(rootPath).foreach { st =>
+    if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
-      if (n == MANIFEST || live.contains(n)) kept += 1
-      else if (st.isFile && n.startsWith("part-")) {
-        fs.delete(st.getPath, false); deleted += 1
-      } else kept += 1 // foreign files are not ours to reclaim
+      val reclaimable = st.isFile &&
+        (n.startsWith("part-") || n.startsWith("_MANIFEST.tmp.") ||
+          versionOf(n).isDefined) &&
+        !latestName.contains(n) && !live.contains(n) &&
+        st.getModificationTime <= cutoff
+      if (reclaimable) { fs.delete(st.getPath, false); deleted += 1 }
+      else kept += 1 // live, latest manifest, young, or foreign — not ours to reclaim
     }
     (kept, deleted)
   }
 
-  /** Manifest format: line 1 = schema DDL; then one `name\trows\tbytes`
-    * line per committed file. Hand-parsed — no JSON dependency. */
+  /** Manifest format: line 1 = schema DDL; one `name\trows\tbytes`
+    * line per committed file; zero or more `#TAG <tag>` lines; final
+    * line `#COMMIT <entryCount> <committerId>`. The footer makes a
+    * manifest self-validating: a torn write has no footer (or a count
+    * that disagrees) and is treated as never committed. Hand-parsed —
+    * no JSON dependency. Returns None for invalid/vanished files. */
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      mf: Path): (String, Seq[(String, Long, Long)]) = {
+      mf: Path, version: Long): Option[Manifest] = try {
     val in = new BufferedReader(new InputStreamReader(fs.open(mf), StandardCharsets.UTF_8))
     try {
       val ddl = in.readLine()
-      val files = Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).map { l =>
-          val p = l.split("\t"); (p(0), p(1).toLong, p(2).toLong)
-        }.toSeq
-      (ddl, files)
+      if (ddl == null) return None
+      val entries = Seq.newBuilder[(String, Long, Long)]
+      val tags = Set.newBuilder[String]
+      var footer: Option[(Long, String)] = None
+      var line = in.readLine()
+      while (line != null) {
+        if (line.startsWith("#COMMIT ")) {
+          val p = line.split(" ", 3)
+          footer = for (c <- p(1).toLongOption if p.length == 3) yield (c, p(2))
+        } else if (line.startsWith("#TAG ")) {
+          tags += line.substring(5)
+        } else if (line.nonEmpty) {
+          val p = line.split("\t")
+          entries += ((p(0), p(1).toLong, p(2).toLong))
+        }
+        line = in.readLine()
+      }
+      val es = entries.result()
+      footer.collect { case (count, qid) if count == es.length =>
+        Manifest(version, ddl, es, tags.result(), qid)
+      }
     } finally in.close()
+  } catch {
+    case _: java.io.FileNotFoundException => None // vacuumed between list and open
+    case _: NumberFormatException | _: ArrayIndexOutOfBoundsException => None
   }
 
-  private[sources] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, ddl: String, entries: Seq[(String, Long, Long)]): Unit = {
-    val tmp = new Path(root, MANIFEST + ".tmp")
+  /** Claim `version` the Delta/HDFSLogStore way: write the COMPLETE
+    * manifest to an attempt-unique tmp name, then atomically
+    * rename-no-overwrite onto the version name — the name only ever
+    * appears with complete content, and the rename's dest-must-not-
+    * exist check is the compare-and-swap (atomic on HDFS/POSIX; a
+    * conditional PUT on an object store). Reading the footer back and
+    * checking the committer id closes any residual local-FS
+    * check-then-act race. True iff this committer owns the published
+    * version. */
+  private def tryPublishVersion(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, version: Long, ddl: String,
+      entries: Seq[(String, Long, Long)], tags: Set[String],
+      committerId: String, attempt: Int): Boolean = {
+    val tmp = new Path(root, s"_MANIFEST.tmp.$committerId.$attempt")
     val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
     try {
       out.write(ddl + "\n")
       entries.foreach { case (n, r, b) => out.write(s"$n\t$r\t$b\n") }
+      tags.toSeq.sorted.foreach(t => out.write(s"#TAG $t\n"))
+      out.write(s"#COMMIT ${entries.length} $committerId\n")
     } finally out.close()
-    val dst = new Path(root, MANIFEST)
-    fs.delete(dst, false) // HDFS-style FS: rename won't clobber
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"manifest publish failed: $tmp -> $dst")
+    val dst = manifestPath(root, version)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(root).toUri, fs.getConf)
+    val claimed =
+      try { fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst)); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException => false // lost the name claim
+      }
+    if (!claimed) { fs.delete(tmp, false); return false }
+    readManifest(fs, dst, version).exists(_.committerId == committerId)
+  }
+
+  /** Commit protocol shared by batch and streaming publishes: fold the
+    * fresh files into the latest manifest (or replace it when
+    * `truncate`) and CAS-publish the next version, retrying on
+    * contention. A `tag` already present in the chain means this
+    * commit is a replay: the fresh files are deleted and nothing is
+    * published. Returns the published version, or -1 for a skipped
+    * replay. */
+  private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, ddl: String, fresh: Seq[(String, Long, Long)],
+      truncate: Boolean, tag: Option[String], committerId: String): Long = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val claimed = claimedVersions(fs, root)
+      val cur = claimed.iterator
+        .flatMap(v => readManifest(fs, manifestPath(root, v), v))
+        .nextOption()
+      if (tag.exists(t => cur.exists(_.tags.contains(t)))) {
+        // replayed batch: the previous execution's commit is visible,
+        // so this attempt's files are duplicates — reclaim and skip
+        fresh.foreach { case (n, _, _) => fs.delete(new Path(root, n), false) }
+        return -1L
+      }
+      // append folds old files under the NEW manifest's schema line —
+      // refuse a drifted writer schema rather than publish a manifest
+      // whose DDL misdescribes half its files (overwrite replaces the
+      // table, so drift is fine there)
+      cur.foreach { m =>
+        if (!truncate && m.ddl != ddl) throw new IllegalStateException(
+          s"graft-atomic append schema drift: table has [${m.ddl}], " +
+            s"writer has [$ddl]; use overwrite to replace")
+      }
+      val entries = (if (truncate) Nil else cur.map(_.entries).getOrElse(Nil)) ++ fresh
+      val tags = (if (truncate) Set.empty[String]
+                  else cur.map(_.tags).getOrElse(Set.empty)) ++ tag
+      // next version clears every CLAIMED name (valid or garbage) so a
+      // foreign invalid claim can never livelock the committer; entries
+      // still fold from the latest VALID manifest only
+      val next = math.max(claimed.headOption.getOrElse(0L),
+        cur.map(_.version).getOrElse(0L)) + 1L
+      if (tryPublishVersion(fs, root, next, ddl, entries, tags, committerId,
+          attempt)) return next
+      attempt += 1 // lost the CAS — re-read the new latest and re-fold
+    }
+    throw new java.io.IOException(
+      s"graft-atomic commit contention: $MaxCommitRetries consecutive " +
+        s"version claims lost at $root; is a runaway writer looping?")
   }
 }
 
 class AtomicSink extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-atomic"
-  // write-only source: the writer's schema is the table's schema
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new IllegalArgumentException(
-      "graft-atomic is a write path; read back with AtomicSink.readCommitted")
+  /** Read-path schema: the latest committed manifest's DDL (the writer
+    * supplies its own schema, so this only runs for reads). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = AtomicSink2Util.rootOf(options)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    AtomicSink.latestManifest(fs, rootPath) match {
+      case Some(m) => StructType.fromDDL(m.ddl)
+      case None => throw new IllegalArgumentException(
+        s"graft-atomic: no committed manifest at $root (an aborted first " +
+          "write or an empty dir reads as an empty table via " +
+          "AtomicSink.readCommitted, but a schema-less scan cannot plan)")
+    }
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val root = Option(properties.get("path")).getOrElse(
@@ -158,25 +349,35 @@ class AtomicSink extends TableProvider
   }
 }
 
+private object AtomicSink2Util {
+  def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-atomic requires a path"))
+}
+
 class AtomicTable(root: String, tschema: StructType)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft-atomic($root)"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AtomicWriteBuilder(root, info.schema(), info.queryId())
+    new AtomicWriteBuilder(root, info.schema(), info.queryId(),
+      Option(info.options.get("graft.tag")))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AtomicScanBuilder(root, tschema)
 }
 
-class AtomicWriteBuilder(root: String, schema: StructType, queryId: String)
-    extends WriteBuilder with SupportsTruncate {
+class AtomicWriteBuilder(root: String, schema: StructType, queryId: String,
+    tag: Option[String]) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val conf = new SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration)
-      new AtomicBatchWrite(root, schema, queryId, doTruncate, conf)
+      new AtomicBatchWrite(root, schema, queryId, doTruncate, tag, conf)
     }
   }
 }
@@ -187,7 +388,8 @@ private case class AtomicFileCommit(name: String, rows: Long, bytes: Long)
     extends WriterCommitMessage
 
 class AtomicBatchWrite(root: String, schema: StructType, queryId: String,
-    truncate: Boolean, conf: SerializableConfiguration) extends BatchWrite {
+    truncate: Boolean, tag: Option[String], conf: SerializableConfiguration)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AtomicWriterFactory(root, schema, queryId, conf)
@@ -199,28 +401,16 @@ class AtomicBatchWrite(root: String, schema: StructType, queryId: String,
     val fs = rootPath.getFileSystem(conf.value)
     fs.mkdirs(rootPath)
     val fresh = messages.toSeq.map { case AtomicFileCommit(n, r, b) => (n, r, b) }
-    val mf = new Path(rootPath, AtomicSink.MANIFEST)
-    val old: Seq[(String, Long, Long)] =
-      if (fs.exists(mf)) {
-        val (oldDdl, entries) = AtomicSink.readManifest(fs, mf)
-        // append folds old files under the NEW manifest's schema line —
-        // refuse a drifted writer schema rather than publish a manifest
-        // whose DDL misdescribes half its files (overwrite replaces the
-        // table, so drift is fine there)
-        if (!truncate && oldDdl != schema.toDDL)
-          throw new IllegalStateException(
-            s"graft-atomic append schema drift: table has [$oldDdl], " +
-              s"writer has [${schema.toDDL}]; use overwrite to replace")
-        entries
-      } else Nil
-    val entries = (if (truncate) Nil else old) ++ fresh
-    AtomicSink.writeManifest(fs, rootPath, schema.toDDL, entries)
-    // previous-generation files become garbage only AFTER the new
-    // manifest is live; a crash between the two steps leaves orphans
-    // that are invisible (manifest-only visibility) and vacuumable
-    if (truncate) old.foreach { case (n, _, _) =>
-      fs.delete(new Path(rootPath, n), false)
-    }
+    // DDL is stored as-nullable: a CSV cell can always be empty, and the
+    // readback schema (file source) forces nullable anyway — keeping the
+    // writer's NOT NULL would make the DSv2 scan's schema disagree with
+    // readCommitted's for the same table
+    val nullableDdl =
+      StructType(schema.fields.map(_.copy(nullable = true))).toDDL
+    AtomicSink.publish(fs, rootPath, nullableDdl, fresh, truncate, tag, queryId)
+    // previous-generation files are NOT deleted here: versioned readers
+    // may still hold them, and vacuum (retention-guarded) is the single
+    // reclamation point
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -284,4 +474,151 @@ class AtomicDataWriter(root: String, schema: StructType, queryId: String,
   }
 
   override def close(): Unit = ()
+}
+
+// ----------------------------------------------------------------- read side
+
+/** Column-pruning scan builder: Spark hands the required schema after
+  * optimizer pruning; only those fields are CONVERTED by the decoder
+  * (every CSV cell is still tokenized — the format is row-major — but
+  * string/number materialization happens per required column only). */
+class AtomicScanBuilder(root: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    new AtomicScan(root, full, required, conf)
+  }
+}
+
+private case class AtomicFilePartition(root: String, name: String, rows: Long)
+    extends InputPartition
+
+class AtomicScan(root: String, full: StructType, required: StructType,
+    conf: SerializableConfiguration)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** Resolved ONCE per scan: the snapshot this query reads. Every task
+    * opens exactly these files even if newer versions commit mid-query
+    * — versioned manifests make the read repeatable. */
+  private lazy val manifest: Option[AtomicSink.Manifest] = {
+    val rootPath = new Path(root)
+    AtomicSink.latestManifest(rootPath.getFileSystem(conf.value), rootPath)
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-atomic root=$root cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    manifest.map(_.entries.map { case (n, r, _) =>
+      AtomicFilePartition(root, n, r): InputPartition
+    }.toArray).getOrElse(Array.empty)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AtomicReaderFactory(conf, full, required.fieldNames)
+
+  /** Exact stats straight from the manifest — no listing, no sampling.
+    * Bytes are scaled by the required-column fraction so a pruned scan
+    * advertises the smaller width (what lets Catalyst broadcast a thin
+    * projection of a wide table). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val (rows, bytes) = manifest
+      .map(m => (m.entries.map(_._2).sum, m.entries.map(_._3).sum))
+      .getOrElse((0L, 0L))
+    private val frac =
+      if (full.fields.isEmpty) 1.0
+      else required.fields.length.toDouble / full.fields.length
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, (bytes * frac).toLong))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+}
+
+class AtomicReaderFactory(conf: SerializableConfiguration, full: StructType,
+    requiredNames: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AtomicFilePartition]
+    new AtomicCsvReader(new Path(p.root, p.name), conf, full, requiredNames)
+  }
+}
+
+/** Streaming RFC-4180 decoder for the sink's own output: quoted fields
+  * (doubled-quote escapes, embedded newlines legal), unquoted empty =
+  * null, quoted empty = empty string. Tokenizes every cell (row-major
+  * format) but converts only the required columns. */
+class AtomicCsvReader(path: Path, conf: SerializableConfiguration,
+    full: StructType, requiredNames: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val in = new BufferedReader(new InputStreamReader(
+    path.getFileSystem(conf.value).open(path), StandardCharsets.UTF_8))
+  private val nFull = full.fields.length
+  // full-schema column index -> output slot (-1 = pruned away)
+  private val slotOf: Array[Int] = {
+    val want = requiredNames.zipWithIndex.toMap
+    full.fieldNames.map(n => want.getOrElse(n, -1))
+  }
+  private val types: Array[DataType] = full.fields.map(_.dataType)
+  private val row = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(requiredNames.length)
+  private val cell = new java.lang.StringBuilder(64)
+
+  private def convert(colIdx: Int, quoted: Boolean): AnyRef = {
+    if (!quoted && cell.length() == 0) return null // unquoted empty = null
+    types(colIdx) match {
+      case StringType => UTF8String.fromString(cell.toString)
+      case LongType => java.lang.Long.valueOf(cell.toString)
+      case IntegerType => java.lang.Integer.valueOf(cell.toString)
+      case DoubleType => java.lang.Double.valueOf(cell.toString)
+      case FloatType => java.lang.Float.valueOf(cell.toString)
+      case BooleanType => java.lang.Boolean.valueOf(cell.toString)
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+  }
+
+  override def next(): Boolean = {
+    var c = in.read()
+    if (c < 0) return false
+    var colIdx = 0
+    var quoted = false
+    cell.setLength(0)
+    def endCell(): Unit = {
+      if (colIdx < nFull) {
+        val slot = slotOf(colIdx)
+        if (slot >= 0) row.update(slot, convert(colIdx, quoted))
+      }
+      colIdx += 1; quoted = false; cell.setLength(0)
+    }
+    val Quote = '"'.toInt; val Comma = ','.toInt; val Nl = '\n'.toInt
+    var done = false
+    while (!done) {
+      if (quoted) {
+        if (c == Quote) {
+          val nxt = in.read()
+          if (nxt == Quote) { cell.append('"'); c = in.read() } // doubled quote
+          else if (nxt == Comma) { endCell(); c = in.read() }
+          else { endCell(); done = true } // '\n' or EOF ends the record
+        } else if (c == -1) {
+          throw new java.io.IOException(s"unterminated quote in $path")
+        } else { cell.append(c.toChar); c = in.read() }
+      } else {
+        if (c == Quote && cell.length() == 0) { quoted = true; c = in.read() }
+        else if (c == Comma) { endCell(); c = in.read() }
+        else if (c == Nl || c == -1) { endCell(); done = true }
+        else { cell.append(c.toChar); c = in.read() }
+      }
+    }
+    if (colIdx != nFull) throw new java.io.IOException(
+      s"malformed row in $path: $colIdx cells, schema has $nFull")
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
 }

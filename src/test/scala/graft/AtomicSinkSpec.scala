@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.AtomicSink
 
 /** Oracle-independent invariants for the `graft-atomic` transactional
-  * DSv2 sink (A15) — the commit/abort corners the gate's documents
-  * round-trip doesn't isolate. */
+  * DSv2 source (A15 write / A18 read) — the commit/abort/concurrency
+  * corners the gate's documents round-trip doesn't isolate. */
 class AtomicSinkSpec extends SparkSpec {
   import org.apache.hadoop.fs.Path
 
@@ -14,6 +14,12 @@ class AtomicSinkSpec extends SparkSpec {
 
   private def fs(p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def latest(out: String): AtomicSink.Manifest =
+    AtomicSink.latestManifest(fs(out), new Path(out)).get
+
+  private def latestName(out: String): String =
+    AtomicSink.manifestPath(new Path(out), latest(out).version).getName
 
   test("append folds the previous manifest; overwrite truncates it") {
     import spark.implicits._
@@ -28,11 +34,13 @@ class AtomicSinkSpec extends SparkSpec {
         .write.format("graft-atomic").mode("overwrite").save(out)
       val back = AtomicSink.readCommitted(spark, out).collect()
       assert(back.map(r => (r.getLong(0), r.getString(1))).toSet == Set((9L, "z")))
-      // truncate reclaimed the previous generation's physical files
-      val listed = AtomicSink
-        .readManifest(fs(out), new Path(out, AtomicSink.MANIFEST))._2.map(_._1).toSet
+      // commit deletes NOTHING (older-version readers keep their
+      // snapshot); vacuum with test-scoped zero retention reclaims the
+      // previous generation + superseded manifests
+      AtomicSink.vacuum(spark, out, retentionMs = 0L)
+      val listed = latest(out).entries.map(_._1).toSet
       val physical = fs(out).listStatus(new Path(out)).map(_.getPath.getName).toSet
-      assert(physical == listed + AtomicSink.MANIFEST)
+      assert(physical == listed + latestName(out))
     } finally fs(out).delete(new Path(out), true)
   }
 
@@ -51,10 +59,16 @@ class AtomicSinkSpec extends SparkSpec {
           if (r.isNullAt(1)) null else r.getString(1),
           if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
       assert(back == rows.toSet)
+      // the DSv2 scan decodes the same corners identically
+      val v2 = spark.read.format("graft-atomic").load(out)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(v2 == rows.toSet)
     } finally fs(out).delete(new Path(out), true)
   }
 
-  test("failed job leaves prior state intact and no stray files") {
+  test("failed job leaves prior state intact and no stray data files") {
     import spark.implicits._
     val out = scratch("abort")
     try {
@@ -70,10 +84,9 @@ class AtomicSinkSpec extends SparkSpec {
       val back = AtomicSink.readCommitted(spark, out).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(back == Set((1L, 10L), (2L, 20L)), "previous commit mutated by failed overwrite")
-      val listed = AtomicSink
-        .readManifest(fs(out), new Path(out, AtomicSink.MANIFEST))._2.map(_._1).toSet
+      val listed = latest(out).entries.map(_._1).toSet
       val physical = fs(out).listStatus(new Path(out)).map(_.getPath.getName).toSet
-      assert(physical == listed + AtomicSink.MANIFEST, s"stray files: ${physical -- listed}")
+      assert(physical == listed + latestName(out), s"stray files: ${physical -- listed}")
     } finally fs(out).delete(new Path(out), true)
   }
 
@@ -102,7 +115,7 @@ class AtomicSinkSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("unsupported")))
   }
 
-  test("vacuum reclaims orphans, keeps committed files and foreign files") {
+  test("vacuum reclaims aged orphans, keeps committed/foreign/young files") {
     import spark.implicits._
     val out = scratch("vacuum")
     try {
@@ -113,7 +126,13 @@ class AtomicSinkSpec extends SparkSpec {
       f.create(new Path(out, "part-99999-0-deadbeef.csv"), true).close()
       f.create(new Path(out, "unrelated.txt"), true).close()
       val before = AtomicSink.readCommitted(spark, out).count()
-      val (kept, deleted) = AtomicSink.vacuum(spark, out)
+      // retention guard: a YOUNG unlisted part file is presumed to be a
+      // concurrent in-flight write's task output and must survive
+      val (keptG, deletedG) = AtomicSink.vacuum(spark, out) // default retention
+      assert(deletedG == 0L, "retention guard must keep the young orphan")
+      assert(keptG == 4L)
+      // zero retention = caller asserts no concurrent writers
+      val (kept, deleted) = AtomicSink.vacuum(spark, out, retentionMs = 0L)
       assert(deleted == 1L, "exactly the orphan reclaimed")
       assert(kept == 3L, "manifest + committed file + foreign file kept")
       assert(AtomicSink.readCommitted(spark, out).count() == before)
@@ -148,10 +167,109 @@ class AtomicSinkSpec extends SparkSpec {
     try {
       (1L to 100L).toDF("id").repartition(4)
         .write.format("graft-atomic").mode("append").save(out)
-      val entries = AtomicSink
-        .readManifest(fs(out), new Path(out, AtomicSink.MANIFEST))._2
+      val entries = latest(out).entries
       assert(entries.map(_._2).sum == 100L)
       assert(entries.forall(_._3 > 0L))
+    } finally fs(out).delete(new Path(out), true)
+  }
+
+  test("concurrent committers: CAS loser refolds — both appends stay visible") {
+    import spark.implicits._
+    val out = scratch("cas")
+    try {
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("graft-atomic").mode("append").save(out)
+      val root = new Path(out)
+      val f = fs(out)
+      // a "concurrent" committer lands version 2 first: a physically
+      // real file published through the same protocol
+      val rival = new Path(root, "part-77777-1-rival.csv")
+      val ws = f.create(rival, true)
+      ws.write("7,\"r\"\n".getBytes("UTF-8")); ws.close()
+      val rivalBytes = f.getFileStatus(rival).getLen
+      val v2 = AtomicSink.publish(f, root, latest(out).ddl,
+        Seq(("part-77777-1-rival.csv", 1L, rivalBytes)),
+        truncate = false, tag = None, committerId = "rival")
+      assert(v2 == 2L)
+      // plus a TORN claim of version 3 (a committer that died mid-create):
+      // the API append below must skip it as invalid, fold v2's entries,
+      // lose the CAS on v3 (name taken), and land at v4 with EVERYTHING
+      val torn = f.create(AtomicSink.manifestPath(root, 3L), false)
+      torn.write("garbage no footer\n".getBytes("UTF-8")); torn.close()
+      Seq((3L, "c")).toDF("id", "v")
+        .write.format("graft-atomic").mode("append").save(out)
+      val m = latest(out)
+      assert(m.version == 4L, s"expected CAS retry to land v4, got v${m.version}")
+      val back = AtomicSink.readCommitted(spark, out).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(back == Set((1L, "a"), (7L, "r"), (3L, "c")),
+        "a concurrent commit was lost by the fold")
+    } finally fs(out).delete(new Path(out), true)
+  }
+
+  test("torn latest manifest is invisible: readers fall back to the previous version") {
+    import spark.implicits._
+    val out = scratch("torn")
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.format("graft-atomic").mode("append").save(out)
+      val f = fs(out)
+      // a committer died after creating v2 but before the footer
+      val torn = f.create(AtomicSink.manifestPath(new Path(out), 2L), false)
+      torn.write("STRUCT<id: BIGINT, v: STRING>\npart-bogus\t1\t1\n".getBytes("UTF-8"))
+      torn.close()
+      assert(AtomicSink.readCommitted(spark, out).count() == 2,
+        "torn manifest leaked into visibility")
+      assert(latest(out).version == 1L)
+    } finally fs(out).delete(new Path(out), true)
+  }
+
+  test("tagged appends are idempotent: a replayed batch folds nothing twice") {
+    import spark.implicits._
+    val out = scratch("tags")
+    try {
+      Seq((1L, 10L)).toDF("id", "x").write.format("graft-atomic")
+        .option("graft.tag", "batch-0").mode("append").save(out)
+      Seq((2L, 20L)).toDF("id", "x").write.format("graft-atomic")
+        .option("graft.tag", "batch-1").mode("append").save(out)
+      val v = latest(out).version
+      // checkpoint-restart replay: same tag, same (or different) data —
+      // must publish nothing and leave no stray files
+      Seq((2L, 20L)).toDF("id", "x").write.format("graft-atomic")
+        .option("graft.tag", "batch-1").mode("append").save(out)
+      assert(latest(out).version == v, "replay published a new version")
+      assert(AtomicSink.readCommitted(spark, out).count() == 2)
+      assert(latest(out).tags == Set("batch-0", "batch-1"))
+      val listed = latest(out).entries.map(_._1).toSet
+      val parts = fs(out).listStatus(new Path(out)).map(_.getPath.getName)
+        .filter(_.startsWith("part-")).toSet
+      assert(parts == listed, s"replayed batch left stray files: ${parts -- listed}")
+    } finally fs(out).delete(new Path(out), true)
+  }
+
+  test("DSv2 read: snapshot scan matches readCommitted, prunes columns, reports manifest stats") {
+    import spark.implicits._
+    val out = scratch("read")
+    try {
+      val df = (1L to 50L).map(i => (i, s"s$i", i * 1.5)).toDF("id", "s", "d")
+      df.write.format("graft-atomic").mode("append").save(out)
+      val scan = spark.read.format("graft-atomic").load(out)
+      assert(scan.schema == AtomicSink.readCommitted(spark, out).schema)
+      // row-for-row equality with the helper reader
+      val helper = AtomicSink.readCommitted(spark, out)
+      assert(scan.exceptAll(helper).isEmpty && helper.exceptAll(scan).isEmpty)
+      // column prune reaches the scan: only required fields survive
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      val pruned = scan.select(col("id"), col("d"))
+      val rel = pruned.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r
+      }.head
+      assert(rel.scan.readSchema().fieldNames.toSeq == Seq("id", "d"),
+        s"prune missing from scan: ${rel.scan.description()}")
+      assert(pruned.agg(sum(col("d"))).head().getDouble(0) == (1L to 50L).map(_ * 1.5).sum)
+      // stats come from the manifest: exact row count, no listing
+      assert(rel.computeStats().rowCount.contains(BigInt(50)),
+        s"manifest row stats missing: ${rel.computeStats()}")
     } finally fs(out).delete(new Path(out), true)
   }
 }
