@@ -945,6 +945,61 @@ object EtlQueries {
     } finally dropScratch(s, out)
   }
 
+  // ----------------------------------------------------------- A18
+  /** First-class DSv2 READ for `graft-atomic`
+    * ([[graft.sources.AtomicScan]]): the manifest is not just a commit
+    * record, it is the table's entire scan plan — one InputPartition
+    * per committed file, column pruning pushed into the CSV decoder,
+    * and EXACT row statistics reported straight from the manifest's
+    * audit counts (no listing, no sampling — at 100 TB the difference
+    * between "broadcast this side" decided from truth vs from a
+    * file-size guess). Pins:
+    *
+    *  1. `spark.read.format("graft-atomic")` == `readCommitted`
+    *     row-for-row (symmetric exceptAll count 0) on a live written
+    *     table;
+    *  2. a 2-of-3-column projection reaches the scan: the optimized
+    *     plan's DSv2 relation readSchema is exactly the projected
+    *     columns (the A14b pushdown discipline);
+    *  3. the relation's advertised rowCount equals the true count —
+    *     the manifest-stats path Catalyst's join planning consumes. */
+  def atomicReadGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val out = scratchDir(dir, "atomic_read")
+    try {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.write.format("graft-atomic").mode("append").save(out)
+      val scan = s.read.format("graft-atomic").load(out)
+      val helper = graft.sources.AtomicSink.readCommitted(s, out)
+      val rowDiff = scan.exceptAll(helper).count() + helper.exceptAll(scan).count()
+      val pruned = scan.select(col("doc_id"), col("n_chars"))
+      val rel = pruned.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r
+      }.head
+      val pruneOk =
+        rel.scan.readSchema().fieldNames.toSeq == Seq("doc_id", "n_chars")
+      val nTrue = docs.count()
+      val statsOk = rel.computeStats().rowCount.contains(BigInt(nTrue))
+      val agg = scan.agg(count(lit(1)).as("n"),
+        dsum(col("n_chars").cast("double")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources")).head()
+      Seq(("atomic_read", agg.getLong(0), agg.getDouble(1), agg.getLong(2),
+          rowDiff, pruneOk, statsOk))
+        .toDF("metric", "n_rows", "sum_chars", "n_sources", "row_diff",
+          "scan_pruned", "stats_exact")
+    } finally dropScratch(s, out)
+  }
+
+  val atomicReadGateSql: String =
+    """SELECT 'atomic_read' AS metric, COUNT(*) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,6))), 2) AS DOUBLE)
+      |    AS sum_chars,
+      |  COUNT(DISTINCT source) AS n_sources, CAST(0 AS BIGINT) AS row_diff,
+      |  TRUE AS scan_pruned, TRUE AS stats_exact
+      |FROM documents""".stripMargin
+
   // ----------------------------------------------------------- A16
   /** Runtime-filtering (DPP) proof for the `graft-catalog` source:
     * the one-day pruning of A14b, but with the day decided AT RUNTIME

@@ -1191,6 +1191,67 @@ object StreamGates {
       |  TRUE AS exactly_once_publish
       |FROM events WHERE event_id < 2000""".stripMargin
 
+  // ------------------------------------------------------------- F24
+  /** Streaming publish through the A15 `graft-atomic` transactional
+    * sink: foreachBatch appends each micro-batch with its batch id as
+    * the manifest idempotence tag (`graft.tag`), composing the F19
+    * exactly-once discipline with the versioned-manifest commit
+    * protocol. The gate drains the slice in 3 micro-batches, then
+    * plants a REAL checkpoint-restart replay — the last batch's commit
+    * marker is deleted from the checkpoint so the restarted query
+    * re-executes that batch with the SAME id — and pins that the
+    * replayed commit published NOTHING (manifest version and row set
+    * unchanged: tag equality detected the replay) while the final
+    * table equals the whole slice exactly. At 100 TB this is the
+    * difference between "restart re-appends a duplicate batch" and
+    * exactly-once end-to-end. */
+  def streamAtomicPublish(s: SparkSession, dir: String): DataFrame = withGateConf(s) {
+    import s.implicits._
+    val raw = slice(s, dir)
+    // graft-atomic columns are scalar-only: carry ts as unix micros
+    def toAtomic(df: DataFrame): DataFrame =
+      df.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val ev = toAtomic(raw)
+    val in = tempDir("graft_sg_apub_in")
+    stage(raw, in, nFiles = 3)
+    val out = tempDir("graft_sg_apub_out") + "/tbl"
+    val ck = tempDir("graft_sg_apub_ck")
+    def run(): Unit =
+      drain(fileStream(s, in, raw.schema).writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          toAtomic(batch.toDF()).write.format("graft-atomic")
+            .option("graft.tag", s"batch-$batchId")
+            .mode("append").save(out)
+      }.option("checkpointLocation", ck))
+    run()
+    val rootPath = new org.apache.hadoop.fs.Path(out)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def manifest = graft.sources.AtomicSink.latestManifest(fs, rootPath).get
+    val vAfterDrain = manifest.version
+    val nBatches = manifest.tags.size.toLong
+    // planted replay: drop the last commit marker; the restart re-runs
+    // that batch (same id, same data) — the foreachBatch side effect
+    // executes AGAIN and the sink's tag check must make it a no-op
+    val commits = new org.apache.hadoop.fs.Path(ck, "commits")
+    val lastBatch = fs.listStatus(commits).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    fs.delete(new org.apache.hadoop.fs.Path(commits, lastBatch.toString), false)
+    run()
+    val replaySkipped = manifest.version == vAfterDrain
+    val got = graft.sources.AtomicSink.readCommitted(s, out)
+    Seq(("stream_atomic_publish", got.count(), nBatches,
+        replaySkipped && setEqual(got, ev)))
+      .toDF("metric", "n_rows", "n_batches", "exactly_once_publish")
+  }
+
+  val streamAtomicPublishSql: String =
+    """SELECT 'stream_atomic_publish' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(3 AS BIGINT) AS n_batches,
+      |  TRUE AS exactly_once_publish
+      |FROM events WHERE event_id < 2000""".stripMargin
+
   // ------------------------------------------------------------- F18
   /** Continuous CDC apply: the slice is a change stream — an 'error'
     * event is a DELETE tombstone for its user, anything else an upsert
