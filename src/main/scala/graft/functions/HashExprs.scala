@@ -58,6 +58,11 @@ case class WordShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "word_shingle_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // n < 1 would make `windows = tokens - n + 1` exceed the token
+    // count and hand hashUnsafeBytes a negative-length range over raw
+    // off-heap memory — reject at analysis, not in the kernel
+    case StringType if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes expects n >= 1, got $n")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"word_shingle_hashes expects STRING, got ${t.simpleString}")

@@ -367,9 +367,12 @@ object Relational {
     val o = Tables.orders(s, dir)
     val high = o.filter(col("o_totalprice") > 250000.0).select(col("o_custkey")).distinct()
     val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")).distinct()
+    // scalar attachment: broadcast the 1-row aggregates like every
+    // other scalar crossJoin in the codebase, keeping the plan-audit's
+    // cartesian scan a clean signal
     high.intersect(urgent).agg(count(lit(1)).as("n_both"))
-      .crossJoin(high.except(urgent).agg(count(lit(1)).as("n_high_only")))
-      .crossJoin(high.union(urgent).distinct().agg(count(lit(1)).as("n_either")))
+      .crossJoin(broadcast(high.except(urgent).agg(count(lit(1)).as("n_high_only"))))
+      .crossJoin(broadcast(high.union(urgent).distinct().agg(count(lit(1)).as("n_either"))))
   }
 
   val setOpsSql: String =

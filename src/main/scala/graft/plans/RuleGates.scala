@@ -141,9 +141,11 @@ object RuleGates {
           .write.saveAsTable(sT)
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
           .write.saveAsTable(oT)
-        Seq(pT, sT, oT).foreach(t =>
-          s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
-        s.conf.set("spark.sql.cbo.enabled", "true")
+        // the production on-ramp, exercised by the gate itself: one
+        // call per table + one call per session (Stats.enableReorder
+        // is idempotent with withRule's injection above)
+        Seq(pT, sT, oT).foreach(t => Stats.analyze(s, t))
+        Stats.enableReorder(s)
         val fact = Tables.lineitem(s, dir)
           .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
             col("l_quantity"))

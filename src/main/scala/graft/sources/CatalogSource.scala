@@ -447,7 +447,12 @@ class CatalogScan(root: String, conf: SerializableConfiguration,
 
   override def filter(filters: Array[Filter]): Unit = {
     val supported = filters.filter(DateBounds.supported)
-    effectiveBounds = supported.foldLeft(effectiveBounds)(DateBounds.merge)
+    // narrow from the STATIC bounds on every call, not from the last
+    // call's result: a re-executed (cached) physical plan hands this
+    // scan a fresh runtime key set, and folding into the previous
+    // execution's intersection would over-prune if the dim side's data
+    // changed between actions
+    effectiveBounds = supported.foldLeft(bounds)(DateBounds.merge)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

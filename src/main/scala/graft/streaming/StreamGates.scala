@@ -110,16 +110,31 @@ object StreamGates {
     * the session setting after; results are partitioning-independent.
     *
     * The override mutates the SESSION-global shuffle-partitions conf,
-    * so gates assume they run sequentially on their session (true for
-    * Bench and Verify, which iterate queries one at a time): a
-    * concurrent query on the same session during a gate would observe
-    * 4 partitions, and interleaved gates could clobber each other's
-    * restore. Concurrent runners must use separate SparkSessions
-    * (`spark.newSession()`), which scope this conf per session. */
-  private def withGateConf[T](s: SparkSession)(body: => T): T = {
+    * so gates must run sequentially on their session (true for Bench
+    * and Verify, which iterate queries one at a time): a concurrent
+    * query on the same session during a gate would observe 4
+    * partitions, and interleaved gates could clobber each other's
+    * restore. That assumption is now ENFORCED, not documented: a
+    * second gate entering on a session another thread still holds
+    * fails loudly instead of silently corrupting the restore chain.
+    * Concurrent runners must use separate SparkSessions
+    * (`spark.newSession()`), which scope this conf per session —
+    * proven by StreamGateGuardSpec. */
+  private val gateHolder =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private[graft] def withGateConf[T](s: SparkSession)(body: => T): T = {
+    val me = Thread.currentThread().getName
+    val holder = gateHolder.putIfAbsent(s, me)
+    if (holder != null) throw new IllegalStateException(
+      s"concurrent stream gates on one SparkSession (held by thread " +
+        s"'$holder'): gates mutate session-global conf; run them " +
+        "sequentially or give each runner its own spark.newSession()")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      gateHolder.remove(s)
+    }
   }
 
   private def fileStream(s: SparkSession, dir: String,

@@ -42,6 +42,24 @@ class WordShingleHashSpec extends SparkSpec {
     assert(viaBytes(docs, 3) == viaStrings(docs, 3))
   }
 
+  test("n < 1 is rejected at analysis, not in the hashing kernel") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    for (bad <- Seq(0, -3)) {
+      val err = intercept[Exception] {
+        df.select(HashExprs.wordShingleHashes(col("text"), bad)).collect()
+      }
+      assert(err.getMessage.contains("n >= 1"), err.getMessage)
+      // the user-facing SQL registration must refuse it too
+      graft.functions.GraftFunctions.register(spark)
+      df.createOrReplaceTempView("wsh_guard")
+      val sqlErr = intercept[Exception] {
+        spark.sql(s"SELECT word_shingle_hashes(text, $bad) FROM wsh_guard").collect()
+      }
+      assert(sqlErr.getMessage.contains("n >= 1"), sqlErr.getMessage)
+    }
+  }
+
   test("distinctness: no duplicate hashes per document") {
     import spark.implicits._
     val dup = Seq((1L, "x y x y x y x y"))
