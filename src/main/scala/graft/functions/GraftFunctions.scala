@@ -46,6 +46,8 @@ object GraftFunctions {
     "word_shingle_hashes" -> { args =>
       WordShingleHashes(args(0), intArg(args(1), "n"))
     },
+    // transposition-invariant digit-multiset blocking key (E76)
+    "digit_multiset_key" -> { args => DigitMultisetKey(args.head) },
     // content-defined chunking boundaries+hashes (E74)
     "cdc_chunks" -> { args => CdcChunks(args.head) },
     // per-group bounded top-k as SQL: bounded_top_k(expr, k) — the

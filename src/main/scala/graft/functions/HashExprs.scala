@@ -39,6 +39,61 @@ object HashExprs {
     * `array_distinct(transform(...)) |> explode |> xxhash64`. */
   def wordShingleHashes(text: Column, n: Int): Column =
     VectorExprs.col(WordShingleHashes(VectorExprs.expr(text), n))
+
+  /** Packed digit-multiset blocking key: equal iff the inputs contain
+    * the same multiset of ASCII digits — the zero-allocation form of
+    * `array_join(array_sort(split(digits, '')), '')`. */
+  def digitMultisetKey(text: Column): Column =
+    VectorExprs.col(DigitMultisetKey(VectorExprs.expr(text)))
+}
+
+/** Transposition-invariant blocking key (E76 record linkage): one long
+  * packing the COUNT of each ASCII digit '0'-'9' in the input, 6 bits
+  * per digit (non-digit bytes ignored — a digit byte never occurs
+  * inside a UTF-8 multibyte sequence). Two strings get equal keys iff
+  * their digit multisets match (exactly, up to 63 occurrences per
+  * digit — beyond that the key degrades to a best-effort hash as the
+  * count lane saturates), which is the same equivalence the
+  * sort-the-digits string key defines, without the per-row split /
+  * array-sort / join churn on BOTH join sides. */
+case class DigitMultisetKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "digit_multiset_key"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"digit_multiset_key expects STRING, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DigitMultisetKey.key(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DigitMultisetKey.key($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DigitMultisetKey {
+  def key(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    var k = 0L
+    var i = 0
+    while (i < len) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b >= '0' && b <= '9') {
+        val lane = 6 * (b - '0')
+        // saturate the 6-bit lane instead of overflowing into a neighbor
+        if (((k >>> lane) & 0x3FL) != 0x3FL) k += 1L << lane
+      }
+      i += 1
+    }
+    k
+  }
 }
 
 /** Hashes of the word n-gram shingles of `text` WITHOUT materializing

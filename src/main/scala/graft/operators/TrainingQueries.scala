@@ -1589,10 +1589,15 @@ object TrainingQueries {
           expr("substring(name, 11 + p, 1)"),
           expr("substring(name, 10 + p, 1)"),
           expr("substring(name, 12 + p, 7 - p)")).as("name"))
+    // the key is join-internal, so its REPRESENTATION is free: a codegen
+    // packed digit-count long ([[graft.functions.DigitMultisetKey]] —
+    // the only digits in c_name are the suffix) defines exactly the
+    // same equivalence classes as the oracle's sorted-digit string with
+    // zero split/array-sort/join allocations on either join side, and
+    // the shuffle carries an 8-byte key instead of a 9-char string
     def keyed(df: DataFrame, idAs: String, nameAs: String): DataFrame =
       df.select(col("id").as(idAs), col("name").as(nameAs),
-        array_join(array_sort(split(expr("substring(name, 10, 9)"), "")), "")
-          .as("bk"))
+        graft.functions.HashExprs.digitMultisetKey(col("name")).as("bk"))
     val ed = levenshtein(col("clean_name"), col("dirty_name"))
     keyed(base, "clean_id", "clean_name")
       .join(keyed(dirty, "dirty_id", "dirty_name"), "bk")

@@ -60,6 +60,26 @@ class WordShingleHashSpec extends SparkSpec {
     }
   }
 
+  test("digit_multiset_key defines the sorted-digit-string equivalence exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      val digits = Seq.fill(rnd.nextInt(12))(rnd.nextInt(10)).mkString
+      val noise = Seq("x#", "", "Customer#", "a b").apply(rnd.nextInt(4))
+      (i.toLong, noise + digits)
+    } :+ ((501L, "no digits here")) :+ ((502L, ""))
+    val df = rows.toDF("id", "s")
+      .select(col("id"), col("s"),
+        HashExprs.digitMultisetKey(col("s")).as("k"),
+        array_join(array_sort(split(regexp_replace(col("s"), "[^0-9]", ""), "")), "")
+          .as("sorted"))
+    // same packed key <=> same sorted digit string, across all pairs
+    val clash = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .filter((col("a.k") === col("b.k")) =!= (col("a.sorted") === col("b.sorted")))
+      .count()
+    assert(clash == 0)
+  }
+
   test("distinctness: no duplicate hashes per document") {
     import spark.implicits._
     val dup = Seq((1L, "x y x y x y x y"))
