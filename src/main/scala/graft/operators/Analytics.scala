@@ -594,17 +594,28 @@ object Analytics {
   def quantilesInterp(s: SparkSession, dir: String,
                       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    def loR(rn: Column, n: Column, p: Double): Column =
+      floor((n - 1) * p).cast("long") + 1L
+    def hiR(rn: Column, n: Column, p: Double): Column =
+      least(loR(rn, n, p) + 1L, n)
+    // bracket selection rides INSIDE the rank operator (the D19
+    // discipline): only the ~2·|ps| bracket rows per group are ever
+    // projected out of the sort pass — the array/explode tagging below
+    // runs over dozens of rows, not the full ranked table
     val ranked = Relational.globalRank(
       Tables.lineitem(s, dir)
         .select(col("l_linestatus"), col("l_extendedprice").as("value")),
-      groupCols = Seq("l_linestatus"), sortCols = Seq("value"))
+      groupCols = Seq("l_linestatus"), sortCols = Seq("value"),
+      rankFilter = Some((rn, n) =>
+        ps.map(p => rn === loR(rn, n, p) || rn === hiR(rn, n, p)).reduce(_ || _)))
     def loRank(p: Double): Column = floor((col("n") - 1) * p).cast("long") + 1L
     def hiRank(p: Double): Column = least(loRank(p) + 1L, col("n"))
     // one row per matched (p, side); a row can serve several ps
-    val tagged = ranked.select(col("l_linestatus"), col("rn"), col("n"), col("value"),
-      explode(filter(array(ps.map(p =>
-        when(col("rn") === loRank(p) || col("rn") === hiRank(p), lit(p))): _*),
-        x => x.isNotNull)).as("p"))
+    val tagged = ranked
+      .select(col("l_linestatus"), col("rn"), col("n"), col("value"),
+        explode(filter(array(ps.map(p =>
+          when(col("rn") === loRank(p) || col("rn") === hiRank(p), lit(p))): _*),
+          x => x.isNotNull)).as("p"))
     val h = (col("n") - 1) * col("p")
     val frac = h - floor(h)
     val lo = col("lo"); val hi = col("hi")

@@ -677,7 +677,8 @@ object Relational {
     * warning it triggers is inherently bounded. */
   def globalRank(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
                  nParts: Int = -1, rankCol: String = "rn",
-                 countCol: String = "n"): DataFrame = {
+                 countCol: String = "n",
+                 rankFilter: Option[(Column, Column) => Column] = None): DataFrame = {
     require(sortCols.nonEmpty, "globalRank needs at least one sort column")
     // nParts < 0 → follow the session's shuffle parallelism: a fixed
     // default (the old 32) would range-partition a 100 TB table into
@@ -690,10 +691,13 @@ object Relational {
     // GlobalRank operator (a counting job straight off the shuffle
     // output, then the single planned sort + rank pass) — partition
     // ids coherent by construction, no offsets aggregate, no window,
-    // no broadcast join (see plans/GlobalRank.scala).
+    // no broadcast join (see plans/GlobalRank.scala). `rankFilter`
+    // is the RIDER: a (rn, n) => bool Column evaluated inside the
+    // emit loop, so rank-selection queries (quantile brackets) never
+    // materialize the full ranked table.
     val parts0 = df.repartitionByRange(numParts, keyCols: _*)
     graft.plans.GlobalRank.withGlobalRank(parts0, groupCols, sortCols,
-      rankCol, countCol)
+      rankCol, countCol, rankFilter = rankFilter)
   }
 
   /** Distributed global running total (inclusive prefix sum) of long
@@ -730,8 +734,12 @@ object Relational {
     * of tie order, so the result is exact and deterministic. */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      ps: Seq[Double], nParts: Int = -1): DataFrame = {
+    // the bracket selection rides INSIDE the rank operator: only rows
+    // at a wanted rank are ever projected out of the sort pass
     val ranked = globalRank(df.select((groupCols :+ valueCol).map(col(_)): _*),
-      groupCols, Seq(valueCol), nParts)
+      groupCols, Seq(valueCol), nParts,
+      rankFilter = Some((rn, n) =>
+        ps.map(p => rn === ceil(n * p).cast("long")).reduce(_ || _)))
     val matched = array(ps.map(p =>
       when(col("rn") === ceil(col("n") * p).cast("long"), lit(p))): _*)
     ranked.select((groupCols.map(col(_)) :+

@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, Literal, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
@@ -50,6 +50,7 @@ case class GlobalRankPlan(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
                           rnAttr: Attribute, nAttr: Attribute,
                           sumExpr: Option[Expression], sumAttr: Option[Attribute],
                           maxGroups: Int,
+                          rankFilter: Option[Expression],
                           child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] =
     child.output ++ (Seq(rnAttr, nAttr) ++ sumAttr)
@@ -70,13 +71,14 @@ object GlobalRankPlan {
       AttributeReference(countCol, LongType, nullable = false)(),
       sumExpr,
       sumExpr.map(_ => AttributeReference(runCol, LongType, nullable = false)()),
-      maxGroups, child)
+      maxGroups, rankFilter = None, child)
 }
 
 case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
                           rnAttr: Attribute, nAttr: Attribute,
                           sumExpr: Option[Expression], sumAttr: Option[Attribute],
                           maxGroups: Int,
+                          rankFilter: Option[Expression],
                           child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -196,12 +198,24 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
       else PlanBridge.rddScan(childOutput, childRDD,
         "GlobalRankChild", child.outputPartitioning)
     val withSum = sumExpr.isDefined
+    val rankFilterLocal = rankFilter
     SortExec(sortOrders, global = false, child = sortChild).execute()
       .mapPartitionsWithIndex({ (pid, it) =>
         val proj = UnsafeProjection.create(keyExprs, childOutput)
         val sumProj = sumExprLocal.map(e =>
           UnsafeProjection.create(Seq(e), childOutput))
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        // the RIDER: an optional predicate over (input ++ rn/n/run)
+        // evaluated BEFORE the per-row output projection — a rank
+        // selection (quantile brackets) then skips the unsafe-row copy
+        // for every non-selected row instead of materializing the whole
+        // ranked table for a downstream Filter to discard
+        val pred = rankFilterLocal.map { e =>
+          val p = org.apache.spark.sql.catalyst.expressions.Predicate
+            .create(e, outAttrs)
+          p.initialize(pid)
+          p
+        }
         val myOff = bcOff.value(pid)
         val totals = bcTot.value
         val extra = new GenericInternalRow(if (withSum) 3 else 2)
@@ -212,7 +226,7 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
         var total = 0L
         var local = 0L
         var localSum = 0L
-        it.map { row =>
+        it.flatMap { row =>
           val k = proj(row)
           if (curKey == null || k != curKey) {
             curKey = k.copy()
@@ -221,6 +235,7 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
             total = totals.getOrElse(curKey, 0L)
             local = 0L; localSum = 0L
           }
+          // rank/sum state advances for EVERY row, filtered or not
           local += 1L
           extra.update(0, off + local)
           extra.update(1, total)
@@ -229,7 +244,8 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
             localSum += (if (r.isNullAt(0)) 0L else r.getLong(0))
             extra.update(2, sumOff + localSum) // inclusive running sum
           }
-          outProj(joined(row, extra))
+          val j = joined(row, extra)
+          if (pred.forall(_.eval(j))) Some(outProj(j)) else None
         }
       }, preservesPartitioning = true)
   }
@@ -240,8 +256,8 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
 
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRankPlan(g, o, rn, n, se, sa, cap, child) =>
-      GlobalRankExec(g, o, rn, n, se, sa, cap, planLater(child)) :: Nil
+    case GlobalRankPlan(g, o, rn, n, se, sa, cap, rf, child) =>
+      GlobalRankExec(g, o, rn, n, se, sa, cap, rf, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -267,7 +283,8 @@ object GlobalRank {
                      rankCol: String = "rn", countCol: String = "n",
                      maxGroups: Int = DefaultMaxGroups,
                      sumCol: Option[String] = None,
-                     runCol: String = "run_sum"): DataFrame = {
+                     runCol: String = "run_sum",
+                     rankFilter: Option[(Column, Column) => Column] = None): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GlobalRankStrategy)) {
       spark.experimental.extraStrategies =
@@ -297,8 +314,31 @@ object GlobalRank {
         s"double prefix sum would be partitioning-dependent); got ${a.dataType}")
       a: Expression
     }
-    PlanBridge.ofRows(spark,
-      GlobalRankPlan.create(groupCols.map(attr), sortCols.map(attr),
-        rankCol, countCol, maxGroups, plan, sumExpr, runCol))
+    val plan0 = GlobalRankPlan.create(groupCols.map(attr), sortCols.map(attr),
+      rankCol, countCol, maxGroups, plan, sumExpr, runCol)
+    rankFilter match {
+      case None => PlanBridge.ofRows(spark, plan0)
+      case Some(f) =>
+        // resolve the rider predicate THROUGH the analyzer (Column DSL
+        // trees are unresolved ColumnNodes until a query analyzes them):
+        // select it against the bare plan, extract the resolved
+        // expression — which references plan0's own rn/n attribute ids —
+        // and embed it in the node for the emit-loop Predicate
+        val df0 = PlanBridge.ofRows(spark, plan0)
+        val predDf = df0.select(f(df0(rankCol), df0(countCol)).as("__rank_pred"))
+        val predExpr = PlanBridge.analyzed(predDf) match {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.head match {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+              case other => other
+            }
+          case other => throw new IllegalStateException(
+            s"unexpected analyzed shape for rank filter: ${other.nodeName}")
+        }
+        if (predExpr.dataType != org.apache.spark.sql.types.BooleanType)
+          throw new IllegalArgumentException(
+            s"rankFilter must be boolean, got ${predExpr.dataType.simpleString}")
+        PlanBridge.ofRows(spark, plan0.copy(rankFilter = Some(predExpr)))
+    }
   }
 }

@@ -114,6 +114,34 @@ class GlobalRankPlanSpec extends SparkSpec {
     assert(e.getMessage.contains("must be LONG"), e.getMessage)
   }
 
+  test("rankFilter rider: selection equals post-hoc filter, state unaffected") {
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    // rider selection (inside the operator, pre-projection)
+    val rider = Relational.globalRank(base,
+        groupCols = Seq("source"), sortCols = Seq("doc_id"),
+        rankFilter = Some((rn, n) => rn === 1L || rn === n || rn === (n / 2L)))
+      .orderBy(col("source"), col("rn")).collect().toSeq
+    // reference: full rank, filtered afterwards
+    val post = Relational.globalRank(base,
+        groupCols = Seq("source"), sortCols = Seq("doc_id"))
+      .filter(col("rn") === 1L || col("rn") === col("n") ||
+        col("rn") === (col("n") / lit(2L)))
+      .orderBy(col("source"), col("rn")).collect().toSeq
+    assert(rider == post, "rider selection must not disturb rank/count state")
+    assert(rider.nonEmpty)
+    // the rider composes with the running sum: filtered-out rows still
+    // accumulate into later rows' inclusive prefix sums
+    val g = graft.plans.GlobalRank.withGlobalRank(
+      Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id")),
+      Nil, Seq("doc_id"), sumCol = Some("n_chars"),
+      rankFilter = Some((rn, n) => rn === n))
+    val last = g.collect()
+    val total = Tables.documents(spark, sf).agg(sum(col("n_chars"))).head().getLong(0)
+    assert(last.length == 1 && last(0).getAs[Long]("run_sum") == total,
+      s"rider + prefix scan: last row must carry the full total, got ${last.toSeq}")
+  }
+
   test("ungrouped ranks are a global total order (corpus-shuffle shape)") {
     val ranked = Relational.globalRank(
       Tables.documents(spark, sf).select(col("doc_id")),
