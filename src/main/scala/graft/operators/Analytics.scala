@@ -985,38 +985,81 @@ object Analytics {
       |FROM d""".stripMargin
 
   // --------------------------------------------------------------- D70
+  /** Exact rank-⌈p·n⌉ value per group via a FREQUENCY TABLE — the
+    * right exact-median plan when the measure's distinct values per
+    * group are BOUNDED (integer-like quantities, prices in cents,
+    * quality deciles): one hash aggregation collapses the data to
+    * per-(group, value) counts (map-side combine — the exchange
+    * carries value-histogram keys, never rows), then the rank is
+    * located in the cumulative counts with a window whose input is
+    * histogram-sized, not data-sized. Returns one row per group:
+    * (groupCols..., value-at-rank). `maxDistinct` guards the
+    * assumption and fails fast AFTER the first aggregation (the agg
+    * itself is skew-safe partial aggregation; the guard protects the
+    * per-group window from unbounded input) — high-cardinality
+    * measures belong on [[Relational.exactQuantiles]]'s distributed
+    * rank instead. */
+  private[graft] def frequencyQuantile(df: DataFrame,
+      groupCols: Seq[String], valueCol: String, p: Double,
+      maxDistinct: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col(_))
+    val freq = df.groupBy((gs :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(gs: _*)
+    val wo = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+    val guardMsg = concat(
+      lit(s"frequencyQuantile: more than $maxDistinct distinct values of " +
+        s"'$valueCol' in group ("), concat_ws(",", gs: _*),
+      lit(") — use the distributed rank path (exactQuantiles) for " +
+        "high-cardinality measures"))
+    val guarded = freq
+      .withColumn("__nvals", count(lit(1)).over(wg))
+      .withColumn("__guard",
+        when(col("__nvals") > maxDistinct, raise_error(guardMsg))
+          .otherwise(lit(null).cast("string")))
+    // rank ⌈p·n⌉ falls in exactly one value's cumulative slot
+    val cum = sum(col("__c")).over(wo)
+    val n = sum(col("__c")).over(wg)
+    val target = ceil(n * p).cast("long")
+    guarded
+      .withColumn("__cum", cum).withColumn("__target", target)
+      // the isNull conjunct FORCES the guard's evaluation (a never-read
+      // raise_error column would be pruned away by the optimizer)
+      .filter(col("__guard").isNull &&
+        col("__target") > col("__cum") - col("__c") &&
+        col("__target") <= col("__cum"))
+      .select((gs :+ col(valueCol)): _*)
+  }
+
   /** Median absolute deviation per group — the robust dispersion
     * statistic (outlier-resistant where stddev is not): MAD = median
-    * of |x − median(x)|. Both medians are exact RANK-SELECTED values
-    * (the value at rank ⌈n/2⌉ via [[Relational.exactQuantiles]]'s
-    * distributed rank, no per-group single-reducer sort, no
-    * interpolation drift), so the result is a value from the data and
+    * of |x − median(x)|. Both medians are exact rank-⌈n/2⌉ values, so
+    * the result is a value from the data (no interpolation drift) and
     * bit-identical across engines; the deviation |x − med| is one IEEE
-    * subtraction of identical doubles. Two rank passes over the group
-    * + a broadcast of the per-group medians (group cardinality is
-    * small by construction — it bounds GlobalRank's offsets map).
+    * subtraction of identical doubles.
     *
-    * `base` feeds both rank passes and the dev join, so the §4
-    * multi-consumer rule nominates a localCheckpoint cut — but the
-    * cut was MEASURED SLOWER here (r15: 1.7→2.9 s floor at sf0.1,
-    * fresh-JVM 3-rep ProbeOne): the recomputed subtree is a 2-column
-    * parquet scan, cheaper than materializing and re-reading 600k
-    * checkpoint rows. The residual cost of q_mad is the two exact
-    * rank selections themselves (GlobalRank range exchanges by
-    * construction — parallel, scale-safe); the one-pass approximate
-    * path is q_approx_quantile (GK). */
+    * Plan shape: `l_quantity` is an integer-valued measure (≤ ~50
+    * distinct per group; the deviations then have ≤ ~100), so both
+    * medians go through [[frequencyQuantile]] — two histogram-sized
+    * hash aggregations and a broadcast of the one-row-per-group
+    * medians, no range exchange, no data-sized sort. That replaced the
+    * two GlobalRank rank selections (r15: 2.21 s floor at sf0.1,
+    * documented-inherent THEN — inherent only while the plan sorted
+    * rows instead of counting values); the general-cardinality path
+    * (q_quantile over extendedprice) still uses the distributed rank,
+    * and frequencyQuantile fails fast past its distinct-values guard
+    * rather than degrade. The one-pass approximate path is
+    * q_approx_quantile (GK). */
   def madAgg(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.lineitem(s, dir)
       .select(col("l_linestatus"), col("l_quantity").as("value"))
-    // the rank selection leaves exactly one row per group; the
-    // aggregate is an identity on that but makes the broadcast
-    // PROVABLY bounded (one row per group) in the physical plan
-    val med = Relational.exactQuantiles(base, Seq("l_linestatus"), "value", Seq(0.5))
-      .groupBy(col("l_linestatus")).agg(min(col("value")).as("med"))
+    val med = frequencyQuantile(base, Seq("l_linestatus"), "value", 0.5)
+      .withColumnRenamed("value", "med")
     val dev = base.join(broadcast(med), Seq("l_linestatus"))
       .select(col("l_linestatus"), abs(col("value") - col("med")).as("dev"))
-    Relational.exactQuantiles(dev, Seq("l_linestatus"), "dev", Seq(0.5))
-      .select(col("l_linestatus"), col("value").as("mad"))
+    frequencyQuantile(dev, Seq("l_linestatus"), "dev", 0.5)
+      .withColumnRenamed("dev", "mad")
       .join(broadcast(med), Seq("l_linestatus"))
       .select(col("l_linestatus"), col("med").as("median"), col("mad"))
   }

@@ -307,6 +307,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("frequencyQuantile == exactQuantiles on bounded-cardinality data; guard fires past it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 5000).map(i =>
+      (s"g${i % 3}", rnd.nextInt(40).toDouble)).toDF("g", "v")
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val freq = Analytics.frequencyQuantile(df, Seq("g"), "v", p)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val rank = graft.operators.Relational
+        .exactQuantiles(df, Seq("g"), "v", Seq(p), nParts = 4)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+      assert(freq == rank, s"p=$p: $freq vs $rank")
+    }
+    // past the distinct-values guard: fail fast, not degrade
+    val wide = (1 to 300).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val err = intercept[Exception] {
+      Analytics.frequencyQuantile(wide, Seq("g"), "v", 0.5, maxDistinct = 100L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("distinct values")), msgs(err).mkString(";"))
+  }
+
   test("cdcDiff: every change class appears and classifications are consistent") {
     val rows = graft.operators.Scd2.cdcDiff(spark, sf).collect()
     val byType = rows.groupBy(_.getString(1))
