@@ -46,6 +46,11 @@ object GraftFunctions {
     "word_shingle_hashes" -> { args =>
       WordShingleHashes(args(0), intArg(args(1), "n"))
     },
+    // 128-bit gram identity: array<struct<h1,h2>> per text — the
+    // pair form for gram-keyed joins at corpus scale (E70)
+    "word_shingle_hash_pairs" -> { args =>
+      WordShingleHashPairs(args(0), intArg(args(1), "n"))
+    },
     // transposition-invariant digit-multiset blocking key (E76)
     "digit_multiset_key" -> { args => DigitMultisetKey(args.head) },
     // content-defined chunking boundaries+hashes (E74)

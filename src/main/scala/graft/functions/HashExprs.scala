@@ -45,6 +45,15 @@ object HashExprs {
     * `array_join(array_sort(split(digits, '')), '')`. */
   def digitMultisetKey(text: Column): Column =
     VectorExprs.col(DigitMultisetKey(VectorExprs.expr(text)))
+
+  /** Distinct word n-gram 128-BIT hash pairs straight from the text's
+    * UTF-8 bytes: array<struct<h1,h2>> where h1 == xxhash64(gram) and
+    * h2 is an independent seed's xxhash64 over the same byte range —
+    * the gram identity for operators that join on grams at corpus
+    * scale, where a single 64-bit key would birthday-collide
+    * (~10¹² distinct grams ⇒ ≈3·10⁴ expected 64-bit collisions). */
+  def wordShingleHashPairs(text: Column, n: Int): Column =
+    VectorExprs.col(WordShingleHashPairs(VectorExprs.expr(text), n))
 }
 
 /** Transposition-invariant blocking key (E76 record linkage): one long
@@ -190,6 +199,109 @@ object WordShingleHashes {
     }
     UnsafeArrayData.fromPrimitiveArray(
       if (outN == windows) out else java.util.Arrays.copyOf(out, outN))
+  }
+}
+
+/** The 128-bit sibling of [[WordShingleHashes]]: per window, TWO
+  * xxhash64 values over the same byte range — h1 with Spark's seed 42
+  * (== `xxhash64(gram_string)` exactly) and h2 with an independent
+  * seed — emitted as array<struct<h1:long, h2:long>>, deduplicated by
+  * PAIR in first-occurrence order. Joining grams on the pair keeps
+  * gram identity collision-free at corpus scale where one 64-bit key
+  * is not (see [[HashExprs.wordShingleHashPairs]]); the bytes are
+  * scanned once and hashed twice, still with zero gram-string
+  * allocation. Fewer than n tokens falls back to the whole text,
+  * mirroring [[WordShingleHashes]]. */
+case class WordShingleHashPairs(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = WordShingleHashPairs.OutType
+  override def prettyName: String = "word_shingle_hash_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hash_pairs expects n >= 1, got $n")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hash_pairs expects STRING, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashPairs.hashPairs(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingleHashPairs.hashPairs($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashPairs {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val OutType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  private final val Seed1 = 42L // Spark's xxhash64 default — h1 == xxhash64(gram)
+  private final val Seed2 = 0x9E3779B97F4A7C15L // independent second seed
+
+  def hashPairs(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    var tokens = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) tokens += 1
+      i += 1
+    }
+    if (tokens < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.sql.catalyst.InternalRow(
+          XXH64.hashUnsafeBytes(base, off, len, Seed1),
+          XXH64.hashUnsafeBytes(base, off, len, Seed2))))
+    val starts = new Array[Int](tokens)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    val windows = tokens - n + 1
+    val out = new Array[Any](windows)
+    // open-address set keyed on h1, verified on h2 — dedup by PAIR
+    var cap = java.lang.Integer.highestOneBit(math.max(4, windows * 2) - 1) << 1
+    if (cap < 4) cap = 4
+    val slots1 = new Array[Long](cap)
+    val slots2 = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var outN = 0
+    var w = 0
+    while (w < windows) {
+      val a = starts(w)
+      val b = if (w + n < tokens) starts(w + n) - 1 else len
+      val h1 = XXH64.hashUnsafeBytes(base, off + a, b - a, Seed1)
+      val h2 = XXH64.hashUnsafeBytes(base, off + a, b - a, Seed2)
+      var slot = (h1 ^ (h1 >>> 33)).toInt & (cap - 1)
+      var dup = false
+      while (used(slot) && !dup) {
+        if (slots1(slot) == h1 && slots2(slot) == h2) dup = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (!dup) {
+        used(slot) = true; slots1(slot) = h1; slots2(slot) = h2
+        out(outN) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+        outN += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (outN == windows) out else out.take(outN))
   }
 }
 

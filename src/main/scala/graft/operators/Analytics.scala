@@ -1135,32 +1135,36 @@ object Analytics {
 
   // --------------------------------------------------------------- D72
   /** Weighted median per group: the smallest value whose cumulative
-    * weight reaches half the group total. Weights are integral
+    * weight reaches half the group total — identical to the lower
+    * median of the weight-expanded multiset. Weights are integral
     * (l_quantity is whole units), so the entire selection runs in exact
     * BIGINT arithmetic — no float accumulation order to diverge on.
     *
-    * Scale shape: pre-aggregating to one row per (group, value) BEFORE
-    * the window bounds the sorted window input by the value domain, not
-    * the row count — at 100 TB the window sees |groups|·|distinct
-    * values| rows, with partial map-side combine on the way in. */
-  /** Generic weighted-median core (see [[weightedMedian]] for the
-    * scale notes): smallest value whose doubled cumulative weight
-    * reaches the group total — identical to the lower median of the
-    * weight-expanded multiset, in exact integer arithmetic. */
+    * Scale shape: a WEIGHTED distributed prefix scan — [[graft.plans
+    * .GlobalRank]] with the weight as the running-sum rider, the new
+    * group sum-total output (`totCol`), and a `rankFilterOn` rider
+    * selecting exactly the crossing row `2·cw ≥ tw ∧ 2·(cw−w) < tw`
+    * inside the emit loop. One range exchange on (group, value)
+    * spreads the sort over ALL partitions (the previous per-(group,
+    * value) window collapsed to |groups| reducer partitions — a
+    * 3-partition data-sized sort here), the per-partition weight
+    * totals merge on the driver in O(#groups + #partitions), and only
+    * the |groups| crossing rows are ever projected. Correctness of the
+    * row-level crossing under value ties: the first row r with
+    * 2·cum(r) ≥ tw has the median value v* because cum(r) ≤ F(v*)
+    * (all of v*'s tie run is ≤ v*) and every v < v* has
+    * 2·F(v) = 2·cum(end of v's run) < tw by r's minimality. */
   def weightedMedianOf(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byValue = df.groupBy(col(groupCol), col(valueCol))
-      .agg(sum(col(weightCol).cast("long")).as("w"))
-    val win = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-    val cum = byValue
-      .withColumn("cw", sum(col("w")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("tw", sum(col("w")).over(
-        win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    cum.filter(col("cw") * 2 >= col("tw"))
-      .groupBy(col(groupCol))
-      .agg(min(col(valueCol)).as("weighted_median"),
-        min(col("tw")).as("total_weight"))
+    val base = df.select(col(groupCol), col(valueCol),
+      col(weightCol).cast("long").as("__w"))
+    graft.plans.GlobalRank.withGlobalRank(base, Seq(groupCol), Seq(valueCol),
+      rankCol = "__rn", countCol = "__n",
+      sumCol = Some("__w"), runCol = "__cw", totCol = Some("__tw"),
+      rankFilterOn = Some(d =>
+        d("__cw") * 2 >= d("__tw") && (d("__cw") - d("__w")) * 2 < d("__tw")))
+      .select(col(groupCol), col(valueCol).as("weighted_median"),
+        col("__tw").as("total_weight"))
   }
 
   def weightedMedian(s: SparkSession, dir: String): DataFrame =
@@ -1179,6 +1183,71 @@ object Analytics {
       |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
       |  CAST(MIN(tw) AS BIGINT) AS total_weight
       |FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- D83
+  /** Weighted quantile BRACKETS (p25/p50/p75) per group in ONE weighted
+    * prefix scan — the percentile-band report (price bands by unit
+    * volume here; latency bands by request weight in ops) that would
+    * otherwise run one selection pass per p. The weighted p-quantile is
+    * the smallest value whose cumulative weight reaches p·total; all
+    * three selections ride a single [[graft.plans.GlobalRank]] pass —
+    * the rider keeps any row crossing ANY of the three thresholds
+    * (`den·cw ≥ num·tw ∧ den·(cw−w) < num·tw`, exact BIGINT arithmetic
+    * — no p·tw float rounding), so at most 3·|groups| rows are ever
+    * projected out of the emit loop. One range exchange on (group,
+    * value) spreads the sort across all partitions; a single crossing
+    * row can carry several p's (a heavy value straddling p25 AND p50),
+    * so the tail explodes the three labels and keeps the satisfied
+    * ones — a constant-width projection over a 3·|groups|-row frame. */
+  /** Generic core: each p = num/den (exact rationals, labelled `lbl`)
+    * selects the smallest value whose cumulative weight reaches
+    * p·total — all brackets in ONE weighted prefix scan. */
+  def weightedQuantileBracketsOf(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      ps: Seq[(Long, Long, String)]): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol),
+      col(weightCol).cast("long").as("__w"))
+    val crossing = ps.map { case (num, den, _) => (cw: Column, w: Column, tw: Column) =>
+      cw * den >= tw * num && (cw - w) * den < tw * num
+    }
+    val ranked = graft.plans.GlobalRank.withGlobalRank(base,
+      Seq(groupCol), Seq(valueCol),
+      rankCol = "__rn", countCol = "__n",
+      sumCol = Some("__w"), runCol = "__cw", totCol = Some("__tw"),
+      rankFilterOn = Some(d => crossing.map(_(d("__cw"), d("__w"), d("__tw")))
+        .reduce(_ || _)))
+    ranked
+      .select(col(groupCol), explode(array(ps.map { case (num, den, lbl) =>
+        struct(lit(lbl).as("p"),
+          when(col("__cw") * den >= col("__tw") * num &&
+            (col("__cw") - col("__w")) * den < col("__tw") * num,
+            col(valueCol)).as("value"))
+      }: _*)).as("pv"))
+      .filter(col("pv.value").isNotNull)
+      .select(col(groupCol), col("pv.p").as("p"),
+        col("pv.value").as("value"))
+  }
+
+  def weightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    weightedQuantileBracketsOf(Tables.lineitem(s, dir),
+      "l_linestatus", "l_extendedprice", "l_quantity",
+      Seq((1L, 4L, "0.25"), (1L, 2L, "0.50"), (3L, 4L, "0.75")))
+
+  val weightedQuantilesSql: String =
+    """WITH bv AS (SELECT l_linestatus, l_extendedprice,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_linestatus, l_extendedprice,
+      |    SUM(w) OVER (PARTITION BY l_linestatus ORDER BY l_extendedprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY l_linestatus) AS tw
+      |  FROM bv),
+      |q AS (SELECT '0.25' AS p, 1 AS num, 4 AS den
+      |      UNION ALL SELECT '0.50', 1, 2
+      |      UNION ALL SELECT '0.75', 3, 4)
+      |SELECT l_linestatus, p, MIN(l_extendedprice) AS value
+      |FROM c JOIN q ON cw * den >= tw * num
+      |GROUP BY l_linestatus, p""".stripMargin
 
   // --------------------------------------------------------------- D73
   /** Event de-bounce (run-length collapse): consecutive events of the

@@ -966,16 +966,22 @@ object CorpusAnalytics {
   def docPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val n = 5
+    // 128-bit gram identities straight from the text bytes (no gram
+    // strings, no per-doc distinct exchange: the kernel dedups pairs
+    // per document, so (doc_id, h1, h2) is distinct by construction).
+    // The oracle builds gram STRINGS — only doc_id/deg/pagerank are
+    // compared, and the <n-token whole-text fallback rows can never
+    // produce an edge the string form would not (df of a whole-text
+    // key ≥ 2 requires the same <n-token text twice, exactly when the
+    // string gram's ELSE arm collides too... the string form has NO
+    // else arm here: docs with <n tokens contribute no grams. Filter
+    // them identically).
     val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(toks) >= $n
-           |  THEN transform(sequence(0, size(toks) - $n),
-           |    i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))
-           |  ELSE array() END""".stripMargin)).as("gram"))
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .filter(size(split(col("lt"), " ")) >= n)
       .select(col("doc_id"),
-        xxhash64(col("gram")).as("h1"), xxhash64(lit(7), col("gram")).as("h2"))
-      .distinct()
+        explode(graft.functions.HashExprs.wordShingleHashPairs(col("lt"), n)).as("g"))
+      .select(col("doc_id"), col("g.h1").as("h1"), col("g.h2").as("h2"))
     val rare = grams.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 10)

@@ -49,13 +49,14 @@ import org.apache.spark.sql.types.LongType
 case class GlobalRankPlan(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
                           rnAttr: Attribute, nAttr: Attribute,
                           sumExpr: Option[Expression], sumAttr: Option[Attribute],
+                          totAttr: Option[Attribute],
                           maxGroups: Int,
                           rankFilter: Option[Expression],
                           child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] =
-    child.output ++ (Seq(rnAttr, nAttr) ++ sumAttr)
+    child.output ++ (Seq(rnAttr, nAttr) ++ sumAttr ++ totAttr)
   override def producedAttributes: AttributeSet =
-    AttributeSet(Seq(rnAttr, nAttr) ++ sumAttr)
+    AttributeSet(Seq(rnAttr, nAttr) ++ sumAttr ++ totAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRankPlan =
     copy(child = newChild)
 }
@@ -65,27 +66,30 @@ object GlobalRankPlan {
              rankCol: String, countCol: String, maxGroups: Int,
              child: LogicalPlan,
              sumExpr: Option[Expression] = None,
-             runCol: String = "run_sum"): GlobalRankPlan =
+             runCol: String = "run_sum",
+             totCol: Option[String] = None): GlobalRankPlan =
     GlobalRankPlan(groupExprs, orderExprs,
       AttributeReference(rankCol, LongType, nullable = false)(),
       AttributeReference(countCol, LongType, nullable = false)(),
       sumExpr,
       sumExpr.map(_ => AttributeReference(runCol, LongType, nullable = false)()),
+      totCol.map(n => AttributeReference(n, LongType, nullable = false)()),
       maxGroups, rankFilter = None, child)
 }
 
 case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expression],
                           rnAttr: Attribute, nAttr: Attribute,
                           sumExpr: Option[Expression], sumAttr: Option[Attribute],
+                          totAttr: Option[Attribute],
                           maxGroups: Int,
                           rankFilter: Option[Expression],
                           child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
-    child.output ++ (Seq(rnAttr, nAttr) ++ sumAttr)
+    child.output ++ (Seq(rnAttr, nAttr) ++ sumAttr ++ totAttr)
 
   override def producedAttributes: AttributeSet =
-    AttributeSet(Seq(rnAttr, nAttr) ++ sumAttr)
+    AttributeSet(Seq(rnAttr, nAttr) ++ sumAttr ++ totAttr)
 
   private def sortOrders: Seq[SortOrder] =
     (groupExprs ++ orderExprs).map(SortOrder(_, Ascending))
@@ -174,7 +178,10 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
       off
     }
     val bcOff = sc.broadcast(offsetsPerPid)
-    val bcTot = sc.broadcast(running.map { case (k, v) => k -> v(0) }.toMap)
+    // (row-count total, sum total) per group — the sum total feeds the
+    // optional totAttr (e.g. a group's total weight for weighted
+    // quantile selection riders)
+    val bcTot = sc.broadcast(running.map { case (k, v) => k -> ((v(0), v(1))) }.toMap)
 
     // Pass 2: planned per-partition sort, then one sequential pass —
     // broadcast lookups happen only at group-run boundaries. Output
@@ -198,6 +205,8 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
       else PlanBridge.rddScan(childOutput, childRDD,
         "GlobalRankChild", child.outputPartitioning)
     val withSum = sumExpr.isDefined
+    val withTot = totAttr.isDefined
+    val totIdx = 2 + (if (withSum) 1 else 0)
     val rankFilterLocal = rankFilter
     SortExec(sortOrders, global = false, child = sortChild).execute()
       .mapPartitionsWithIndex({ (pid, it) =>
@@ -218,7 +227,8 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
         }
         val myOff = bcOff.value(pid)
         val totals = bcTot.value
-        val extra = new GenericInternalRow(if (withSum) 3 else 2)
+        val extra = new GenericInternalRow(
+          2 + (if (withSum) 1 else 0) + (if (withTot) 1 else 0))
         val joined = new JoinedRow
         var curKey: UnsafeRow = null
         var off = 0L
@@ -232,7 +242,11 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
             curKey = k.copy()
             val o = myOff.getOrElse(curKey, Array(0L, 0L))
             off = o(0); sumOff = o(1)
-            total = totals.getOrElse(curKey, 0L)
+            val t = totals.getOrElse(curKey, (0L, 0L))
+            total = t._1
+            // the group's sum total is constant per group: set once per
+            // group-run boundary, reused for every row in the run
+            if (withTot) extra.update(totIdx, t._2)
             local = 0L; localSum = 0L
           }
           // rank/sum state advances for EVERY row, filtered or not
@@ -256,8 +270,8 @@ case class GlobalRankExec(groupExprs: Seq[Expression], orderExprs: Seq[Expressio
 
 object GlobalRankStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRankPlan(g, o, rn, n, se, sa, cap, rf, child) =>
-      GlobalRankExec(g, o, rn, n, se, sa, cap, rf, planLater(child)) :: Nil
+    case GlobalRankPlan(g, o, rn, n, se, sa, ta, cap, rf, child) =>
+      GlobalRankExec(g, o, rn, n, se, sa, ta, cap, rf, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -284,7 +298,9 @@ object GlobalRank {
                      maxGroups: Int = DefaultMaxGroups,
                      sumCol: Option[String] = None,
                      runCol: String = "run_sum",
-                     rankFilter: Option[(Column, Column) => Column] = None): DataFrame = {
+                     rankFilter: Option[(Column, Column) => Column] = None,
+                     totCol: Option[String] = None,
+                     rankFilterOn: Option[DataFrame => Column] = None): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GlobalRankStrategy)) {
       spark.experimental.extraStrategies =
@@ -296,12 +312,20 @@ object GlobalRank {
     // LocalRank tail dropped its helpers, but this operator's output
     // is child.output ++ (rn, n[, run_sum]), and a duplicate name only
     // explodes later as an ambiguous-reference error far from the cause
-    (Seq(rankCol, countCol) ++ sumCol.map(_ => runCol)).foreach { n =>
+    if (totCol.isDefined && sumCol.isEmpty)
+      throw new IllegalArgumentException(
+        "totCol (the group's sum total) requires sumCol — there is no " +
+        "sum to total without a running-sum column")
+    if (rankFilter.isDefined && rankFilterOn.isDefined)
+      throw new IllegalArgumentException(
+        "pass either rankFilter (a (rank, count) predicate) or " +
+        "rankFilterOn (a predicate over the full output), not both")
+    (Seq(rankCol, countCol) ++ sumCol.map(_ => runCol) ++ totCol).foreach { n =>
       if (plan.output.exists(a => resolver(a.name, n)))
         throw new IllegalArgumentException(
-          s"rank/count/run column '$n' collides with an input column " +
+          s"rank/count/run/tot column '$n' collides with an input column " +
           s"(${plan.output.map(_.name).mkString(", ")}); pass a " +
-          "different rankCol/countCol/runCol")
+          "different rankCol/countCol/runCol/totCol")
     }
     def attr(n: String): Attribute = plan.output
       .find(a => resolver(a.name, n))
@@ -315,8 +339,13 @@ object GlobalRank {
       a: Expression
     }
     val plan0 = GlobalRankPlan.create(groupCols.map(attr), sortCols.map(attr),
-      rankCol, countCol, maxGroups, plan, sumExpr, runCol)
-    rankFilter match {
+      rankCol, countCol, maxGroups, plan, sumExpr, runCol, totCol)
+    // rankFilterOn generalizes rankFilter: the predicate may reference
+    // ANY output column (input columns, rn/n, run_sum, the sum total) —
+    // the weighted-quantile selection needs (run_sum, tot, row weight)
+    val mkPred: Option[DataFrame => Column] = rankFilterOn.orElse(
+      rankFilter.map(f => (d: DataFrame) => f(d(rankCol), d(countCol))))
+    mkPred match {
       case None => PlanBridge.ofRows(spark, plan0)
       case Some(f) =>
         // resolve the rider predicate THROUGH the analyzer (Column DSL
@@ -325,7 +354,7 @@ object GlobalRank {
         // expression — which references plan0's own rn/n attribute ids —
         // and embed it in the node for the emit-loop Predicate
         val df0 = PlanBridge.ofRows(spark, plan0)
-        val predDf = df0.select(f(df0(rankCol), df0(countCol)).as("__rank_pred"))
+        val predDf = df0.select(f(df0).as("__rank_pred"))
         val predExpr = PlanBridge.analyzed(predDf) match {
           case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
             p.projectList.head match {

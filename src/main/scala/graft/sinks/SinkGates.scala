@@ -614,4 +614,57 @@ object SinkGates {
        |    AS cust_checksum_latest,
        |  TRUE AS atomic_consistent
        |FROM customer""".stripMargin
+
+  // ------------------------------------------------------------ C42
+  /** Runtime Bloom-filter semi-join reduction (Catalyst's
+    * InjectRuntimeFilter): a shuffled fact⋈selective-dim join must
+    * pre-filter the FACT side with a bloom filter built from the dim's
+    * join keys — at 100 TB this is the difference between shuffling
+    * every fact row and shuffling only candidate rows (bloom-rejected
+    * rows never enter the exchange; with ~2% of orders URGENT-filtered,
+    * ~98% of lineitem rows drop BEFORE the shuffle). The production
+    * defaults gate injection on a ≥10 GB application-side scan —
+    * correct at cluster scale, never true at sf0.1 — so the gate
+    * scopes the thresholds down (and disables broadcast so the join
+    * genuinely shuffles), asserts `might_contain` inside the executed
+    * fact-side plan, and pins the count equal to both a bloom-DISABLED
+    * run and the oracle: the filter may only REDUCE the shuffle, never
+    * change the result. */
+  def bloomJoinGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def joined = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      scoped.foreach { case (k, v) => s.conf.set(k, v) }
+      val q = joined
+      val n = q.collect().head.getLong(0)
+      val plan = q.queryExecution.executedPlan.toString
+      val bloomUsed = plan.toLowerCase.contains("might_contain")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val nPlain = joined.collect().head.getLong(0)
+      Seq(("bloom_join", n, bloomUsed && n == nPlain))
+        .toDF("metric", "n_rows", "bloom_reduced")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  val bloomJoinGateSql: String =
+    """SELECT 'bloom_join' AS metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS bloom_reduced
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin
 }

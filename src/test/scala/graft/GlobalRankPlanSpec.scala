@@ -142,6 +142,52 @@ class GlobalRankPlanSpec extends SparkSpec {
       s"rider + prefix scan: last row must carry the full total, got ${last.toSeq}")
   }
 
+  test("totCol + rankFilterOn: weighted-median crossing row selected exactly") {
+    // the weighted prefix scan: tot is the group's sum total, and the
+    // generalized rider may reference input columns and the running sum
+    val base = Tables.lineitem(spark, sf)
+      .select(col("l_linestatus"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("w"))
+    val got = graft.plans.GlobalRank.withGlobalRank(base,
+        Seq("l_linestatus"), Seq("l_extendedprice"),
+        sumCol = Some("w"), runCol = "cw", totCol = Some("tw"),
+        rankFilterOn = Some(d =>
+          d("cw") * 2 >= d("tw") && (d("cw") - d("w")) * 2 < d("tw")))
+      .select(col("l_linestatus"), col("l_extendedprice"), col("tw"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // reference: per-(group, value) cumulative weights via windows
+    import org.apache.spark.sql.expressions.Window
+    val byValue = base.groupBy(col("l_linestatus"), col("l_extendedprice"))
+      .agg(sum(col("w")).as("vw"))
+    val wo = Window.partitionBy(col("l_linestatus")).orderBy(col("l_extendedprice"))
+    val wg = Window.partitionBy(col("l_linestatus"))
+    val expect = byValue
+      .withColumn("cw", sum(col("vw")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tw", sum(col("vw")).over(wg))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_linestatus"))
+      .agg(min(col("l_extendedprice")).as("v"), min(col("tw")).as("tw"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // exactly one crossing row per group
+    assert(got.map(_._1).size == got.size)
+  }
+
+  test("totCol without sumCol, and rankFilter+rankFilterOn together, are rejected") {
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.GlobalRank.withGlobalRank(base, Nil, Seq("doc_id"),
+        totCol = Some("tw"))
+    }
+    assert(e1.getMessage.contains("requires sumCol"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.GlobalRank.withGlobalRank(base, Nil, Seq("doc_id"),
+        rankFilter = Some((rn, _) => rn === 1L),
+        rankFilterOn = Some(d => d("rn") === 1L))
+    }
+    assert(e2.getMessage.contains("not both"), e2.getMessage)
+  }
+
   test("ungrouped ranks are a global total order (corpus-shuffle shape)") {
     val ranked = Relational.globalRank(
       Tables.documents(spark, sf).select(col("doc_id")),

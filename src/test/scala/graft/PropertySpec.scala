@@ -69,6 +69,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weightedQuantileBrackets equal expanded-multiset lower quantiles at every p") {
+    val gen: Gen[List[(String, Int, Int)]] = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-50, 50)
+        w <- Gen.choose(1, 9)
+      } yield (g, v, w))
+    } yield rows
+    val ps = Seq((1L, 10L, "0.10"), (1L, 4L, "0.25"), (1L, 2L, "0.50"),
+      (3L, 4L, "0.75"), (9L, 10L, "0.90"), (1L, 1L, "1.00"))
+    samples(gen, 10).foreach { rows =>
+      val df = rows.toDF("g", "v", "w")
+      val got = operators.Analytics
+        .weightedQuantileBracketsOf(df, "g", "v", "w", ps)
+        .as[(String, String, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val exp = (for {
+        (g, rs) <- rows.groupBy(_._1)
+        expanded = rs.flatMap { case (_, v, w) => Seq.fill(w)(v) }.sorted
+        bigW = expanded.length.toLong
+        (num, den, lbl) <- ps
+      } yield {
+        // smallest v with cum >= (num/den)·W == expanded value at
+        // 1-based index ceil(num·W/den) (cum weights are integers)
+        val idx = ((num * bigW + den - 1) / den).toInt
+        (g, lbl) -> expanded(idx - 1)
+      }).toMap
+      assert(got == exp, s"on ${rows.take(8)}…")
+    }
+  }
+
   test("cdcSummarize: random interleavings split-merge to the whole-slice summary") {
     val gen: Gen[List[(Long, Long, String, Double)]] = for {
       n <- Gen.choose(1, 150)

@@ -88,4 +88,62 @@ class WordShingleHashSpec extends SparkSpec {
       .groupBy(col("h")).count().filter(col("count") > 1).count()
     assert(dup == 0)
   }
+
+  private def pairCorners = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e"),
+      (2L, "a  b   c"),
+      (3L, "one two"),
+      (4L, ""),
+      (5L, " leading and trailing "),
+      (6L, "héllo wörld ünïcode tokens"),
+      (7L, "x x x x x x"),
+      (8L, "single")
+    ).toDF("doc_id", "text")
+  }
+
+  test("pair form: h1 side equals the single-hash expression exactly") {
+    for (n <- Seq(2, 3, 5)) {
+      val viaPairs = pairCorners
+        .select(col("doc_id"),
+          explode(HashExprs.wordShingleHashPairs(col("text"), n)).as("g"))
+        .select(col("doc_id"), col("g.h1").as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaPairs == viaBytes(pairCorners, n), s"h1 mismatch at n=$n")
+    }
+  }
+
+  test("pair form: dedup is by PAIR, h2 is constant per gram and differs from h1") {
+    import spark.implicits._
+    // duplicate grams across the doc collapse to one pair each
+    val pairs = Seq((1L, "x y x y x y x y")).toDF("doc_id", "text")
+      .select(explode(HashExprs.wordShingleHashPairs(col("text"), 2)).as("g"))
+      .select(col("g.h1"), col("g.h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size, "duplicate pairs emitted")
+    // same-gram h2 must agree ACROSS documents (it is a pure gram hash)
+    val cross = Seq((1L, "p q r"), (2L, "p q r s")).toDF("doc_id", "text")
+      .select(explode(HashExprs.wordShingleHashPairs(col("text"), 3)).as("g"))
+      .select(col("g.h1"), col("g.h2")).distinct()
+      .groupBy(col("h1")).agg(countDistinct(col("h2")).as("nh2"))
+      .filter(col("nh2") > 1).count()
+    assert(cross == 0, "h2 not a function of the gram bytes")
+    assert(pairs.forall { case (h1, h2) => h1 != h2 }, "h1 == h2: seeds not independent")
+  }
+
+  test("pair form: n < 1 rejected at analysis; SQL registration refuses too") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      df.select(HashExprs.wordShingleHashPairs(col("text"), 0)).collect()
+    }
+    assert(err.getMessage.contains("n >= 1"), err.getMessage)
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("wshp_guard")
+    val sqlErr = intercept[Exception] {
+      spark.sql("SELECT word_shingle_hash_pairs(text, -2) FROM wshp_guard").collect()
+    }
+    assert(sqlErr.getMessage.contains("n >= 1"), sqlErr.getMessage)
+  }
 }
