@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.RollingHash
@@ -1788,4 +1788,164 @@ object TrainingQueries {
       |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |WHERE j >= 0.8""".stripMargin
+
+  // ------------------------------------------------------------- E84
+  /** Distributed LOGISTIC-regression training via iteratively
+    * reweighted least squares (the quality-classifier calibration step
+    * every curation pipeline runs — fastText/CCNet-style filtering —
+    * and a genuinely different technique from D69's closed-form OLS:
+    * Newton's method, where EACH iteration is one distributed pass):
+    * predict lang='en' from two length features (token count, mean
+    * chars/token), two unrolled Newton steps from β = 0.
+    *
+    * Per step: one hash aggregate with map-side partials reduces the
+    * corpus to the 6 entries of the symmetric 3×3 normal matrix X'WX
+    * plus the 3-entry gradient X'(y−μ) — every per-row contribution
+    * (w·xᵢxⱼ, (y−μ)·xᵢ) pinned DECIMAL(28,12) BEFORE the
+    * order-sensitive sum (the §4 discipline: exp()'s engine-libm ULP
+    * wobble is absorbed by the pin + the final round(6), exactly the
+    * sourceKl/doc_pagerank precedent), then the Newton solve runs on
+    * the 9 aggregated scalars as one explicit cofactor inverse — a
+    * constant-width expression over a ONE-ROW frame, broadcast back
+    * for the next pass. Step 1 (β=0 ⇒ μ=1/2, W=I/4) needs no exp at
+    * all: its normal matrix is X'X/4 on exact sums. At 100 TB each
+    * step shuffles 9 decimals per partition, never a row; k steps = k
+    * corpus passes. DECIMAL(28,12) bounds Σx1² at ~10¹⁶ — beyond
+    * ~10¹² rows of 100-token docs, rescale features first. */
+  def logisticQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    def pin(c: Column): Column = c.cast(dec)
+    val d = Tables.documents(s, dir).select(
+      when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"),
+      size(split(col("text"), " ")).cast("double").as("x1"),
+      (col("n_chars").cast("double") /
+        size(split(col("text"), " ")).cast("double")).as("x2"))
+
+    // symmetric 3x3 [[a,b,c],[b,dd,e],[c,e,f]] solved against
+    // (r0,r1,r2) by explicit cofactors — identical expression tree on
+    // both engines, so identical IEEE ops on identical operands
+    def solve3(a: Column, b: Column, c: Column, dd: Column, e: Column,
+               f: Column, r0: Column, r1: Column, r2: Column)
+        : (Column, Column, Column) = {
+      val det = a * (dd * f - e * e) - b * (b * f - e * c) +
+        c * (b * e - dd * c)
+      val b0 = ((dd * f - e * e) * r0 + (c * e - b * f) * r1 +
+        (b * e - dd * c) * r2) / det
+      val b1 = ((c * e - b * f) * r0 + (a * f - c * c) * r1 +
+        (c * b - a * e) * r2) / det
+      val b2 = ((b * e - dd * c) * r0 + (c * b - a * e) * r1 +
+        (a * dd - b * b) * r2) / det
+      (b0, b1, b2)
+    }
+    def dbl(n: String): Column = col(n).cast("double")
+
+    // step 1 from beta = 0: mu = 1/2, W = I/4 — no exp anywhere
+    val m1 = d.agg(
+      count(lit(1)).as("n"),
+      sum(pin(col("x1"))).as("sx1"), sum(pin(col("x2"))).as("sx2"),
+      sum(pin(col("x1") * col("x1"))).as("sx11"),
+      sum(pin(col("x1") * col("x2"))).as("sx12"),
+      sum(pin(col("x2") * col("x2"))).as("sx22"),
+      sum(pin(col("y") - 0.5d)).as("r0"),
+      sum(pin(col("x1") * (col("y") - 0.5d))).as("r1"),
+      sum(pin(col("x2") * (col("y") - 0.5d))).as("r2"))
+    val (b10, b11, b12) = solve3(
+      col("n").cast("double") / 4.0d, dbl("sx1") / 4.0d, dbl("sx2") / 4.0d,
+      dbl("sx11") / 4.0d, dbl("sx12") / 4.0d, dbl("sx22") / 4.0d,
+      dbl("r0"), dbl("r1"), dbl("r2"))
+    val beta1 = m1.select(col("n"),
+      b10.as("b0"), b11.as("b1"), b12.as("b2"))
+
+    // step 2: one reweighted pass at beta1 (exp pinned before the sum)
+    val eta = col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
+    val mu = lit(1.0d) / (lit(1.0d) + exp(-eta))
+    val scored = d.crossJoin(broadcast(beta1))
+      .select(col("y"), col("x1"), col("x2"),
+        col("b0"), col("b1"), col("b2"), mu.as("mu"))
+    val w = col("mu") * (lit(1.0d) - col("mu"))
+    val g = col("y") - col("mu")
+    val m2 = scored.groupBy(col("b0"), col("b1"), col("b2")).agg(
+      count(lit(1)).as("n"),
+      sum(pin(w)).as("sw"),
+      sum(pin(w * col("x1"))).as("swx1"), sum(pin(w * col("x2"))).as("swx2"),
+      sum(pin(w * col("x1") * col("x1"))).as("swx11"),
+      sum(pin(w * col("x1") * col("x2"))).as("swx12"),
+      sum(pin(w * col("x2") * col("x2"))).as("swx22"),
+      sum(pin(g)).as("g0"),
+      sum(pin(g * col("x1"))).as("g1"), sum(pin(g * col("x2"))).as("g2"))
+    val (d0, d1, d2) = solve3(
+      dbl("sw"), dbl("swx1"), dbl("swx2"),
+      dbl("swx11"), dbl("swx12"), dbl("swx22"),
+      dbl("g0"), dbl("g1"), dbl("g2"))
+    val beta2 = m2.select(col("n"),
+      (col("b0") + d0).as("b0"), (col("b1") + d1).as("b1"),
+      (col("b2") + d2).as("b2"))
+
+    def out(step: Int, frame: DataFrame): DataFrame = frame.select(
+      lit(step.toLong).as("step"), col("n"),
+      round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+      round(col("b2"), 6).as("b2"))
+    out(1, beta1).unionAll(out(2, beta2))
+  }
+
+  val logisticQualitySql: String = {
+    // the shared CTE text for one cofactor solve against (r0,r1,r2)
+    def solve(a: String, b: String, c: String, dd: String, e: String,
+              f: String, r0: String, r1: String, r2: String, pre: String)
+        : (String, String, String) = {
+      val det = s"($a*($dd*$f - $e*$e) - $b*($b*$f - $e*$c) + $c*($b*$e - $dd*$c))"
+      (s"$pre((($dd*$f - $e*$e)*$r0 + ($c*$e - $b*$f)*$r1 + ($b*$e - $dd*$c)*$r2) / $det)",
+       s"$pre((($c*$e - $b*$f)*$r0 + ($a*$f - $c*$c)*$r1 + ($c*$b - $a*$e)*$r2) / $det)",
+       s"$pre((($b*$e - $dd*$c)*$r0 + ($c*$b - $a*$e)*$r1 + ($a*$dd - $b*$b)*$r2) / $det)")
+    }
+    val (b10, b11, b12) = solve("(CAST(n AS DOUBLE)/4)", "(CAST(sx1 AS DOUBLE)/4)",
+      "(CAST(sx2 AS DOUBLE)/4)", "(CAST(sx11 AS DOUBLE)/4)",
+      "(CAST(sx12 AS DOUBLE)/4)", "(CAST(sx22 AS DOUBLE)/4)",
+      "CAST(r0 AS DOUBLE)", "CAST(r1 AS DOUBLE)", "CAST(r2 AS DOUBLE)", "")
+    val (d0, d1, d2) = solve("CAST(sw AS DOUBLE)", "CAST(swx1 AS DOUBLE)",
+      "CAST(swx2 AS DOUBLE)", "CAST(swx11 AS DOUBLE)",
+      "CAST(swx12 AS DOUBLE)", "CAST(swx22 AS DOUBLE)",
+      "CAST(g0 AS DOUBLE)", "CAST(g1 AS DOUBLE)", "CAST(g2 AS DOUBLE)", "")
+    s"""WITH d AS (SELECT
+       |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+       |         ELSE CAST(0 AS DOUBLE) END AS y,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
+       |    CAST(n_chars AS DOUBLE) /
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2
+       |  FROM documents),
+       |m1 AS (SELECT COUNT(*) AS n,
+       |    SUM(CAST(x1 AS DECIMAL(28,12))) AS sx1,
+       |    SUM(CAST(x2 AS DECIMAL(28,12))) AS sx2,
+       |    SUM(CAST(x1*x1 AS DECIMAL(28,12))) AS sx11,
+       |    SUM(CAST(x1*x2 AS DECIMAL(28,12))) AS sx12,
+       |    SUM(CAST(x2*x2 AS DECIMAL(28,12))) AS sx22,
+       |    SUM(CAST(y - 0.5 AS DECIMAL(28,12))) AS r0,
+       |    SUM(CAST(x1*(y - 0.5) AS DECIMAL(28,12))) AS r1,
+       |    SUM(CAST(x2*(y - 0.5) AS DECIMAL(28,12))) AS r2
+       |  FROM d),
+       |beta1 AS (SELECT n, $b10 AS b0, $b11 AS b1, $b12 AS b2 FROM m1),
+       |sc AS (SELECT d.y, d.x1, d.x2, beta1.b0, beta1.b1, beta1.b2,
+       |    1 / (1 + exp(-(beta1.b0 + beta1.b1*d.x1 + beta1.b2*d.x2))) AS mu
+       |  FROM d, beta1),
+       |m2 AS (SELECT b0, b1, b2, COUNT(*) AS n,
+       |    SUM(CAST(mu*(1-mu) AS DECIMAL(28,12))) AS sw,
+       |    SUM(CAST(mu*(1-mu)*x1 AS DECIMAL(28,12))) AS swx1,
+       |    SUM(CAST(mu*(1-mu)*x2 AS DECIMAL(28,12))) AS swx2,
+       |    SUM(CAST(mu*(1-mu)*x1*x1 AS DECIMAL(28,12))) AS swx11,
+       |    SUM(CAST(mu*(1-mu)*x1*x2 AS DECIMAL(28,12))) AS swx12,
+       |    SUM(CAST(mu*(1-mu)*x2*x2 AS DECIMAL(28,12))) AS swx22,
+       |    SUM(CAST(y - mu AS DECIMAL(28,12))) AS g0,
+       |    SUM(CAST((y - mu)*x1 AS DECIMAL(28,12))) AS g1,
+       |    SUM(CAST((y - mu)*x2 AS DECIMAL(28,12))) AS g2
+       |  FROM sc GROUP BY b0, b1, b2)
+       |SELECT CAST(1 AS BIGINT) AS step, n,
+       |  ROUND($b10, 6) AS b0, ROUND($b11, 6) AS b1, ROUND($b12, 6) AS b2
+       |FROM m1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS step, n,
+       |  ROUND(b0 + $d0, 6) AS b0, ROUND(b1 + $d1, 6) AS b1,
+       |  ROUND(b2 + $d2, 6) AS b2
+       |FROM m2""".stripMargin
+  }
 }
