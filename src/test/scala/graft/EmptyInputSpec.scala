@@ -116,4 +116,54 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.streaming.StreamGates
       .streamLatenessHistogram(spark, emptyDir).count() == 0L)
   }
+
+  /** Round-16 broadening: beyond the pinned shapes above, SWEEP the
+    * whole pure-compute registry cohort — every operator here must
+    * plan and execute on the empty tables without throwing. Operators
+    * whose CONTRACT needs data (planted-duplicate recalls,
+    * argmax-driven loops like BPE learning, sample-trained ANN/
+    * k-means, gates that assert planted counts or write scratch) are
+    * out of scope: their data-dependence is a documented
+    * precondition, not an empty-slice hazard. */
+  private val sweepCohort = Seq(
+    "q1_agg", "q_filter_project", "q_window", "q_topk", "q_topk_per_key",
+    "q_distinct", "q_outer_join", "q_semi_join", "q_anti_join",
+    "q_cumsum", "q_moving_sum", "q_grouping_sets", "q_rollup", "q_cube",
+    "q_having", "q_mode", "q_histogram", "q_stats_agg", "q_first_last",
+    "q_lag_lead", "q_string_agg", "q_pivot", "q_unpivot", "q_cond_agg",
+    "q_set_ops", "q_set_ops_all", "q_nullsafe_join", "q_salted_join",
+    "q_big_join", "q_star_join", "q_lateral", "q_islands", "q_sessionize",
+    "q_ratio_report", "q_cume_dist", "q_range_frame", "q_time_range_frame",
+    "q_exclude_frame", "q_groups_frame", "q_interval_merge", "q_debounce",
+    "q_locf", "q_resample", "q_funnel", "q_funnel_window", "q_retention",
+    "q_transitions", "q_chi2", "q_regression", "q_skyline", "q_interpolate",
+    "q_quantile", "q_quantile_interp", "q_mad", "q_weighted_median",
+    "q_weighted_quantiles", "q_rolling_median",
+    "lang_id", "quality_score", "token_count", "entropy_score",
+    "gopher_rules", "boilerplate_score", "dedup_exact_text",
+    "doc_fingerprint", "lm_score", "zipf_fit", "heaps_fit", "corr_matrix",
+    "attribution", "decayed_counts", "repetition_ratio", "clean_text",
+    "top_terms", "bigram_counts", "oov_rate", "unicode_normalize",
+    "logistic_quality", "source_kl", "doc_pagerank", "dup_ngram_ratio")
+
+  test("registry sweep: pure compute operators survive EMPTY tables") {
+    val failures = sweepCohort.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, emptyDir).collect(); None }
+      catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} " +
+          Option(e.getMessage).getOrElse("").take(120))
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} operators crash on empty input:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("rank/quantile machinery returns ZERO rows on empty input, not a null-median row") {
+    Seq("q_weighted_median", "q_weighted_quantiles", "q_mad", "q_quantile")
+      .foreach { n =>
+        assert(SparkEntry.queries(n)(spark, emptyDir).collect().isEmpty,
+          s"$n must return no rows on empty input")
+      }
+  }
 }
