@@ -139,6 +139,13 @@ class EmptyInputSpec extends SparkSpec {
     "q_transitions", "q_chi2", "q_regression", "q_skyline", "q_interpolate",
     "q_quantile", "q_quantile_interp", "q_mad", "q_weighted_median",
     "q_weighted_quantiles", "q_rolling_median",
+    // custom-plan paths: the native as-of operator (merge-scan
+    // SparkPlan), the binned range-join rewrite, recursive calendar
+    "q_asof_join", "q_asof_native", "q_asof_nearest", "q_asof_tolerance",
+    "q_range_join", "q_range_join_binned", "q_interval_overlap",
+    "q_cross_dim", "q_recursive_cal", "q_above_cust_avg",
+    "q_period_delta", "q_hopping_window", "q_session_window",
+    "q_event_window", "q_window_distinct",
     "lang_id", "quality_score", "token_count", "entropy_score",
     "gopher_rules", "boilerplate_score", "dedup_exact_text",
     "doc_fingerprint", "lm_score", "zipf_fit", "heaps_fit", "corr_matrix",
