@@ -101,7 +101,13 @@ object Bench {
     }
     val (calibCpuStart, calibScanStart) = calibrate()
     val injectFail = sys.env.get("SPARK_GRAFT_BENCH_INJECT_FAIL")
-    val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+    // Optional comma-separated subset for local iteration (the driver
+    // never sets it). Subset runs redirect the JSON to a scratch path
+    // unless SPARK_GRAFT_BENCH_OUT is explicit, so they can't clobber
+    // the committed full-run BENCH_FULL.json.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (n, fn) =>
       if (injectFail.contains(n)) {
         val boom: (SparkSession, String) => org.apache.spark.sql.DataFrame =
           (_, _) => throw new RuntimeException("injected bench failure")
@@ -224,7 +230,8 @@ object Bench {
     // The driver keeps only a 2000-char tail of stdout, which truncated
     // every past round's headline: persist the complete JSON as a file
     // artifact too, so per-query history survives the round.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/BENCH_SUBSET.json" else "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }

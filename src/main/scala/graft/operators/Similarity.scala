@@ -103,37 +103,154 @@ object Similarity {
     vecs.select(size(col(embCol)).as("d")).filter(col("d") >= 0)
       .limit(1).collect().headOption.map(_.getInt(0))
 
-  /** Cosine near-duplicate pairs (E5). `exact=true` compares all pairs
-    * (oracle-checkable, for bounded corpora); otherwise pairs are
-    * generated within LSH buckets only — the 100 TB path. */
+  /** Cosine near-duplicate pairs (E5). `exact=true` returns the EXACT
+    * pair set via [[cosineNearDuplicatesBanded]] (band-bounded, never a
+    * cartesian); otherwise pairs are generated within LSH buckets only
+    * (probabilistic recall, cheapest at extreme scale). */
   def cosineNearDuplicates(vecs: DataFrame, threshold: Double,
                            exact: Boolean = false, nPlanes: Int = 16,
                            seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
     val base = vecs.select(col("vec_id"), col("embedding"))
+    if (exact) return cosineNearDuplicatesBanded(base, threshold, seed = seed, dim = dim)
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       .withColumn("nrm_a", norm("emb_a"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       .withColumn("nrm_b", norm("emb_b"))
     val pairs =
-      if (exact) {
-        a.join(b, col("id_a") < col("id_b"))
-      } else {
-        dim.orElse(embeddingDim(base)) match {
-          case None => // empty corpus → empty pairs, like the exact path
-            a.limit(0).join(b.limit(0), col("id_a") < col("id_b"))
-          case Some(d) =>
-            val ab = a.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_a"),
-              hyperplanes(nPlanes, d, seed)))
-            val bb = b.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_b"),
-              hyperplanes(nPlanes, d, seed)))
-            ab.join(bb, Seq("bucket")).filter(col("id_a") < col("id_b"))
-              .drop("bucket")
-        }
+      dim.orElse(embeddingDim(base)) match {
+        case None => // empty corpus → empty pairs, like the exact path
+          a.limit(0).join(b.limit(0), col("id_a") < col("id_b"))
+        case Some(d) =>
+          val ab = a.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_a"),
+            hyperplanes(nPlanes, d, seed)))
+          val bb = b.withColumn("bucket", VectorExprs.hyperplaneBucket(col("emb_b"),
+            hyperplanes(nPlanes, d, seed)))
+          ab.join(bb, Seq("bucket")).filter(col("id_a") < col("id_b"))
+            .drop("bucket")
       }
     pairs
       .withColumn("cos", round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** All-pairs cosine near-dup — the O(n²) verification oracle for
+    * [[cosineNearDuplicatesBanded]]. Bounded corpora ONLY (specs, small
+    * recall audits); never register this form as a production query. */
+  def cosineNearDuplicatesBrute(vecs: DataFrame, threshold: Double): DataFrame = {
+    val base = vecs.select(col("vec_id"), col("embedding"))
+    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .withColumn("nrm_a", norm("emb_a"))
+    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .withColumn("nrm_b", norm("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** EXACT cosine near-duplicate pairs with BOUNDED candidates — the
+    * PPJoin-for-vectors plan (prefix filtering à la Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07, adapted to dense
+    * vectors). Replaces the all-pairs cartesian with an equi-join:
+    *
+    *  1. **Band** every vector by `bandPivots` seeded unit directions:
+    *     cell_i = ⌊(v̂·p_i)/w⌋ with w = √(2−2θ)(1+ε). For any pair with
+    *     cos ≥ θ the unit vectors satisfy |û−v̂| ≤ √(2−2θ), and a unit
+    *     projection contracts distances (Cauchy-Schwarz), so the pair's
+    *     cells differ by at most 1 per pivot — a candidate pair MUST
+    *     fall in the same or an adjacent cell on EVERY axis. The join
+    *     is a plain hash equi-join on the cell tuple; one side fans out
+    *     over the lexicographically-positive half of {−1,0,1}^g
+    *     ((3^g+1)/2 keys), which generates each unordered neighbor-cell
+    *     pair exactly once (same-cell pairs keep the id_a < id_b tie).
+    *  2. **Prefix-filter** surviving candidates with the head bound:
+    *     the distance of the first `headLen` coordinates of û,v̂ is a
+    *     coordinate projection of |û−v̂|, so headDist² > (2−2θ) refutes
+    *     the pair with certainty — a handful of codegen flops (one
+    *     `float_vec_dot` over the raw float heads plus two precomputed
+    *     per-vector norms) kills random pairs long before the full dot.
+    *  3. Survivors get the UNCHANGED exact score — `round(dot/(‖a‖‖b‖),
+    *     6)` in array order, bit-identical to the brute form — so the
+    *     emitted pair set equals [[cosineNearDuplicatesBrute]]'s
+    *     (spec-verified). Slack ε ≫ the ~1e-14 error of the
+    *     double-accumulated projections keeps the pruning conservative.
+    *
+    * Scale: per-pair work is O(headLen) until the final check; the join
+    * carries ~n·(3^g+1)/2 rows keyed by cells, and candidate volume is
+    * Σ_cellpairs n_a·n_b — band pivots are the 100 TB knob (each extra
+    * pivot multiplies cell count by the per-axis band count and divides
+    * per-cell occupancy; g=2 already yields broadcast-sized sides
+    * here). Zero-norm vectors have no direction and are excluded (the
+    * brute form emits NaN-cos artifacts for them under Spark's
+    * NaN-is-greatest ordering; real corpora contain neither). */
+  def cosineNearDuplicatesBanded(vecs: DataFrame, threshold: Double,
+                                 headLen: Int = 16, bandPivots: Int = 2,
+                                 seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold (the band width √(2−2θ) " +
+        "must be positive and the half-space trick needs a positive bound)")
+    val base = vecs.select(col("vec_id"), col("embedding"))
+    val g = bandPivots
+    dim.orElse(embeddingDim(base)) match {
+      case None =>
+        base.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+          lit(0.0).as("cos")).limit(0)
+      case Some(d) =>
+        val r = math.sqrt(2.0 - 2.0 * threshold)
+        val w = r * (1.0 + 1e-6) + 1e-9 // band width with fp slack
+        val ubSq = w * w                // head-distance ceiling, same slack
+        val pivots: Array[Array[Float]] = hyperplanes(g, d, seed).map { p =>
+          val n = math.sqrt(p.map(x => x * x).sum)
+          p.map(x => (x / n).toFloat)
+        }
+        def side(sfx: String): DataFrame = {
+          val e = col("embedding")
+          val withCols = base
+            .filter(VectorExprs.floatDot(e, e) > 0) // defined direction only
+            .select(col("vec_id").as("id" + sfx), e.as("emb" + sfx),
+              sqrt(VectorExprs.floatDot(e, e)).as("nrm" + sfx),
+              slice(e, 1, headLen).as("head" + sfx))
+            .withColumn("hh" + sfx,
+              VectorExprs.floatDot(col("head" + sfx), col("head" + sfx)) /
+                (col("nrm" + sfx) * col("nrm" + sfx)))
+          pivots.zipWithIndex.foldLeft(withCols) { case (df, (p, i)) =>
+            df.withColumn(s"c$i$sfx",
+              floor(VectorExprs.floatDot(col("emb" + sfx), typedLit(p)) /
+                col("nrm" + sfx) / lit(w)).cast("long"))
+          }
+        }
+        // lexicographically-positive half of {−1,0,1}^g, plus zero
+        val offsets: Seq[Seq[Int]] = {
+          def enum(k: Int): Seq[Seq[Int]] =
+            if (k == 0) Seq(Seq.empty)
+            else for (h <- Seq(-1, 0, 1); t <- enum(k - 1)) yield h +: t
+          enum(g).filter(o => o.forall(_ == 0) ||
+            o.dropWhile(_ == 0).headOption.contains(1))
+        }
+        val offCol = array(offsets.map(o =>
+          struct(o.zipWithIndex.map { case (v, i) => lit(v).as(s"d$i") }: _*)): _*)
+        val aFan0 = side("_a").withColumn("__o", explode(offCol))
+        val aFan = (0 until g).foldLeft(aFan0) { (df, i) =>
+          df.withColumn(s"jc$i", col(s"c${i}_a") + col("__o").getField(s"d$i"))
+        }
+        val bSide = side("_b")
+        val joinCond = (0 until g).map(i => col(s"jc$i") === col(s"c${i}_b"))
+          .reduce(_ && _)
+        val sameCell = (0 until g).map(i => col("__o").getField(s"d$i") === 0)
+          .reduce(_ && _)
+        aFan.join(bSide, joinCond)
+          .filter(!sameCell || col("id_a") < col("id_b"))
+          .filter(col("hh_a") + col("hh_b") -
+            lit(2.0) * VectorExprs.floatDot(col("head_a"), col("head_b")) /
+              (col("nrm_a") * col("nrm_b")) <= lit(ubSq))
+          .withColumn("cos", round(
+            VectorExprs.floatDot(col("emb_a"), col("emb_b")) /
+              (col("nrm_a") * col("nrm_b")), 6))
+          .filter(col("cos") >= threshold)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+    }
   }
 
   // ------------------------------------------------------------- IVF

@@ -687,6 +687,12 @@ object TrainingQueries {
       |  FROM sc) WHERE rn <= 10""".stripMargin
 
   // ----------------------------------------------------------- E5
+  /** Exact cosine near-dup over the corpus + planted 1.5× copies. The
+    * EXACT pair set — DuckDB oracle-checks every pair — but since r17
+    * the plan is the banded equi-join ([[Similarity.cosineNearDuplicatesBanded]]:
+    * unit-pivot cells + half-neighborhood fan-out + prefix-distance
+    * refutation), not an all-pairs cartesian; the brute form survives
+    * only as the spec-side verification oracle. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDuplicates(vecsWithScaledCopies(s, dir),
       threshold = 0.99, exact = true)

@@ -39,9 +39,10 @@ class AqePlanAuditSpec extends SparkSpec {
     "date_extract_custom", "record_linkage", "dup_ngram_ratio",
     "q_range_join_binned", "cross_source_dup")
 
-  /** Same exemption as PlanAuditSweepSpec: documented intentionally-
-    * exact all-pairs oracle whose production path is LSH-bucketed. */
-  private val allPairsAllowed = Set("dedup_embedding")
+  /** Same as PlanAuditSweepSpec: empty since r17 — dedup_embedding's
+    * exact form is the banded equi-join, so no query needs the
+    * all-pairs exemption any more. */
+  private val allPairsAllowed = Set.empty[String]
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val buf = scala.collection.mutable.ArrayBuffer[SparkPlan]()

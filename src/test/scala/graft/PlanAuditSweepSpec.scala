@@ -147,11 +147,11 @@ class PlanAuditSweepSpec extends SparkSpec {
     * cross, E6's filtered query side, the scalar-stats cross joins —
     * need no listing. Names here are documented intentionally-exact
     * oracle formulations whose production path is bucketed:
-    *  - dedup_embedding (E5): registered with `exact=true` so DuckDB
-    *    can oracle-check every pair; the scale path is the same
-    *    operator's LSH-bucketed `exact=false` branch
-    *    (Similarity.cosineNearDuplicates). */
-  private val allPairsAllowed: Set[String] = Set("dedup_embedding")
+    * Since r17 this set is EMPTY: dedup_embedding's exact form now
+    * plans as the banded equi-join (Similarity.cosineNearDuplicatesBanded)
+    * so even the intentionally-exact oracle formulation carries no
+    * cartesian; the audit enforces the full registry uniformly. */
+  private val allPairsAllowed: Set[String] = Set.empty
 
   test("every registered query plans free of scale-killing shapes") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

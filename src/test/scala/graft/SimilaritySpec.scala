@@ -38,6 +38,71 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.subsetOf(found))
   }
 
+  test("banded exact near-dup equals brute force bit-for-bit (θ=0.99, planted copies)") {
+    val scaled = vecs.select((col("vec_id") + 10000).as("vec_id"),
+      expr("transform(embedding, x -> CAST(1.5 * x AS FLOAT))").as("embedding"))
+    val all = vecs.union(scaled)
+    val banded = Similarity.cosineNearDuplicatesBanded(all, threshold = 0.99)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.cosineNearDuplicatesBrute(all, threshold = 0.99)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(banded == brute, s"banded minus brute: ${banded -- brute}; " +
+      s"brute minus banded: ${brute -- banded}")
+    assert(brute.nonEmpty)
+  }
+
+  test("banded exact near-dup equals brute on pairs straddling the threshold (cross-cell)") {
+    // clusters of noisy copies whose cosines span [≈0.6, ≈1.0] around
+    // θ=0.9: pairs land on BOTH sides of the threshold and cross cell
+    // boundaries — the adversarial regime for the half-neighborhood
+    // fan-out and the prefix filter's conservativeness
+    val dim = 16
+    val rows = (0 until 200).flatMap { c =>
+      val r = new scala.util.Random(c)
+      val base = Array.fill(dim)(r.nextGaussian())
+      val bn = math.sqrt(base.map(x => x * x).sum)
+      (0 until 3).map { j =>
+        val eps = 0.15 * (j + c % 3) // noise levels straddle the threshold
+        val v = base.zip(Array.fill(dim)(r.nextGaussian()))
+          .map { case (b, n) => (b / bn + eps * n).toFloat }
+        ((c * 3 + j).toLong, v)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val banded = Similarity.cosineNearDuplicatesBanded(df, threshold = 0.9)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.cosineNearDuplicatesBrute(df, threshold = 0.9)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(banded == brute, s"banded minus brute: ${(banded -- brute).take(5)}; " +
+      s"brute minus banded: ${(brute -- banded).take(5)}")
+    assert(brute.nonEmpty, "the planted clusters should admit qualifying pairs")
+    // and the corpus really does have near-misses the filter must reject
+    val nearMiss = Similarity.cosineNearDuplicatesBrute(df, threshold = 0.6)
+    assert(nearMiss.count() > brute.size, "want sub-threshold pairs in play")
+  }
+
+  test("banded exact near-dup equals brute with 3 band pivots (generic half-neighborhood)") {
+    val banded = Similarity.cosineNearDuplicatesBanded(vecs, threshold = 0.9, bandPivots = 3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.cosineNearDuplicatesBrute(vecs, threshold = 0.9)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(banded == brute, s"banded minus brute: ${(banded -- brute).take(5)}; " +
+      s"brute minus banded: ${(brute -- banded).take(5)}")
+  }
+
+  test("banded plan is an equi-join: no cartesian, no nested loop") {
+    val plan = Similarity.cosineNearDuplicatesBanded(vecs, threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("banded near-dup on an empty corpus returns the empty pair frame") {
+    val out = Similarity.cosineNearDuplicatesBanded(vecs.limit(0), threshold = 0.99)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "cos"))
+    assert(out.count() == 0)
+  }
+
   test("embeddingDim probes the data") {
     assert(Similarity.embeddingDim(vecs).contains(64))
     assert(Similarity.embeddingDim(vecs.limit(0)).isEmpty)
