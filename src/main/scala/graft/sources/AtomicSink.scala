@@ -39,13 +39,19 @@ import org.apache.spark.util.SerializableConfiguration
   *     nothing is ever deleted or renamed on the commit path.
   *   - `commit()` publishes version n+1 the Delta/HDFSLogStore way:
   *     the COMPLETE manifest is written to an attempt-unique tmp name,
-  *     then atomically renamed-no-overwrite onto `_MANIFEST.v<n+1>` —
-  *     the version name only ever appears with complete content, and
-  *     the rename's dest-must-not-exist check is the compare-and-swap
-  *     (atomic on HDFS/POSIX; a conditional PUT — `If-None-Match: *` —
-  *     on an object store). A residual local-FS check-then-act race is
-  *     closed by reading the manifest back and verifying the committer
-  *     id in its footer. A loser re-reads the NEW latest manifest,
+  *     then bound to `_MANIFEST.v<n+1>` through the PLUGGABLE claim
+  *     primitive ([[graft.sources.ManifestCommitStore]]): atomic
+  *     rename-no-overwrite where the filesystem honors that contract
+  *     (HDFS/POSIX — [[graft.sources.RenameCommitStore]]), a
+  *     conditional PUT (`If-None-Match: *`) through a configured
+  *     [[graft.sources.ConditionalPutCommitStore]] on object stores.
+  *     Schemes whose rename is EMULATED (s3a, gs, wasb, abfs) are
+  *     REFUSED outright unless such a store is configured
+  *     ([[graft.sources.AtomicCommitStores.ConfKey]]) — a lost update
+  *     must be impossible, not merely unlikely. The version name only
+  *     ever appears with complete content; a residual check-then-act
+  *     race is closed by reading the manifest back and verifying the
+  *     committer id in its footer. A loser re-reads the NEW latest manifest,
   *     re-folds its entries, and retries at the next version —
   *     concurrent appends BOTH stay visible (no lost update);
   *     contention past [[AtomicSink.MaxCommitRetries]] fails loudly.
@@ -232,18 +238,25 @@ object AtomicSink {
   } catch {
     case _: java.io.FileNotFoundException => None // vacuumed between list and open
     case _: NumberFormatException | _: ArrayIndexOutOfBoundsException => None
+    // a checksum-corrupt claim (e.g. a foreign writer's torn
+    // data/.crc pair on a checksummed FS) is DETERMINISTIC damage, not
+    // a transient IO error: treat it like a torn manifest — invalid,
+    // fall back — rather than dead-ending every reader and committer
+    case _: org.apache.hadoop.fs.ChecksumException => None
   }
 
   /** Claim `version` the Delta/HDFSLogStore way: write the COMPLETE
-    * manifest to an attempt-unique tmp name, then atomically
-    * rename-no-overwrite onto the version name — the name only ever
-    * appears with complete content, and the rename's dest-must-not-
-    * exist check is the compare-and-swap (atomic on HDFS/POSIX; a
-    * conditional PUT on an object store). Reading the footer back and
-    * checking the committer id closes any residual local-FS
-    * check-then-act race. True iff this committer owns the published
+    * manifest to an attempt-unique tmp name, then bind it to the
+    * version name through the pluggable claim primitive
+    * ([[ManifestCommitStore.tryClaim]]) — rename-no-overwrite where
+    * rename is atomic (HDFS/POSIX), a conditional PUT on object stores
+    * — so the name only ever appears with complete content and exactly
+    * one committer per version wins. Reading the footer back and
+    * checking the committer id closes any residual check-then-act race
+    * a store might leak. True iff this committer owns the published
     * version. */
   private def tryPublishVersion(fs: org.apache.hadoop.fs.FileSystem,
+      store: graft.sources.ManifestCommitStore,
       root: Path, version: Long, ddl: String,
       entries: Seq[(String, Long, Long)], tags: Set[String],
       committerId: String, attempt: Int): Boolean = {
@@ -256,15 +269,7 @@ object AtomicSink {
       out.write(s"#COMMIT ${entries.length} $committerId\n")
     } finally out.close()
     val dst = manifestPath(root, version)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.makeQualified(root).toUri, fs.getConf)
-    val claimed =
-      try { fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst)); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException => false // lost the name claim
-      }
-    if (!claimed) { fs.delete(tmp, false); return false }
+    if (!store.tryClaim(fs, tmp, dst)) return false
     readManifest(fs, dst, version).exists(_.committerId == committerId)
   }
 
@@ -278,6 +283,9 @@ object AtomicSink {
   private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, ddl: String, fresh: Seq[(String, Long, Long)],
       truncate: Boolean, tag: Option[String], committerId: String): Long = {
+    // resolve the claim primitive FIRST: an unsafe scheme must refuse
+    // before any manifest state is touched, not after a partial fold
+    val store = graft.sources.AtomicCommitStores.forFileSystem(fs, fs.getConf)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val claimed = claimedVersions(fs, root)
@@ -307,8 +315,8 @@ object AtomicSink {
       // still fold from the latest VALID manifest only
       val next = math.max(claimed.headOption.getOrElse(0L),
         cur.map(_.version).getOrElse(0L)) + 1L
-      if (tryPublishVersion(fs, root, next, ddl, entries, tags, committerId,
-          attempt)) return next
+      if (tryPublishVersion(fs, store, root, next, ddl, entries, tags,
+          committerId, attempt)) return next
       attempt += 1 // lost the CAS — re-read the new latest and re-fold
     }
     throw new java.io.IOException(
