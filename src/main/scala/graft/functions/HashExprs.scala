@@ -146,6 +146,13 @@ case class WordShingleHashes(child: Expression, n: Int)
 
 object WordShingleHashes {
   private final val Seed = 42L // Spark's xxhash64 default seed
+  /** Largest shingle-window count either kernel accepts: the dedup
+    * table holds the next power of two ≥ 2·windows, and 2^30 is the
+    * largest such size an Int slot mask can address — past 2^29
+    * windows the `windows * 2` doubling overflows Int, the mask goes
+    * negative, and the probe loop never terminates. Shared by
+    * [[WordShingleHashPairs]]. */
+  private[functions] final val MaxWindows = 1 << 29
 
   def hashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     val base = s.getBaseObject
@@ -172,6 +179,13 @@ object WordShingleHashes {
       i += 1
     }
     val windows = tokens - n + 1
+    // capacity math is Int: past 2^29 windows the doubled table size
+    // overflows to a negative mask and the probe loop never terminates —
+    // fail fast with a named bound instead (a single document with a
+    // billion tokens is corpus damage, not a shingling input)
+    if (windows > MaxWindows) throw new IllegalArgumentException(
+      s"word_shingle_hashes: document has $windows shingle windows " +
+        s"(max $MaxWindows); split pathological documents before shingling")
     val out = new Array[Long](windows)
     // open-address set for first-occurrence dedup (size ≥ 2·windows)
     var cap = java.lang.Integer.highestOneBit(math.max(4, windows * 2) - 1) << 1
@@ -273,6 +287,12 @@ object WordShingleHashPairs {
       i += 1
     }
     val windows = tokens - n + 1
+    // same Int-overflow guard as the hashes kernel: 2^29 windows is the
+    // largest doubled power-of-two table an Int mask can address
+    if (windows > WordShingleHashes.MaxWindows) throw new IllegalArgumentException(
+      s"word_shingle_hash_pairs: document has $windows shingle windows " +
+        s"(max ${WordShingleHashes.MaxWindows}); split pathological " +
+        "documents before shingling")
     val out = new Array[Any](windows)
     // open-address set keyed on h1, verified on h2 — dedup by PAIR
     var cap = java.lang.Integer.highestOneBit(math.max(4, windows * 2) - 1) << 1

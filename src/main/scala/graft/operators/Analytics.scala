@@ -1156,8 +1156,16 @@ object Analytics {
     * 2·F(v) = 2·cum(end of v's run) < tw by r's minimality. */
   def weightedMedianOf(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String): DataFrame = {
+    // Contract: weights are strictly positive integers. Non-positive or
+    // null weights are dropped HERE, identically to how the expanded-
+    // multiset definition treats them (a zero weight contributes no
+    // copies; a negative weight has no multiset meaning and would break
+    // the one-crossing-row invariant 2·(cw−w) < tw ≤ 2·cw — on an
+    // all-nonpositive group the native rider would emit nothing while a
+    // naive cw·2 ≥ tw oracle returns the group minimum).
     val base = df.select(col(groupCol), col(valueCol),
       col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
     graft.plans.GlobalRank.withGlobalRank(base, Seq(groupCol), Seq(valueCol),
       rankCol = "__rn", countCol = "__n",
       sumCol = Some("__w"), runCol = "__cw", totCol = Some("__tw"),
@@ -1205,8 +1213,13 @@ object Analytics {
   def weightedQuantileBracketsOf(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String,
       ps: Seq[(Long, Long, String)]): DataFrame = {
+    // same strictly-positive-weight contract as weightedMedianOf:
+    // non-positive/null weights are dropped up front (they contribute
+    // no expanded copies, and negatives would break the crossing
+    // invariant den·(cw−w) < num·tw ≤ den·cw)
     val base = df.select(col(groupCol), col(valueCol),
       col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
     val crossing = ps.map { case (num, den, _) => (cw: Column, w: Column, tw: Column) =>
       cw * den >= tw * num && (cw - w) * den < tw * num
     }

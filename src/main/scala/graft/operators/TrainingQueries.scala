@@ -1822,11 +1822,17 @@ object TrainingQueries {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(28, 12)
     def pin(c: Column): Column = c.cast(dec)
+    // Rows with null features are excluded UP FRONT so every Newton
+    // step optimizes the same population: without this, step 1's
+    // count(*)/sum(y-0.5) terms counted null-x rows (implicitly
+    // imputing x=0) while step 2's mu-weighted sums dropped them (null
+    // mu skips every pin) — two steps over two different datasets.
     val d = Tables.documents(s, dir).select(
       when(col("lang") === "en", lit(1.0d)).otherwise(lit(0.0d)).as("y"),
       size(split(col("text"), " ")).cast("double").as("x1"),
       (col("n_chars").cast("double") /
         size(split(col("text"), " ")).cast("double")).as("x2"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull)
 
     // symmetric 3x3 [[a,b,c],[b,dd,e],[c,e,f]] solved against
     // (r0,r1,r2) by explicit cofactors — identical expression tree on
@@ -1919,7 +1925,9 @@ object TrainingQueries {
        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
        |    CAST(n_chars AS DOUBLE) /
        |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) IS NOT NULL
+       |    AND n_chars / len(string_split(text, ' ')) IS NOT NULL),
        |m1 AS (SELECT COUNT(*) AS n,
        |    SUM(CAST(x1 AS DECIMAL(28,12))) AS sx1,
        |    SUM(CAST(x2 AS DECIMAL(28,12))) AS sx2,
