@@ -76,14 +76,29 @@ object EtlQueries {
         lit("_123456.log")))
       .otherwise(concat(lit("report_Q"), quarter(col("o_orderdate")).cast("string"),
         lit("_"), date_format(col("o_orderdate"), "yyyy"), lit(".xlsx")))
-    val all = DateExtract.extractAllDates(fname, custom)
+    // The all-matches dict is computed ONCE per row and both consumers
+    // derive from it: the scalar `extracted` is the same customs-first
+    // priority coalesce over the dict's fields (identical values to
+    // extractDate(fname, custom) — extractAllDates evaluates the exact
+    // same per-pattern candidates). Building extractDate's chains a
+    // second time doubled the projection's expression tree, and for
+    // this widest-in-the-repo projection the tree size itself (analysis
+    // + codegen per invocation) was most of the query's wall time. The
+    // two-stage select keeps the dict from being inlined per consumer
+    // (CollapseProject refuses to duplicate non-cheap expressions).
+    val priority = custom.map(_.name) ++ Seq("iso_datetime_compact",
+      "iso_datetime_full", "iso_date", "us_datetime", "us_date",
+      "compact_date", "underscore_date", "dot_date", "year_month",
+      "unix_timestamp", "date_range")
     o.select(kind.as("kind"), truth.as("truth"),
-        DateExtract.extractDate(fname, custom).as("extracted"),
-        date_format(DateExtract.extractTimestamp(fname, custom), "HH:mm:ss").as("tod"),
-        all.getField("sales_daily").as("m_sales"),
-        all.getField("backup_file").as("m_backup"),
-        all.getField("log_file").as("m_log"),
-        all.getField("report_quarterly").as("m_report"))
+        DateExtract.extractAllDates(fname, custom).as("all"),
+        date_format(DateExtract.extractTimestamp(fname, custom), "HH:mm:ss").as("tod"))
+      .select(col("kind"), col("truth"), col("tod"),
+        coalesce(priority.map(col("all").getField): _*).as("extracted"),
+        col("all").getField("sales_daily").as("m_sales"),
+        col("all").getField("backup_file").as("m_backup"),
+        col("all").getField("log_file").as("m_log"),
+        col("all").getField("report_quarterly").as("m_report"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("extracted") === col("truth"), 1L).otherwise(0L)).as("n_correct"),

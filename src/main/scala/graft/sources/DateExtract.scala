@@ -64,19 +64,39 @@ object DateExtract {
                                   quarterGroup: Int = 1, yearGroup: Int = 2)
     extends CustomPattern
 
+  /** Null-on-no-match extraction — ONLY for consumers that cast the
+    * candidate (ANSI casts throw on ""). Costs two RegExpExtract nodes
+    * in the tree (the when duplicates the child); parse-based
+    * consumers use [[extRaw]] instead. */
   private def ext(c: Column, pattern: String, group: Int = 1): Column = {
     val m = regexp_extract(c, pattern, group)
     when(m =!= "", m)
   }
+
+  /** Raw extraction: "" on no match. Every try_to_date/try_to_timestamp
+    * consumer treats "" exactly like null (the parse fails → null →
+    * falls through), and ONE RegExpExtract node per use instead of the
+    * wrapped form's two halves the dominant per-row AND per-plan cost
+    * of the 15-pattern chains — this projection is the widest in the
+    * repo, and with the per-query plan re-analysis in the bench loop
+    * the TREE SIZE itself was most of date_extract_custom's time. */
+  private def extRaw(c: Column, pattern: String, group: Int = 1): Column =
+    regexp_extract(c, pattern, group)
 
   /** Validate a yyyy-MM-dd candidate: null unless it parses.
     * `try_to_date`, not `to_date`: under ANSI mode (Spark 4 default) a
     * plausible-looking but invalid candidate (e.g. the compact_date
     * pattern grabbing the first 8 digits of a unix timestamp →
     * "1705-27-68") must fall through like the reference's
-    * strptime try/except, not kill the scan. */
+    * strptime try/except, not kill the scan.
+    *
+    * Shaped as parse→reformat, NOT `when(parse ok, c)`: every caller
+    * feeds a regex-shaped zero-padded candidate, for which the
+    * roundtrip is byte-identical, and the single occurrence of `c`
+    * keeps the candidate's RegExpExtract from appearing twice in the
+    * tree (at 15 patterns × 3 forms the tree size was the cost). */
   private def validIso(c: Column): Column =
-    when(call_function("try_to_date", c, lit("yyyy-MM-dd")).isNotNull, c)
+    date_format(call_function("try_to_date", c, lit("yyyy-MM-dd")), "yyyy-MM-dd")
 
   // The 11 reference patterns (etl_pipeline.py:43-76), same priority.
   private val isoDatetimeCompact = "(\\d{4}-\\d{2}-\\d{2})T(\\d{6})"
@@ -105,12 +125,12 @@ object DateExtract {
 
   private def customTimestamp(filename: Column, p: CustomPattern): Column = p match {
     case DatePattern(_, regex, format, group) =>
-      try_to_timestamp(ext(filename, regex, group), lit(format))
+      try_to_timestamp(extRaw(filename, regex, group), lit(format))
     case DateTimePattern(_, regex, df, tf, dg, tg) =>
       // concat_ws drops nulls, so a date-only or no-match candidate
       // fails the combined-format parse and falls through cleanly
       try_to_timestamp(
-        concat_ws(" ", ext(filename, regex, dg), ext(filename, regex, tg)),
+        concat_ws(" ", extRaw(filename, regex, dg), extRaw(filename, regex, tg)),
         lit(s"$df $tf"))
     case QuarterPattern(_, regex, qg, yg) =>
       val q = ext(filename, regex, qg).cast("int")
@@ -124,21 +144,22 @@ object DateExtract {
     * reference priority order — shared by the scalar and the
     * all-matches forms. */
   private def defaultDates(filename: Column): Seq[(String, Column)] = Seq(
-    "iso_datetime_compact" -> validIso(ext(filename, isoDatetimeCompact)),
-    "iso_datetime_full"    -> validIso(ext(filename, isoDatetimeFull)),
-    "iso_date"             -> validIso(ext(filename, isoDate)),
-    "us_datetime"          -> validIso(usToIso(ext(filename, usDatetime))),
-    "us_date"              -> validIso(usToIso(ext(filename, usDate))),
-    "compact_date"         -> validIso(compactToIso(ext(filename, compactDate))),
-    "underscore_date"      -> validIso(translate(ext(filename, underscoreDate), "_", "-")),
-    "dot_date"             -> validIso(translate(ext(filename, dotDate), ".", "-")),
-    // year_month: valid when it parses as yyyy-MM (month 01-12)
+    "iso_datetime_compact" -> validIso(extRaw(filename, isoDatetimeCompact)),
+    "iso_datetime_full"    -> validIso(extRaw(filename, isoDatetimeFull)),
+    "iso_date"             -> validIso(extRaw(filename, isoDate)),
+    "us_datetime"          -> validIso(usToIso(extRaw(filename, usDatetime))),
+    "us_date"              -> validIso(usToIso(extRaw(filename, usDate))),
+    "compact_date"         -> validIso(compactToIso(extRaw(filename, compactDate))),
+    "underscore_date"      -> validIso(translate(extRaw(filename, underscoreDate), "_", "-")),
+    "dot_date"             -> validIso(translate(extRaw(filename, dotDate), ".", "-")),
+    // year_month: valid when it parses as yyyy-MM (month 01-12) —
+    // same single-occurrence parse→reformat shape as validIso
     "year_month" ->
-      when(call_function("try_to_date", ext(filename, yearMonth), lit("yyyy-MM")).isNotNull,
-        ext(filename, yearMonth)),
+      date_format(call_function("try_to_date",
+        extRaw(filename, yearMonth), lit("yyyy-MM")), "yyyy-MM"),
     "unix_timestamp" ->
       date_format(to_timestamp(ext(filename, unixTimestamp).cast("long")), "yyyy-MM-dd"),
-    "date_range"           -> validIso(ext(filename, dateRange)))
+    "date_range"           -> validIso(extRaw(filename, dateRange)))
 
   /** ISO date string (or yyyy-MM for the year_month pattern), null if
     * no pattern matches — the reference's `return_format='string'`. */
@@ -164,7 +185,7 @@ object DateExtract {
   def extractAllDates(filename: Column, custom: Seq[CustomPattern] = Nil): Column = {
     val fields = custom.map(p => customDate(filename, p).as(p.name)) ++
       defaultDates(filename).map { case (n, c) => c.as(n) } ++ Seq(
-        validIso(ext(filename, dateRange, 2)).as("date_range_end"),
+        validIso(extRaw(filename, dateRange, 2)).as("date_range_end"),
         ext(filename, unixTimestamp).cast("long").as("unix_timestamp_raw"))
     struct(fields: _*)
   }
@@ -173,21 +194,21 @@ object DateExtract {
     * midnight of the extracted date — the reference's
     * `return_format='datetime'`. */
   def extractTimestamp(filename: Column): Column = {
-    val compactTime = ext(filename, isoDatetimeCompact, 2)
+    val compactTime = extRaw(filename, isoDatetimeCompact, 2)
     val isoCompactTs = when(
-      validIso(ext(filename, isoDatetimeCompact)).isNotNull && compactTime.isNotNull,
+      validIso(extRaw(filename, isoDatetimeCompact)).isNotNull && compactTime =!= "",
       try_to_timestamp(concat(
-        ext(filename, isoDatetimeCompact), lit(" "),
+        extRaw(filename, isoDatetimeCompact), lit(" "),
         substring(compactTime, 1, 2), lit(":"),
         substring(compactTime, 3, 2), lit(":"),
         substring(compactTime, 5, 2))))
     val isoFullTs = try_to_timestamp(
-      concat(ext(filename, isoDatetimeFull), lit(" "), ext(filename, isoDatetimeFull, 2)))
-    val usTime = ext(filename, usDatetime, 2)
+      concat(extRaw(filename, isoDatetimeFull), lit(" "), extRaw(filename, isoDatetimeFull, 2)))
+    val usTime = extRaw(filename, usDatetime, 2)
     val usTs = when(
-      validIso(usToIso(ext(filename, usDatetime))).isNotNull && usTime.isNotNull,
+      validIso(usToIso(extRaw(filename, usDatetime))).isNotNull && usTime =!= "",
       try_to_timestamp(concat(
-        usToIso(ext(filename, usDatetime)), lit(" "),
+        usToIso(extRaw(filename, usDatetime)), lit(" "),
         substring(usTime, 1, 2), lit(":"),
         substring(usTime, 3, 2), lit(":"),
         substring(usTime, 5, 2))))
