@@ -326,10 +326,7 @@ object CorpusAnalytics {
                     cuts: Seq[Int] = Seq(10, 20, 50, 100)): DataFrame = {
     import s.implicits._
     require(cuts.nonEmpty && cuts.forall(_ > 0))
-    val tc = Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val tc = TermTable.termCounts(s, dir) // shared tokenization pass
     val ranked = tc
       .agg(TopKAgg.boundedTopK(
         struct((-col("n")).as("negn"), col("term")), cuts.max).as("tk"))
@@ -741,10 +738,7 @@ object CorpusAnalytics {
   def zipfFit(s: SparkSession, dir: String, k: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val head = Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val head = TermTable.termCounts(s, dir) // shared tokenization pass
       .orderBy(col("n").desc, col("term").asc).limit(k)
     val w = Window.orderBy(col("n").desc, col("term").asc) // ≤ k rows
     val comps = head

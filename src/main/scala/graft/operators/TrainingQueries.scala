@@ -453,12 +453,10 @@ object TrainingQueries {
   // ----------------------------------------------------------- E15
   /** Corpus top-100 terms — TakeOrderedAndProject after a partial-agg
     * term count, so only k rows cross to the driver. */
+  /** Rides the family's shared tokenization pass ([[TermTable]]) —
+    * n per term = Σ tf, integer-exact vs the re-tokenizing form. */
   def topTerms(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("n"))
+    TermTable.termCounts(s, dir)
       .orderBy(col("n").desc, col("term").asc)
       .limit(100)
 
@@ -479,12 +477,10 @@ object TrainingQueries {
     * window would sort every (doc, term) score. tfidf > 0 always
     * (idf ≥ 1 by construction), so the negation round-trips exactly. */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // df falls out of tf (one row per (doc, term)) — no second explode
-    // over the corpus, no separate distinct shuffle
+    // tf comes straight off the family's shared tokenization pass
+    // ([[TermTable]]); df falls out of tf (one row per (doc, term)) —
+    // no explode over the corpus, no separate distinct shuffle
+    val tf = TermTable.termFrequencies(s, dir)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
@@ -1003,17 +999,19 @@ object TrainingQueries {
     * term), stays inside the plan, and broadcasts to the probe side —
     * the document side never shuffles on the term key. */
   def oovRate(s: SparkSession, dir: String, vocabSize: Int = 1000): DataFrame = {
-    val terms = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    // both sides ride the shared tokenization pass: the vocabulary is
+    // a LIMIT over the corpus term counts, the probe side weights each
+    // (doc, term) row by its tf instead of re-exploding occurrences
+    val tf = TermTable.termFrequencies(s, dir)
+    val vocab = TermTable.termCounts(s, dir)
       .orderBy(col("n").desc, col("term").asc)
       .limit(vocabSize)
       .select(col("term"), lit(1L).as("in_vocab"))
-    terms.join(broadcast(vocab), Seq("term"), "left")
+    tf.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L))
+          .cast("long").as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
