@@ -31,13 +31,11 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * most at scale. */
 class AqePlanAuditSpec extends SparkSpec {
 
-  private val expensive = Seq(
-    "dedup_embedding", "canonical_docs", "dedup_clusters", "dedup_minhash",
-    "doc_pagerank", "q_mad", "contamination_score", "similarity_prefix_join",
-    "boilerplate_score", "semdedup", "source_novelty", "ann_ivf",
-    "q_weighted_median", "q_quantile_interp", "fk_integrity",
-    "date_extract_custom", "record_linkage", "dup_ngram_ratio",
-    "q_range_join_binned", "cross_source_dup")
+  private val expensive = (graft.AqePlanDump.Cohort ++ Seq(
+    // spec-only additions beyond the committed-artifact cohort
+    "contamination_score", "boilerplate_score", "semdedup",
+    "source_novelty", "ann_ivf", "q_quantile_interp", "fk_integrity"))
+    .distinct
 
   /** Same as PlanAuditSweepSpec: empty since r17 — dedup_embedding's
     * exact form is the banded equi-join, so no query needs the
@@ -120,5 +118,51 @@ class AqePlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("AQE skew-split fires on a planted skewed join (PartialReducerPartitionSpec)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val keep = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // one key owns ~98% of the left side → its reducer partition is
+      // far over the (lowered) skew threshold → AQE must split it
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 50 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-"), col("id")).as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), lit(1).as("w"))
+      val joined = left.join(right, "k")
+      val plan = joined.asInstanceOf[ClassicDataset[_]]
+        .queryExecution.executedPlan
+      plan.execute().count()
+      var skewSplits = 0
+      PlanAudit.walk(plan) {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+          skewSplits += r.partitionSpecs.count(
+            _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+        case _ =>
+      }
+      assert(skewSplits > 0,
+        s"AQE skew-join did not split the planted hot partition:\n$plan")
+      // and the split must not break correctness: every hot-key row
+      // still joins exactly once
+      assert(joined.count() == left.filter(col("k").isin(
+        (0L until 2000L): _*)).count())
+    } finally keep.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
   }
 }
