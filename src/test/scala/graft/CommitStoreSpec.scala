@@ -190,6 +190,51 @@ class CommitStoreSpec extends SparkSpec {
     } finally hconf.unset(AtomicCommitStores.ConfKey)
   }
 
+  test("two REAL JVMs race 30 tagged appends: every commit visible exactly once") {
+    // stronger than the in-process stress below: each committer is its
+    // own process, so nothing but the filesystem claim primitive
+    // (hard-link CAS on local) arbitrates between them
+    val root = scratch("procrace")
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val perProc = 15
+    val procs = Seq("p1", "p2").map { who =>
+      new ProcessBuilder(java, "-Xmx1g", "-cp", cp,
+        "--add-opens=java.base/java.lang=ALL-UNNAMED",
+        "--add-opens=java.base/java.nio=ALL-UNNAMED",
+        "--add-opens=java.base/java.util=ALL-UNNAMED",
+        "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+        "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+        "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+        "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+        "--add-opens=java.base/java.util.concurrent=ALL-UNNAMED",
+        "graft.RaceAppend", root, who, perProc.toString)
+        .redirectErrorStream(true).start()
+    }
+    val outputs = procs.map { p =>
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = if (p.waitFor(300, TimeUnit.SECONDS)) p.exitValue() else {
+        p.destroyForcibly(); -1
+      }
+      (rc, out)
+    }
+    outputs.foreach { case (rc, out) =>
+      assert(rc == 0, s"committer process failed (rc=$rc):\n${out.takeRight(2000)}")
+    }
+    val fs = new Path(root).getFileSystem(hconf)
+    val m = AtomicSink.latestManifest(fs, new Path(root)).get
+    val expectedTags = (for (w <- Seq("p1", "p2"); i <- 0 until perProc)
+      yield s"tag-$w-$i").toSet
+    assert(m.tags == expectedTags,
+      s"missing tags: ${expectedTags -- m.tags}; extra: ${m.tags -- expectedTags}")
+    val listed = m.entries.map(_._1)
+    assert(listed.size == 2 * perProc && listed.distinct.size == listed.size)
+    val got = AtomicSink.readCommitted(spark, root)
+      .select("src").collect().map(_.getString(0)).toSeq
+    assert(got.size == 2 * perProc && got.toSet.size == got.size,
+      s"rows read back: ${got.size}, distinct: ${got.toSet.size}")
+  }
+
   test("stress: 100+ racing tagged appends from independent sessions, zero lost updates") {
     val root = scratch("stress")
     val perThread = 50

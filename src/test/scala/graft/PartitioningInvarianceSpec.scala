@@ -25,7 +25,11 @@ class PartitioningInvarianceSpec extends SparkSpec {
     "lm_score", "q_regression", "q_chi2", "source_kl", "decayed_counts",
     "q_interpolate", "corr_matrix", "zipf_fit", "heaps_fit",
     "entropy_score", "q_weighted_median", "q_weighted_quantiles",
-    "attribution", "doc_pagerank", "q_stats_agg", "logistic_quality")
+    "attribution", "doc_pagerank", "q_stats_agg", "logistic_quality",
+    // r17 re-planned queries: the banded near-dup join's float scores
+    // and the TermTable-derived family must not pick up any shuffle-
+    // order sensitivity from their new plans
+    "dedup_embedding", "tfidf_top", "oov_rate", "top_terms")
 
   test("order-sensitive statistics are bit-identical at 1, 7, and 32 shuffle partitions") {
     cohort.foreach { name =>
