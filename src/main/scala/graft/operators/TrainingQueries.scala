@@ -43,10 +43,18 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_kept"),
         sum(col("n_copies")).as("sum_copies"))
 
+  /** Oracle computes the REAL dedup semantics (group by text, keep min
+    * id, count copies) — the earlier COUNT(*)-shortcut form assumed
+    * every base text is unique, which sf0.1 falsified (8 naturally-
+    * identical document pairs exist there; Spark correctly kept 4992,
+    * the shortcut said 5000). */
   val dedupExactTextSql: String =
-    """SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_kept,
-      |  CAST(2 * COUNT(*) AS BIGINT) AS sum_copies
-      |FROM documents""".stripMargin
+    """WITH allv AS (SELECT doc_id, text FROM documents
+      |              UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |g AS (SELECT MIN(doc_id) AS kept, COUNT(*) AS n_copies
+      |      FROM allv GROUP BY text)
+      |SELECT COUNT(*) AS n, CAST(SUM(kept) AS BIGINT) AS sum_kept,
+      |  CAST(SUM(n_copies) AS BIGINT) AS sum_copies FROM g""".stripMargin
 
   // ----------------------------------------------------------- E2
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -1501,9 +1509,12 @@ object TrainingQueries {
     *
     *  - coverage is EXACT: per document, Σ chunk_len = octet_length,
     *    for every row — the chunker is a partition of the bytes;
-    *  - boundaries re-synchronize after an insert: every planted copy
-    *    shares ≥ 60% of its chunk (hash,len) multiset with its source
-    *    (fixed-size chunking shares ~0% under the same shift).
+    *  - boundaries re-synchronize after an insert (the resync THEOREM,
+    *    byte-weighted): every planted copy of a fully content-chunked
+    *    source shares ≥ blen − (window + maxLen) bytes of chunk
+    *    (hash,len) multiset with it — fixed-size chunking shares ~0
+    *    under the same shift. Sources with a forced maxLen cut are
+    *    excluded: a forced cut is position-defined, no theorem exists.
     *
     * Scale shape: chunking is a codegen'd per-row projection; the
     * shared-fraction join explodes (doc, chunk) pairs but joins ONLY
@@ -1530,7 +1541,19 @@ object TrainingQueries {
     val coverageExact = chunked
       .filter(expr("aggregate(chunks, 0L, (a, c) -> a + c.chunk_len)") =!=
         col("blen").cast("long")).isEmpty
-    // per planted pair: |shared chunk multiset| / |copy's chunks|
+    // Resilience is asserted as the CDC RESYNC THEOREM, byte-weighted
+    // and deterministic at every SF (the old "≥60% of the chunk
+    // multiset" heuristic was chunk-count granular: a low-entropy
+    // 2-chunk doc loses 50% from ONE damaged chunk, and sf0.1 sampled
+    // such docs): for a source whose chunking is fully CONTENT-defined
+    // (no forced maxLen cut — a forced cut is position-defined, so no
+    // resilience theorem exists for it), the prefix edit can damage at
+    // most the gear window (maskBits = 4 bytes of state feed the
+    // trailing-zero test) plus the bytes before the first surviving
+    // source boundary (≤ maxLen when every chunk is content-cut) —
+    // every source byte after that is chunked identically. So each
+    // eligible copy must share ≥ blen − (window + maxLen) BYTES of
+    // chunk multiset with its source, and eligible copies must exist.
     val ex = chunked.select(col("doc_id"), explode(col("chunks")).as("c"))
       .select(col("doc_id"), col("c.chunk_len").as("len"),
         col("c.chunk_hash").as("h"))
@@ -1541,12 +1564,20 @@ object TrainingQueries {
       .select((col("doc_id") - 100000).as("doc_id"), col("len"), col("h"))
       .groupBy(col("doc_id"), col("len"), col("h"))
       .agg(count(lit(1)).as("n_cp"))
-    val shared = cp.join(src, Seq("doc_id", "len", "h"), "left")
+    val sharedBytes = cp.join(src, Seq("doc_id", "len", "h"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(least(col("n_cp"), coalesce(col("n_src"), lit(0L)))).as("n_shared"),
-        sum(col("n_cp")).as("n_total"))
-    val resilient = shared
-      .filter(col("n_shared") * lit(10L) < col("n_total") * lit(6L)).isEmpty
+      .agg(sum(least(col("n_cp"), coalesce(col("n_src"), lit(0L))) * col("len"))
+        .as("shared_bytes"))
+    val srcFacts = chunked
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") < 100000)
+      .select(col("doc_id"), col("blen"),
+        expr("aggregate(chunks, 0L, (a, c) -> GREATEST(a, c.chunk_len))")
+          .as("max_chunk"))
+    val eligible = sharedBytes.join(srcFacts, "doc_id")
+      .filter(col("max_chunk") < 128) // fully content-defined source
+    val bound = col("blen").cast("long") - lit(4L + 128L) // window + maxLen
+    val resilient = !eligible.isEmpty &&
+      eligible.filter(col("shared_bytes") < bound).isEmpty
     Seq(("cdc_chunk_dedup", base.count(), planted.count(),
         coverageExact, resilient))
       .toDF("metric", "n_docs", "n_planted",
