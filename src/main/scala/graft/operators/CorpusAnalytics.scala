@@ -627,22 +627,27 @@ object CorpusAnalytics {
     *
     * Scale shape: gram text never crosses the wire. Each (doc, gram)
     * pair is reduced to a 128-bit content key (two independent
-    * xxhash64 seeds) in the scan projection; the per-doc distinct, the
-    * corpus doc-frequency aggregate, and the probe join all exchange
-    * 16-byte keys. The DuckDB oracle resolves on the exact gram
-    * string, so a hash-collision effect would fail the gate. */
-  def dupNgramRatio(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(toks) >= $n
-           |  THEN transform(sequence(0, size(toks) - $n),
-           |    i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))
-           |  ELSE array() END""".stripMargin)).as("gram"))
-      .select(col("doc_id"),
-        xxhash64(col("gram")).as("h1"),
-        xxhash64(lit(7), col("gram")).as("h2"))
-      .distinct() // per-doc distinct grams, as 16-byte keys
+    * xxhash64 seeds); the per-doc distinct, the corpus doc-frequency
+    * aggregate, and the probe join all exchange 16-byte keys. The
+    * DuckDB oracle resolves on the exact gram string, so a
+    * hash-collision effect would fail the gate. At the default gram
+    * width the (doc, h1, h2) relation is read from the shared
+    * [[GramTable]] pass instead of re-shingling the corpus. */
+  def dupNgramRatio(s: SparkSession, dir: String, n: Int = GramTable.N): DataFrame = {
+    val grams =
+      if (n == GramTable.N)
+        GramTable.docGrams(s, dir).select(col("doc_id"), col("h1"), col("h2"))
+      else Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(toks) >= $n
+             |  THEN transform(sequence(0, size(toks) - $n),
+             |    i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))
+             |  ELSE array() END""".stripMargin)).as("gram"))
+        .select(col("doc_id"),
+          xxhash64(col("gram")).as("h1"),
+          xxhash64(lit(7), col("gram")).as("h2"))
+        .distinct() // per-doc distinct grams, as 16-byte keys
     val docFreq = grams.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("n_docs"))
     grams.join(docFreq, Seq("h1", "h2"))
@@ -959,23 +964,14 @@ object CorpusAnalytics {
     * reused. */
   def docPagerank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val n = 5
-    // 128-bit gram identities straight from the text bytes (no gram
-    // strings, no per-doc distinct exchange: the kernel dedups pairs
-    // per document, so (doc_id, h1, h2) is distinct by construction).
+    // 128-bit gram identities from the shared [[GramTable]] pass
+    // (per-doc distinct by construction, ≥5-token docs only — the
+    // exact membership relation this operator shingled inline before).
     // The oracle builds gram STRINGS — only doc_id/deg/pagerank are
-    // compared, and the <n-token whole-text fallback rows can never
-    // produce an edge the string form would not (df of a whole-text
-    // key ≥ 2 requires the same <n-token text twice, exactly when the
-    // string gram's ELSE arm collides too... the string form has NO
-    // else arm here: docs with <n tokens contribute no grams. Filter
-    // them identically).
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), lower(col("text")).as("lt"))
-      .filter(size(split(col("lt"), " ")) >= n)
-      .select(col("doc_id"),
-        explode(graft.functions.HashExprs.wordShingleHashPairs(col("lt"), n)).as("g"))
-      .select(col("doc_id"), col("g.h1").as("h1"), col("g.h2").as("h2"))
+    // compared, so the hash path must merely be collision-free on the
+    // corpus, which the string-resolving oracle verifies.
+    val grams = GramTable.docGrams(s, dir)
+      .select(col("doc_id"), col("h1"), col("h2"))
     val rare = grams.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 10)
@@ -1050,18 +1046,24 @@ object CorpusAnalytics {
     * gram-keyed self-join whose fan-out is bounded by |sources| per
     * gram, so the exchange is O(distinct grams · sources), never
     * all-pairs-of-documents. Zero-overlap pairs are absent rather than
-    * zero rows. */
-  def crossSourceDup(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .select(col("source"), split(lower(col("text")), " ").as("toks"))
-      .select(col("source"), explode(expr(
-        s"""CASE WHEN size(toks) >= $n
-           |  THEN transform(sequence(0, size(toks) - $n),
-           |    i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))
-           |  ELSE array() END""".stripMargin)).as("gram"))
-      .select(col("source"),
-        xxhash64(col("gram")).as("h1"), xxhash64(lit(7), col("gram")).as("h2"))
-      .distinct()
+    * zero rows. At the default gram width the per-source gram sets
+    * derive from the shared [[GramTable]] pass (project source +
+    * distinct) instead of re-shingling the corpus. */
+  def crossSourceDup(s: SparkSession, dir: String, n: Int = GramTable.N): DataFrame = {
+    val grams =
+      if (n == GramTable.N)
+        GramTable.docGrams(s, dir).select(col("source"), col("h1"), col("h2"))
+          .distinct()
+      else Tables.documents(s, dir)
+        .select(col("source"), split(lower(col("text")), " ").as("toks"))
+        .select(col("source"), explode(expr(
+          s"""CASE WHEN size(toks) >= $n
+             |  THEN transform(sequence(0, size(toks) - $n),
+             |    i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))
+             |  ELSE array() END""".stripMargin)).as("gram"))
+        .select(col("source"),
+          xxhash64(col("gram")).as("h1"), xxhash64(lit(7), col("gram")).as("h2"))
+        .distinct()
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val overlap = grams.select(col("source").as("src_a"), col("h1"), col("h2"))
       .join(grams.select(col("source").as("src_b"), col("h1"), col("h2")),

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** ONE shared 5-gram hashing pass for the shingle-analytics family —
+  * the [[TermTable]] argument applied to word shingles. SURVEY.md §2
+  * E55 `dup_ngram_ratio`, E69 `cross_source_dup` and E70 `doc_pagerank`
+  * all consume the SAME gram universe: word 5-grams of
+  * `lower(text)` split on single spaces, documents with ≥ 5 tokens,
+  * one row per DISTINCT gram per document, identity carried as a
+  * 128-bit double-xxhash64 pair (gram text never crosses the wire;
+  * each query's DuckDB oracle resolves on the literal gram string, so
+  * a hash-collision effect would fail the gate).
+  *
+  * Before this table each of those queries re-scanned the corpus,
+  * re-exploded every window and re-shuffled the full gram set to
+  * rebuild the identical (doc, h1, h2) relation — three corpus passes
+  * per curation run for one logical shingling. The pass is
+  * materialized ONCE per (source fingerprint, n, hasher version) and
+  * each consumer derives exactly as before:
+  *
+  *   - per-doc distinct grams: the table verbatim (dup_ngram_ratio's
+  *     numerator/denominator, doc_pagerank's membership),
+  *   - per-source distinct grams: project source + distinct
+  *     (cross_source_dup).
+  *
+  * NOT served, deliberately: E79 `dup_span` needs gram POSITIONS and
+  * shingles a per-query planted union, E59 `contamination_score`
+  * shingles per-query MODIFIED text (appended spans), and E28
+  * `boilerplate_score` is pinned to a different universe (unlowered
+  * text, whole-text fallback arm, 64-bit keys) — sharing this table
+  * would silently change their oracle-pinned semantics, so they keep
+  * their own single-use pass.
+  *
+  * Claim/rebuild discipline is [[PassCache]]'s: fingerprint covers the
+  * documents source (path + length + mtime) and [[HasherVersion]];
+  * concurrent builders settle through
+  * [[graft.sources.AtomicDirectoryClaim]].
+  */
+object GramTable {
+
+  /** Gram width shared by every consumer of this table. */
+  val N = 5
+
+  /** Bump when the shingling/normalization/hashing changes — the
+    * fingerprint includes it, so stale tables are never reused. */
+  val HasherVersion = 1
+
+  /** The shingling pass itself — the ONLY place the family's gram
+    * universe is defined. The codegen kernel emits per-document
+    * first-occurrence-distinct (h1, h2) pairs straight from the text
+    * bytes (no gram strings, no per-doc distinct exchange), and the
+    * ≥ N-token filter keeps the kernel's whole-text fallback arm out
+    * of the universe (matching the consumers' no-ELSE explode form,
+    * where a short document contributes no grams at all). */
+  private def build(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), lower(col("text")).as("lt"))
+      .filter(size(split(col("lt"), " ")) >= N)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.HashExprs.wordShingleHashPairs(col("lt"), N)).as("g"))
+      .select(col("doc_id"), col("source"),
+        col("g.h1").as("h1"), col("g.h2").as("h2"))
+
+  private[graft] def tableRoot(s: SparkSession, dir: String): Path =
+    PassCache.tableRoot(s, dir, s"gram$N", s"h$HasherVersion-n$N")
+
+  /** Per-document distinct 5-gram identities
+    * (doc_id, source, h1, h2), materialized once per (source, hasher)
+    * and reused by every family member. */
+  def docGrams(s: SparkSession, dir: String): DataFrame =
+    PassCache.materialized(s, tableRoot(s, dir))(build(s, dir))
+}

@@ -155,8 +155,11 @@ object Similarity {
     * vectors). Replaces the all-pairs cartesian with an equi-join:
     *
     *  1. **Band** every vector by `bandPivots` seeded unit directions:
-    *     cell_i = ⌊(v̂·p_i)/w⌋ with w = √(2−2θ)(1+ε). For any pair with
-    *     cos ≥ θ the unit vectors satisfy |û−v̂| ≤ √(2−2θ), and a unit
+    *     cell_i = ⌊(v̂·p_i)/w⌋ with w = √(2−2θ')(1+ε), θ' = θ − 0.5e-6
+    *     (the emitted filter rounds cos to 6 decimals, so a qualifying
+    *     pair's true cosine bound is θ', which also keeps w ≥ 1e-3 at
+    *     θ = 1). For any pair with round(cos,6) ≥ θ the unit vectors
+    *     satisfy |û−v̂| ≤ √(2−2θ'), and a unit
     *     projection contracts distances (Cauchy-Schwarz), so the pair's
     *     cells differ by at most 1 per pivot — a candidate pair MUST
     *     fall in the same or an adjacent cell on EVERY axis. The join
@@ -197,7 +200,14 @@ object Similarity {
         base.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
           lit(0.0).as("cos")).limit(0)
       case Some(d) =>
-        val r = math.sqrt(2.0 - 2.0 * threshold)
+        // the emitted filter is on round(cos, 6) ≥ θ, so a qualifying
+        // pair's TRUE cosine can be as low as θ − 0.5e-6 — the
+        // geometric radius must use that bound, not θ itself. This also
+        // floors the band width at θ = 1.0 (r ≥ 1e-3 instead of 0), so
+        // relative fp error in a unit projection (~1e-7) can never span
+        // a band and silently drop an exact-duplicate pair.
+        val thetaEff = threshold - 0.5e-6
+        val r = math.sqrt(2.0 - 2.0 * thetaEff)
         val w = r * (1.0 + 1e-6) + 1e-9 // band width with fp slack
         val ubSq = w * w                // head-distance ceiling, same slack
         val pivots: Array[Array[Float]] = hyperplanes(g, d, seed).map { p =>

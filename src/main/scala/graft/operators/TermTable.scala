@@ -27,11 +27,18 @@ import graft.Tables
   *
   * All integer-exact, so every consumer's output is bit-identical to
   * its re-tokenizing form (spec-pinned). A stale or missing table is
-  * rebuilt; a concurrent builder race is settled by an atomic
-  * directory-rename claim (complete directory or nothing — the same
-  * publish-by-rename shape as graft-atomic, coarse-grained because a
-  * loser simply discards its identical build). Readers only ever see
-  * a fully-populated table directory.
+  * rebuilt; a concurrent builder race is settled by
+  * [[graft.sources.AtomicDirectoryClaim]] — the repo's ONE directory
+  * claim discipline (complete directory or nothing; a loser simply
+  * discards its byte-identical build). Readers only ever see a
+  * fully-populated table directory.
+  *
+  * The table root must be a filesystem EVERY executor and driver can
+  * see — on a cluster a node-local /tmp would give each node a private
+  * (and mutually invisible) copy. Resolution order: Spark conf
+  * `graft.termtable.dir`, env `GRAFT_TERMTABLE_DIR`, then
+  * `<spark.sql.warehouse.dir>/graft_termtable` (the warehouse dir is by
+  * definition the job's shared table location).
   */
 object TermTable {
 
@@ -39,20 +46,8 @@ object TermTable {
     * so stale tables from an older tokenizer are never reused. */
   val TokenizerVersion = 1
 
-  private def scratchBase: String =
-    sys.env.getOrElse("GRAFT_TERMTABLE_DIR", "/tmp/graft_termtable")
-
-  /** Source fingerprint: path, length and mtime of documents.parquet —
-    * any refresh of the source data changes it and forces a rebuild. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val src = new Path(s"$dir/documents.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val h = java.security.MessageDigest.getInstance("MD5").digest(
-      s"v$TokenizerVersion|${fs.makeQualified(src)}|${st.getLen}|${st.getModificationTime}"
-        .getBytes("UTF-8"))
-    h.map("%02x".format(_)).mkString.take(16)
-  }
+  private[graft] def scratchBase(s: SparkSession): String =
+    PassCache.scratchBase(s)
 
   /** The tokenization pass itself — the ONLY place the family's
     * tokenizer is defined. */
@@ -62,34 +57,59 @@ object TermTable {
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Resolved table directory for this (source, tokenizer) — exposed so
+    * specs can observe materialization without duplicating the layout. */
+  private[graft] def tableRoot(s: SparkSession, dir: String): Path =
+    PassCache.tableRoot(s, dir, "tf", s"v$TokenizerVersion")
+
   /** Per-document term frequencies (doc_id, term, tf), materialized
     * once per (source, tokenizer) and reused by every family member. */
-  def termFrequencies(s: SparkSession, dir: String): DataFrame = {
-    val root = new Path(scratchBase, s"tf-${fingerprint(s, dir)}")
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root, "_SUCCESS"))) {
-      val tmp = new Path(scratchBase,
-        s"tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-      build(s, dir).write.mode("overwrite").parquet(tmp.toString)
-      // atomic claim: rename the COMPLETE build onto the final name —
-      // exactly one builder wins; a loser's build is byte-identical
-      // (deterministic aggregate of the same source), discard it.
-      // FileContext, not FileSystem.rename: the latter moves src INTO
-      // an existing dst directory (nesting a stray parquet dir inside
-      // the table a concurrent winner just published); FileContext's
-      // dest-must-not-exist rename fails cleanly instead.
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.makeQualified(root).toUri, s.sparkContext.hadoopConfiguration)
-      val won =
-        try { fc.rename(fs.makeQualified(tmp), fs.makeQualified(root)); true }
-        catch { case _: java.io.IOException => false }
-      if (!won) fs.delete(tmp, true)
-    }
-    s.read.parquet(root.toString)
-  }
+  def termFrequencies(s: SparkSession, dir: String): DataFrame =
+    PassCache.materialized(s, tableRoot(s, dir))(build(s, dir))
 
   /** Corpus-wide term counts (term, n) derived from the shared pass. */
   def termCounts(s: SparkSession, dir: String): DataFrame =
     termFrequencies(s, dir).groupBy(col("term"))
       .agg(sum(col("tf")).cast("long").as("n"))
+}
+
+/** The materialize-once machinery shared by every corpus-pass table
+  * ([[TermTable]], [[GramTable]]): fingerprint the source, build into a
+  * builder-unique tmp directory, bind it to the final name through
+  * [[graft.sources.AtomicDirectoryClaim]] — the repo's one directory
+  * claim discipline. A loser's build is byte-identical (deterministic
+  * aggregate of the same source) and simply discarded; readers only
+  * ever see a fully-populated table directory. */
+private[graft] object PassCache {
+
+  def scratchBase(s: SparkSession): String =
+    s.conf.getOption("graft.termtable.dir")
+      .orElse(sys.env.get("GRAFT_TERMTABLE_DIR"))
+      .getOrElse(new Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_termtable").toString)
+
+  /** Source fingerprint: path, length and mtime of documents.parquet
+    * plus the pass's version tag — any refresh of the source data or
+    * bump of the pass definition forces a rebuild. */
+  def tableRoot(s: SparkSession, dir: String,
+                prefix: String, versionTag: String): Path = {
+    val src = new Path(s"$dir/documents.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val h = java.security.MessageDigest.getInstance("MD5").digest(
+      s"$versionTag|${fs.makeQualified(src)}|${st.getLen}|${st.getModificationTime}"
+        .getBytes("UTF-8"))
+    new Path(scratchBase(s), s"$prefix-${h.map("%02x".format(_)).mkString.take(16)}")
+  }
+
+  def materialized(s: SparkSession, root: Path)(build: => DataFrame): DataFrame = {
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      val tmp = new Path(root.getParent,
+        s"tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      graft.sources.AtomicDirectoryClaim.tryClaim(fs, tmp, root)
+    }
+    s.read.parquet(root.toString)
+  }
 }

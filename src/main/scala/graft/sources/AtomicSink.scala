@@ -210,7 +210,36 @@ object AtomicSink {
     * no JSON dependency. Returns None for invalid/vanished files. */
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       mf: Path, version: Long): Option[Manifest] = try {
-    val in = new BufferedReader(new InputStreamReader(fs.open(mf), StandardCharsets.UTF_8))
+    parseManifest(fs.open(mf), version)
+  } catch {
+    case _: java.io.FileNotFoundException => None // vacuumed between list and open
+    case _: NumberFormatException | _: ArrayIndexOutOfBoundsException => None
+    case ce: org.apache.hadoop.fs.ChecksumException =>
+      // Two very different kinds of damage arrive as ChecksumException:
+      // a claim torn mid-write (no valid #COMMIT footer — never
+      // committed, fall back) versus a COMMITTED manifest whose
+      // data/.crc pair was damaged AFTER publish. Treating the latter
+      // as nonexistent would make the next publish fold from the
+      // previous version — silently dropping the damaged version's
+      // files from n+1 onward — so re-read the bytes with checksum
+      // verification off and fail stop if the footer is intact.
+      val raw = org.apache.hadoop.fs.FileSystem.newInstance(fs.getUri, fs.getConf)
+      val committed = try {
+        raw.setVerifyChecksum(false)
+        try parseManifest(raw.open(mf), version)
+        catch { case scala.util.control.NonFatal(_) => None }
+      } finally raw.close()
+      if (committed.isDefined) throw new java.io.IOException(
+        s"manifest $mf is COMMITTED (footer intact) but fails checksum " +
+          "verification — refusing to treat post-publish damage as a torn " +
+          "claim, which would silently drop its files from the next fold. " +
+          "Restore the manifest or remove the stale .crc sidecar.", ce)
+      None
+  }
+
+  private def parseManifest(stream: java.io.InputStream,
+      version: Long): Option[Manifest] = {
+    val in = new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
     try {
       val ddl = in.readLine()
       if (ddl == null) return None
@@ -235,14 +264,6 @@ object AtomicSink {
         Manifest(version, ddl, es, tags.result(), qid)
       }
     } finally in.close()
-  } catch {
-    case _: java.io.FileNotFoundException => None // vacuumed between list and open
-    case _: NumberFormatException | _: ArrayIndexOutOfBoundsException => None
-    // a checksum-corrupt claim (e.g. a foreign writer's torn
-    // data/.crc pair on a checksummed FS) is DETERMINISTIC damage, not
-    // a transient IO error: treat it like a torn manifest — invalid,
-    // fall back — rather than dead-ending every reader and committer
-    case _: org.apache.hadoop.fs.ChecksumException => None
   }
 
   /** Claim `version` the Delta/HDFSLogStore way: write the COMPLETE

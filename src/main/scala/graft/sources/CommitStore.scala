@@ -56,8 +56,22 @@ object RenameCommitStore extends ManifestCommitStore {
         val dstNio = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
         try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
         catch {
+          // EEXIST (= lost the name race) surfaces as this exact type;
+          // any other errno — EPERM on a mount without hard-link
+          // support, EXDEV, EROFS — is an environment failure, and
+          // swallowing it as "contention" would spin the publish loop
+          // through MaxCommitRetries with a misleading error
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: IOException => false // lost the name claim
+          case e: IOException =>
+            if (java.nio.file.Files.exists(dstNio)) false // raced: name taken
+            else {
+              fs.delete(tmp, false)
+              throw new IOException(
+                s"hard-link claim on $dstNio failed for a reason other than " +
+                  "name contention — does this filesystem support hard links? " +
+                  "If not, configure a ConditionalPutCommitStore via hadoop " +
+                  s"conf '${AtomicCommitStores.ConfKey}'.", e)
+            }
         }
       } else {
         val fc = FileContext.getFileContext(
@@ -65,7 +79,15 @@ object RenameCommitStore extends ManifestCommitStore {
         try { fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst)); true }
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: IOException => false // lost the name claim
+          case e: IOException =>
+            if (fs.exists(dst)) false // raced: name taken
+            else {
+              fs.delete(tmp, false)
+              throw new IOException(
+                s"rename claim on ${fs.makeQualified(dst)} failed for a " +
+                  "reason other than name contention (quota? permissions? " +
+                  "safe-mode?) — surfacing instead of retrying as a race", e)
+            }
         }
       }
     // consumed either way: a winner's content lives on under dst (the
@@ -74,6 +96,79 @@ object RenameCommitStore extends ManifestCommitStore {
     // local dst never carries a mismatched checksum
     fs.delete(tmp, false)
     claimed
+  }
+}
+
+/** Atomic claim of a DIRECTORY name — the table-grain sibling of
+  * [[RenameCommitStore]] (hard links cannot bind directories, so the
+  * primitive necessarily differs per scheme, but the contract and the
+  * loser semantics are identical: the COMPLETE directory appears under
+  * `dst` for exactly one claimant, `tmp` is consumed either way).
+  *
+  *  - **local (`file`)**: `java.nio.file.Files.move(…, ATOMIC_MOVE)` —
+  *    a pure `rename(2)`, which fails cleanly (ENOTEMPTY/EEXIST) when
+  *    the dest was already published. Hadoop's own local rename is NOT
+  *    usable here: both FileSystem.rename and FileContext-over-
+  *    RawLocalFileSystem do a client-side dest-exists check, and on the
+  *    losing interleaving `RawLocalFileSystem.rename` falls back to
+  *    `FileUtil.copy`, which nests the loser's tmp directory INSIDE the
+  *    just-published table — persistently poisoning it for every later
+  *    reader (conflicting-directory errors / double-counted rows).
+  *  - **HDFS-family**: `FileContext.rename` without OVERWRITE — the
+  *    NameNode applies dest-must-not-exist and the move in one
+  *    namespace operation, for directories as for files.
+  *  - **object stores**: refused loudly — there are no directories to
+  *    rename; a table-grain claim there needs a marker-object protocol
+  *    on top of [[ConditionalPutCommitStore]] (publish the directory
+  *    listing as the marker's content), which no caller requires yet.
+  */
+object AtomicDirectoryClaim {
+  def tryClaim(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val won =
+      if (scheme == "file") {
+        val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        val dstNio = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+        try {
+          java.nio.file.Files.move(tmpNio, dstNio,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch {
+          case e: IOException =>
+            // rename(2) refuses an existing dest with ENOTEMPTY/EEXIST;
+            // anything else (EXDEV cross-device, permissions) is an
+            // environment error, not contention
+            if (java.nio.file.Files.exists(dstNio)) false
+            else {
+              fs.delete(tmp, true)
+              throw new IOException(
+                s"directory claim $tmpNio -> $dstNio failed for a reason " +
+                  "other than name contention (cross-device scratch? " +
+                  "permissions?) — surfacing instead of retrying", e)
+            }
+        }
+      } else if (AtomicCommitStores.AtomicRenameSchemes(scheme)) {
+        val fc = FileContext.getFileContext(
+          fs.makeQualified(dst.getParent).toUri, fs.getConf)
+        try { fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst)); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: IOException =>
+            if (fs.exists(dst)) false
+            else {
+              fs.delete(tmp, true)
+              throw new IOException(
+                s"directory claim on ${fs.makeQualified(dst)} failed for a " +
+                  "reason other than name contention", e)
+            }
+        }
+      } else throw new UnsupportedOperationException(
+        s"cannot claim a directory atomically on scheme '$scheme' — its " +
+          "rename is emulated (HEAD+COPY). Point the scratch/table root at " +
+          "a shared POSIX/HDFS filesystem, or publish through graft-atomic " +
+          "with a ConditionalPutCommitStore instead of a directory claim.")
+    if (!won) fs.delete(tmp, true)
+    won
   }
 }
 

@@ -224,6 +224,52 @@ class AtomicSinkSpec extends SparkSpec {
     } finally fs(out).delete(new Path(out), true)
   }
 
+  test("checksum damage: torn claim falls back, COMMITTED manifest fails stop") {
+    import spark.implicits._
+    // corrupt a manifest's bytes in place (same length, via nio so the
+    // .crc sidecar goes stale) — the ChecksumFileSystem read then fails
+    def corrupt(p: Path): Unit = {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      val bytes = java.nio.file.Files.readAllBytes(nio)
+      bytes(0) = 'X'.toByte // mangles the DDL text, leaves the footer intact
+      java.nio.file.Files.write(nio, bytes)
+    }
+    // case 1: a TORN (footer-less) damaged claim stays invisible —
+    // readers fall back to the previous version as before
+    val out = scratch("cksum_torn")
+    try {
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("graft-atomic").mode("append").save(out)
+      val f = fs(out)
+      val torn = f.create(AtomicSink.manifestPath(new Path(out), 2L), false)
+      torn.write("STRUCT<id: BIGINT, v: STRING>\npart-bogus\t1\t1\n".getBytes("UTF-8"))
+      torn.close()
+      corrupt(AtomicSink.manifestPath(new Path(out), 2L))
+      assert(latest(out).version == 1L, "damaged torn claim leaked or dead-ended")
+    } finally fs(out).delete(new Path(out), true)
+    // case 2: the same damage on a COMMITTED latest manifest must NOT
+    // be treated as nonexistent (the next publish would silently fold
+    // from the previous version, losing this version's files) — it
+    // fails stop instead
+    val out2 = scratch("cksum_committed")
+    try {
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("graft-atomic").mode("append").save(out2)
+      // hard-link claims carry no .crc sidecar; recreate the COMMITTED
+      // manifest through a checksummed write so the damage is detectable
+      val f2 = fs(out2)
+      val mp = AtomicSink.manifestPath(new Path(out2), 1L)
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(f2.open(mp))
+      val o = f2.create(mp, true)
+      try o.write(bytes) finally o.close()
+      corrupt(mp)
+      val e = intercept[java.io.IOException] {
+        AtomicSink.latestManifest(fs(out2), new Path(out2))
+      }
+      assert(e.getMessage.contains("COMMITTED"), e.getMessage)
+    } finally fs(out2).delete(new Path(out2), true)
+  }
+
   test("tagged appends are idempotent: a replayed batch folds nothing twice") {
     import spark.implicits._
     val out = scratch("tags")

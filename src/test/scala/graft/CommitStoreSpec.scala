@@ -7,7 +7,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{DelegateToFileSystem, FileSystem, FileUtil, Path, RawLocalFileSystem}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{AtomicCommitStores, AtomicSink, ConditionalPutCommitStore, RenameCommitStore}
+import graft.sources.{AtomicCommitStores, AtomicDirectoryClaim, AtomicSink, ConditionalPutCommitStore, RenameCommitStore}
 
 /** A local filesystem masquerading as an object store: `rename` is
   * EMULATED as exists-check + copy + delete — the S3A/GCS shape — so
@@ -188,6 +188,68 @@ class CommitStoreSpec extends SparkSpec {
       assert(listed.size == listed.distinct.size, "an entry folded twice")
       assert(m.version == (2 * perThread).toLong)
     } finally hconf.unset(AtomicCommitStores.ConfKey)
+  }
+
+  test("directory claim: two racers, one winner, loser never nests inside the table") {
+    val base = new Path(scratch("dirclaim"))
+    val fs = base.getFileSystem(hconf)
+    def buildTmp(who: String): Path = {
+      val t = new Path(base, s"tmp-$who")
+      fs.mkdirs(t)
+      val out = fs.create(new Path(t, s"part-$who"), true)
+      try out.write(who.getBytes("UTF-8")) finally out.close()
+      t
+    }
+    val dst = new Path(base, "tf-race")
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val threads = Seq("alpha", "beta").map { who =>
+      val tmp = buildTmp(who) // built BEFORE the gun so the claims collide
+      val t = new Thread(() => {
+        start.await()
+        try results.put(who, AtomicDirectoryClaim.tryClaim(fs, tmp, dst))
+        catch { case e: Throwable => errors.add(e) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(20000))
+    assert(errors.isEmpty, errors.toArray.mkString("; "))
+    val wins = Seq("alpha", "beta").filter(results.get(_))
+    assert(wins.size == 1, s"expected exactly one winner, got $results")
+    // the published table holds EXACTLY the winner's content — no
+    // nested tmp-* directory, no loser files, and both tmps consumed
+    val inside = fs.listStatus(dst).map(_.getPath.getName).toSet
+    assert(inside == Set(s"part-${wins.head}"),
+      s"published dir poisoned: $inside")
+    assert(!fs.exists(new Path(base, "tmp-alpha")) &&
+      !fs.exists(new Path(base, "tmp-beta")), "a tmp dir survived the claim")
+  }
+
+  test("the directory primitive is load-bearing: Hadoop's local rename copy-nests a loser") {
+    // deterministic reproduction of the failure AtomicDirectoryClaim
+    // exists to prevent: once a winner has published dst, a loser's
+    // FileSystem.rename(tmp, dst) on the local scheme moves tmp INSIDE
+    // dst instead of failing — poisoning the table for every reader
+    val base = new Path(scratch("dirnest"))
+    val fs = base.getFileSystem(hconf)
+    val dst = new Path(base, "tf-table")
+    fs.mkdirs(dst) // the winner's published table — NON-empty, as a
+    fs.create(new Path(dst, "part-winner"), true).close() // real table is
+    val tmp = new Path(base, "tmp-loser")
+    fs.mkdirs(tmp)
+    fs.create(new Path(tmp, "part-loser"), true).close()
+    assert(fs.rename(tmp, dst), "hadoop local rename 'succeeded' into dst")
+    assert(fs.exists(new Path(dst, "tmp-loser/part-loser")),
+      "expected the documented nesting failure from hadoop's local rename")
+    // the claim primitive on the same layout refuses cleanly instead
+    val tmp2 = new Path(base, "tmp-loser2")
+    fs.mkdirs(tmp2)
+    fs.create(new Path(tmp2, "part-loser2"), true).close()
+    assert(!AtomicDirectoryClaim.tryClaim(fs, tmp2, dst))
+    assert(!fs.exists(new Path(dst, "tmp-loser2")), "claim nested the loser")
+    assert(!fs.exists(tmp2), "loser tmp not consumed")
   }
 
   test("two REAL JVMs race 30 tagged appends: every commit visible exactly once") {

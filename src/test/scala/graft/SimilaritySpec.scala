@@ -90,6 +90,23 @@ class SimilaritySpec extends SparkSpec {
       s"brute minus banded: ${(brute -- banded).take(5)}")
   }
 
+  test("banded equals brute at θ=1.0: float-rounded exact duplicates are not dropped") {
+    // at θ=1.0 the naive band width √(2−2θ) collapses to 0, while a
+    // scaled copy's cosine differs from 1 by float-rounding (~1e-7
+    // relative) — the rounding-aware radius (θ−0.5e-6) must keep such
+    // pairs inside one band instead of silently dropping them
+    val scaled = vecs.select((col("vec_id") + 10000).as("vec_id"),
+      expr("transform(embedding, x -> CAST(1.5 * x AS FLOAT))").as("embedding"))
+    val all = vecs.union(scaled)
+    val banded = Similarity.cosineNearDuplicatesBanded(all, threshold = 1.0)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.cosineNearDuplicatesBrute(all, threshold = 1.0)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(banded == brute, s"banded minus brute: ${(banded -- brute).take(5)}; " +
+      s"brute minus banded: ${(brute -- banded).take(5)}")
+    assert(brute.nonEmpty, "planted exact duplicates must qualify at θ=1.0")
+  }
+
   test("banded plan is an equi-join: no cartesian, no nested loop") {
     val plan = Similarity.cosineNearDuplicatesBanded(vecs, threshold = 0.99)
       .queryExecution.executedPlan.toString

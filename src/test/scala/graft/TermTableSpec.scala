@@ -5,8 +5,13 @@ import graft.operators.{TermTable, TrainingQueries, CorpusAnalytics}
 
 class TermTableSpec extends SparkSpec {
 
+  // resolved through TermTable itself (warehouse-derived by default) so
+  // the spec tracks the real layout instead of a hardcoded /tmp path
+  private def tableBase: java.io.File = new java.io.File(
+    new org.apache.hadoop.fs.Path(TermTable.scratchBase(spark)).toUri.getPath)
+
   private def listTables(): Set[String] = {
-    val d = new java.io.File("/tmp/graft_termtable")
+    val d = tableBase
     if (!d.exists()) Set.empty
     else d.listFiles().map(_.getName).filter(_.startsWith("tf-")).toSet
   }
@@ -18,7 +23,7 @@ class TermTableSpec extends SparkSpec {
     assert((after1 -- before).size <= 1) // at most one new table for this sf
     val tableDirs = after1
     // mtime of the table dir must not change on a second call
-    val dir = new java.io.File("/tmp/graft_termtable")
+    val dir = tableBase
     def stamp(): Map[String, Long] =
       dir.listFiles().filter(f => tableDirs(f.getName))
         .map(f => f.getName -> f.lastModified()).toMap

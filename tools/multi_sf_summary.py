@@ -21,6 +21,16 @@ for spec in sys.argv[3:]:
     sec["pass"] = int(m.group(1)) if m else 0
     m = re.search(r"ROWS-ONLY \(\d+\): (\[.*?\])\n", txt, re.S)
     sec["rows_only"] = ast.literal_eval(m.group(1)) if m else []
+    # oracles that never ran to completion (brute-force definitions
+    # exceeding the cap at large SF) — these queries were NOT compared,
+    # and the artifact must say so rather than fold them into ALL MATCH
+    m = re.search(r"ORACLE-TIMEOUT \(\d+, cap (\d+)s\): (\[.*?\])\n", txt, re.S)
+    if m:
+        sec["oracle_timeout_cap_sec"] = int(m.group(1))
+        sec["oracle_timeouts"] = [
+            {"query": q, "spark_rows": n} for q, n in ast.literal_eval(m.group(2))]
+    else:
+        sec["oracle_timeouts"] = []
     fails = re.findall(r"^FAIL.*$", txt, re.M)
     sec["fails"] = fails
     sec["verdict"] = "ALL MATCH" if "ALL MATCH" in txt else "FAILURES"
