@@ -1154,26 +1154,129 @@ object Analytics {
     * 2·cum(r) ≥ tw has the median value v* because cum(r) ≤ F(v*)
     * (all of v*'s tie run is ≤ v*) and every v < v* has
     * 2·F(v) = 2·cum(end of v's run) < tw by r's minimality. */
-  def weightedMedianOf(df: DataFrame, groupCol: String, valueCol: String,
-                       weightCol: String): DataFrame = {
+  /** Two-phase BINNED weighted selection — the shared core of D72
+    * weighted median and D83 weighted quantile brackets. The previous
+    * core (one [[graft.plans.GlobalRank]] pass) range-exchanged and
+    * sorted the WHOLE relation to find ≤ |ps|·|groups| crossing rows;
+    * this one never sorts or shuffles the data at all:
+    *
+    *   1. **Histogram**: one map-side-partial hash aggregate of
+    *      (group, bin) → Σw, where bin = the top bits of the
+    *      order-preserving IEEE-754 key ([[graft.functions.SelectExprs
+    *      .sortableDoubleBits]] >> shift) — exactly monotone by bit
+    *      layout (no min/max pass, no sampling job, no float bucket
+    *      arithmetic that could go non-monotone at boundaries). The
+    *      exchange carries occupied bins only — histogram-sized, never
+    *      data-sized.
+    *   2. **Crossing bins**: per-group bin prefix sums run ON the
+    *      histogram (a window over thousands of rows); for each
+    *      p = num/den the crossing bin, its preceding cumulative
+    *      weight, and the group total broadcast back.
+    *   3. **Resolve**: a second scan keeps ONLY rows in crossing bins
+    *      (≈ n/bins rows — the broadcast semi-join prunes everything
+    *      else), aggregates them by exact value, and the within-bin
+    *      prefix walk picks the crossing VALUE with the same exact
+    *      BIGINT rationals as before (`den·cw ≥ num·tw ∧
+    *      den·(cw−vw) < num·tw` — no p·tw float anywhere).
+    *
+    * Exactness: the bit key is monotone and the double cast of any
+    * numeric valueCol is monotone, so bin order is value order and the
+    * selected value equals the expanded-multiset lower quantile
+    * (PropertySpec pins both callers against the literal expansion).
+    * Scale: two scans + a histogram exchange + tiny broadcasts replace
+    * a full-relation range exchange + sort; the residual within-bin
+    * candidate set is ≈ n/occupied-bins rows — `shift` is the
+    * resolution knob (default 44 ⇒ sign+exponent+8 mantissa bits,
+    * 256 bins per octave: measured the sweet spot where the histogram
+    * aggregate stops paying for bin cardinality while crossing-bin
+    * slices stay a few hundred rows at sf0.1; deepen it, or re-bin the
+    * candidate set with a smaller shift, long before any single bin's
+    * slice challenges a partition). The resolve scan additionally
+    * receives the crossing bins as a LITERAL value-range disjunction,
+    * so the predicate reaches the parquet reader (PushedFilters) — on
+    * a value-sorted/z-ordered table at 100 TB the second scan reads
+    * only the crossing row-groups. */
+  private[operators] def binnedWeightedSelect(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      ps: Seq[(Long, Long, String)], shift: Int = 44): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Contract: weights are strictly positive integers. Non-positive or
     // null weights are dropped HERE, identically to how the expanded-
     // multiset definition treats them (a zero weight contributes no
     // copies; a negative weight has no multiset meaning and would break
-    // the one-crossing-row invariant 2·(cw−w) < tw ≤ 2·cw — on an
-    // all-nonpositive group the native rider would emit nothing while a
-    // naive cw·2 ≥ tw oracle returns the group minimum).
-    val base = df.select(col(groupCol), col(valueCol),
+    // the crossing invariant den·(cw−w) < num·tw ≤ den·cw).
+    val base = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"),
       col(weightCol).cast("long").as("__w"))
-      .filter(col("__w") > 0)
-    graft.plans.GlobalRank.withGlobalRank(base, Seq(groupCol), Seq(valueCol),
-      rankCol = "__rn", countCol = "__n",
-      sumCol = Some("__w"), runCol = "__cw", totCol = Some("__tw"),
-      rankFilterOn = Some(d =>
-        d("__cw") * 2 >= d("__tw") && (d("__cw") - d("__w")) * 2 < d("__tw")))
-      .select(col(groupCol), col(valueCol).as("weighted_median"),
+      .filter(col("__w") > 0 && !col(valueCol).isNull)
+      // -0.0 normalizes to +0.0 before binning: Spark's grouping/sort
+      // semantics treat them as ONE value, so they must share a bin
+      .withColumn("__bin", shiftright(
+        graft.functions.SelectExprs.sortableDoubleBits(
+          when(col("__v").cast("double") === 0.0, lit(0.0))
+            .otherwise(col("__v").cast("double"))),
+        shift))
+    val hist = base.groupBy(col("__g"), col("__bin"))
+      .agg(sum(col("__w")).as("__bw"))
+    val cumw = Window.partitionBy(col("__g")).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cb", sum(col("__bw")).over(cumw))
+      .withColumn("__tw", sum(col("__bw")).over(Window.partitionBy(col("__g"))))
+    val qs = explode(array(ps.map { case (num, den, lbl) =>
+      struct(lit(lbl).as("p"), lit(num).as("num"), lit(den).as("den"))
+    }: _*)).as("__q")
+    val crossBins = cum.select(col("__g").as("__cg"), col("__bin").as("__cbin"),
+        (col("__cb") - col("__bw")).as("__before"), col("__cb"), col("__tw"), qs)
+      .filter(col("__cb") * col("__q.den") >= col("__tw") * col("__q.num") &&
+        col("__before") * col("__q.den") < col("__tw") * col("__q.num"))
+      .select(col("__cg"), col("__cbin"), col("__q.p").as("p"),
+        col("__q.num").as("__num"), col("__q.den").as("__den"),
+        col("__before"), col("__tw"))
+    // The crossing-bin set is ≤ |ps|·|groups| rows — a BOUNDED collect —
+    // and each bin is a contiguous VALUE interval (the sortable-bits
+    // transform is an involution, so bin edges invert to doubles on the
+    // driver). Handing the resolve scan a literal value-range
+    // disjunction instead of only a join condition means the predicate
+    // reaches the parquet reader (PushedFilters): on a value-sorted or
+    // z-ordered table at scale the second scan reads ONLY the crossing
+    // row-groups, and even unsorted it skips the join build entirely.
+    val crossRows = crossBins.collect()
+    // the collect already PAID for the histogram job — hand the rows
+    // back as a LocalRelation so the resolve job's broadcast side costs
+    // nothing instead of re-running the histogram subtree
+    val crossLocal = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(crossRows: _*), crossBins.schema)
+    val ranges = crossRows.map { r =>
+      val b = r.getLong(r.fieldIndex("__cbin"))
+      def unsortable(k: Long): Double =
+        java.lang.Double.longBitsToDouble(k ^ ((k >> 63) & 0x7fffffffffffffffL))
+      (unsortable(b << shift), unsortable((b << shift) | ((1L << shift) - 1)))
+    }
+    val rangeFilter = ranges.map { case (lo, hi) =>
+      if (lo.isNaN || hi.isNaN) lit(true)
+      else col("__v").cast("double") >= lo && col("__v").cast("double") <= hi
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val cand = base.filter(rangeFilter).join(broadcast(crossLocal),
+      col("__g") === col("__cg") && col("__bin") === col("__cbin"))
+    val inBin = Window.partitionBy(col("__g"), col("p")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand
+      .groupBy(col("__g"), col("p"), col("__num"), col("__den"),
+        col("__before"), col("__tw"), col("__v"))
+      .agg(sum(col("__w")).as("__vw"))
+      .withColumn("__cw", col("__before") + sum(col("__vw")).over(inBin))
+      .filter(col("__cw") * col("__den") >= col("__tw") * col("__num") &&
+        (col("__cw") - col("__vw")) * col("__den") < col("__tw") * col("__num"))
+      .select(col("__g").as(groupCol), col("p"), col("__v").as("value"),
         col("__tw").as("total_weight"))
   }
+
+  def weightedMedianOf(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String): DataFrame =
+    binnedWeightedSelect(df, groupCol, valueCol, weightCol,
+      Seq((1L, 2L, "0.50")))
+      .select(col(groupCol), col("value").as("weighted_median"),
+        col("total_weight"))
 
   def weightedMedian(s: SparkSession, dir: String): DataFrame =
     weightedMedianOf(Tables.lineitem(s, dir),
@@ -1193,53 +1296,29 @@ object Analytics {
       |FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------- D83
-  /** Weighted quantile BRACKETS (p25/p50/p75) per group in ONE weighted
-    * prefix scan — the percentile-band report (price bands by unit
-    * volume here; latency bands by request weight in ops) that would
-    * otherwise run one selection pass per p. The weighted p-quantile is
-    * the smallest value whose cumulative weight reaches p·total; all
-    * three selections ride a single [[graft.plans.GlobalRank]] pass —
-    * the rider keeps any row crossing ANY of the three thresholds
-    * (`den·cw ≥ num·tw ∧ den·(cw−w) < num·tw`, exact BIGINT arithmetic
-    * — no p·tw float rounding), so at most 3·|groups| rows are ever
-    * projected out of the emit loop. One range exchange on (group,
-    * value) spreads the sort across all partitions; a single crossing
-    * row can carry several p's (a heavy value straddling p25 AND p50),
-    * so the tail explodes the three labels and keeps the satisfied
-    * ones — a constant-width projection over a 3·|groups|-row frame. */
+  /** Weighted quantile BRACKETS (p25/p50/p75) per group in ONE
+    * two-phase binned selection — the percentile-band report (price
+    * bands by unit volume here; latency bands by request weight in
+    * ops) that would otherwise run one selection pass per p. The
+    * weighted p-quantile is the smallest value whose cumulative weight
+    * reaches p·total; all three selections share the SAME histogram
+    * pass and the same crossing-bin resolve
+    * ([[binnedWeightedSelect]] — exact BIGINT rationals, no p·tw
+    * float rounding, no data-sized sort or range exchange; r18,
+    * replacing the GlobalRank pass whose full-relation range exchange
+    * was the family's floor). A single bin can carry several p's (a
+    * heavy value straddling p25 AND p50) — each p resolves its own
+    * crossing independently off the shared histogram. */
   /** Generic core: each p = num/den (exact rationals, labelled `lbl`)
     * selects the smallest value whose cumulative weight reaches
-    * p·total — all brackets in ONE weighted prefix scan. */
+    * p·total — all brackets in ONE two-phase binned selection
+    * ([[binnedWeightedSelect]]): a histogram pass + a crossing-bin
+    * resolve, no data-sized sort or exchange anywhere. */
   def weightedQuantileBracketsOf(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String,
-      ps: Seq[(Long, Long, String)]): DataFrame = {
-    // same strictly-positive-weight contract as weightedMedianOf:
-    // non-positive/null weights are dropped up front (they contribute
-    // no expanded copies, and negatives would break the crossing
-    // invariant den·(cw−w) < num·tw ≤ den·cw)
-    val base = df.select(col(groupCol), col(valueCol),
-      col(weightCol).cast("long").as("__w"))
-      .filter(col("__w") > 0)
-    val crossing = ps.map { case (num, den, _) => (cw: Column, w: Column, tw: Column) =>
-      cw * den >= tw * num && (cw - w) * den < tw * num
-    }
-    val ranked = graft.plans.GlobalRank.withGlobalRank(base,
-      Seq(groupCol), Seq(valueCol),
-      rankCol = "__rn", countCol = "__n",
-      sumCol = Some("__w"), runCol = "__cw", totCol = Some("__tw"),
-      rankFilterOn = Some(d => crossing.map(_(d("__cw"), d("__w"), d("__tw")))
-        .reduce(_ || _)))
-    ranked
-      .select(col(groupCol), explode(array(ps.map { case (num, den, lbl) =>
-        struct(lit(lbl).as("p"),
-          when(col("__cw") * den >= col("__tw") * num &&
-            (col("__cw") - col("__w")) * den < col("__tw") * num,
-            col(valueCol)).as("value"))
-      }: _*)).as("pv"))
-      .filter(col("pv.value").isNotNull)
-      .select(col(groupCol), col("pv.p").as("p"),
-        col("pv.value").as("value"))
-  }
+      ps: Seq[(Long, Long, String)]): DataFrame =
+    binnedWeightedSelect(df, groupCol, valueCol, weightCol, ps)
+      .select(col(groupCol), col("p"), col("value"))
 
   def weightedQuantiles(s: SparkSession, dir: String): DataFrame =
     weightedQuantileBracketsOf(Tables.lineitem(s, dir),

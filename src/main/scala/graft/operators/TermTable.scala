@@ -50,12 +50,16 @@ object TermTable {
     PassCache.scratchBase(s)
 
   /** The tokenization pass itself — the ONLY place the family's
-    * tokenizer is defined. */
-  private def build(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    * tokenizer is defined (both the one-shot table and the maintained
+    * fold go through it). */
+  private[graft] def tokenize(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  private def build(s: SparkSession, dir: String): DataFrame =
+    tokenize(Tables.documents(s, dir))
 
   /** Resolved table directory for this (source, tokenizer) — exposed so
     * specs can observe materialization without duplicating the layout. */
@@ -70,6 +74,41 @@ object TermTable {
   /** Corpus-wide term counts (term, n) derived from the shared pass. */
   def termCounts(s: SparkSession, dir: String): DataFrame =
     termFrequencies(s, dir).groupBy(col("term"))
+      .agg(sum(col("tf")).cast("long").as("n"))
+
+  // ------------------------------------------------- maintained fold
+
+  /** C13 ∘ A15 — the MAINTAINED term table: fold one batch (a day's
+    * ingest) of documents into a `graft-atomic` term table at |Δ|
+    * cost. The one-shot table above re-tokenizes the WHOLE corpus
+    * whenever its source fingerprint moves — correct, but at 100 TB a
+    * daily refresh must not cost a corpus pass. Because every batch
+    * carries NEW doc_ids, its (doc_id, term, tf) rows are disjoint
+    * from the table's, so incremental maintenance is a pure
+    * transactional APPEND of the tokenized delta — no read-modify-
+    * write, no re-aggregation of the old corpus, and consumers
+    * aggregate at read time exactly as they do over the one-shot
+    * table, so a folded table is query-equivalent to a full rebuild
+    * (the E85 gate pins the equivalence bit-for-bit against the
+    * recomputing oracle). Delivery faults ride graft-atomic's
+    * idempotence tag: a re-delivered batch publishes NOTHING (the C7
+    * exactly-once discipline), and a crash mid-fold leaves the table
+    * at its previous committed version — readers never see a partial
+    * day. */
+  def foldBatch(s: SparkSession, root: String, docs: DataFrame,
+                tag: String): Unit =
+    tokenize(docs)
+      .write.format("graft-atomic").option("graft.tag", tag)
+      .mode("append").save(root)
+
+  /** The maintained table's committed rows (doc_id, term, tf). */
+  def foldedTermFrequencies(s: SparkSession, root: String): DataFrame =
+    graft.sources.AtomicSink.readCommitted(s, root)
+
+  /** Corpus term counts over the maintained table — same derivation
+    * as [[termCounts]], same integer exactness. */
+  def foldedTermCounts(s: SparkSession, root: String): DataFrame =
+    foldedTermFrequencies(s, root).groupBy(col("term"))
       .agg(sum(col("tf")).cast("long").as("n"))
 }
 

@@ -473,6 +473,38 @@ object TrainingQueries {
       |SELECT term, COUNT(*) AS n FROM t WHERE len(term) > 0
       |GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""".stripMargin
 
+  // ----------------------------------------------------------- E85
+  /** Incrementally-maintained term table gate (C13 ∘ A15): the corpus
+    * arrives as three disjoint "days" folded one at a time through
+    * [[TermTable.foldBatch]] — each fold tokenizes ONLY its delta and
+    * transactionally appends it — and day 1 is then RE-DELIVERED (the
+    * at-least-once reality) with its original tag, which must publish
+    * nothing. The emitted top-100 corpus terms from the maintained
+    * table must equal the one-shot full-corpus recompute (the E15
+    * oracle) bit-for-bit: a dropped batch, a double-folded replay, or
+    * a torn fold all surface as count mismatches. This is what keeps
+    * the curation family's shared pass affordable at 100 TB — a daily
+    * refresh costs |day|, not |corpus|. */
+  def termTableFoldGate(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/term_table_fold"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true) // fresh fold every run: the gate IS the maintenance
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { day =>
+      TermTable.foldBatch(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === day),
+        tag = s"day-$day")
+    }
+    // replayed delivery of day 1: the tag makes it fold NOTHING
+    TermTable.foldBatch(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      tag = "day-1")
+    TermTable.foldedTermCounts(s, root)
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(100)
+  }
+
+  val termTableFoldGateSql: String = topTermsSql
+
   // ----------------------------------------------------------- E22
   /** TF-IDF top-3 terms per document. tf and df are exact integers;
     * only the final score multiplies through ln() — ranked by
@@ -1630,12 +1662,18 @@ object TrainingQueries {
     // same equivalence classes as the oracle's sorted-digit string with
     // zero split/array-sort/join allocations on either join side, and
     // the shuffle carries an 8-byte key instead of a 9-char string
-    def keyed(df: DataFrame, idAs: String, nameAs: String): DataFrame =
-      df.select(col("id").as(idAs), col("name").as(nameAs),
+    def keyed(df: DataFrame, idAs: String, sfxAs: String): DataFrame =
+      df.select(col("id").as(idAs),
+        substring(col("name"), 10, 9).as(sfxAs),
         graft.functions.HashExprs.digitMultisetKey(col("name")).as("bk"))
-    val ed = levenshtein(col("clean_name"), col("dirty_name"))
-    keyed(base, "clean_id", "clean_name")
-      .join(keyed(dirty, "dirty_id", "dirty_name"), "bk")
+    // every name shares the literal 'Customer#' prefix, and edit
+    // distance is invariant under stripping a common prefix — so the
+    // verify runs the Levenshtein DP over the 9-digit suffixes (81
+    // cells) instead of the full 18-char names (289 cells), exactly
+    // the oracle's full-name distance at ~3.5x less per-candidate work
+    val ed = levenshtein(col("clean_sfx"), col("dirty_sfx"))
+    keyed(base, "clean_id", "clean_sfx")
+      .join(keyed(dirty, "dirty_id", "dirty_sfx"), "bk")
       .filter(ed <= 2)
       .select(col("clean_id"), (col("dirty_id") - 1000000L).as("dirty_src"),
         ed.cast("int").as("edit_dist"),

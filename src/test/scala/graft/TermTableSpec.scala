@@ -71,6 +71,34 @@ class TermTableSpec extends SparkSpec {
     assert((t2 -- t1).size == 1, "refreshed source did not trigger a rebuild")
   }
 
+  test("maintained fold equals the one-shot build bit-for-bit; a replay folds nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tt_fold").toString + "/t"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { day =>
+      TermTable.foldBatch(spark, root,
+        docs.filter(pmod(col("doc_id"), lit(3)) === day), tag = s"d$day")
+    }
+    def rows() = TermTable.foldedTermFrequencies(spark, root)
+      .as[(Long, String, Long)].collect().toSet
+    val folded = rows()
+    val oneShot = TermTable.termFrequencies(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(folded == oneShot, s"fold diverged: ${(folded -- oneShot).take(3)} / " +
+      s"${(oneShot -- folded).take(3)}")
+    // replayed day: same tag, must publish nothing
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vBefore = graft.sources.AtomicSink
+      .latestManifest(fs, new org.apache.hadoop.fs.Path(root)).get.version
+    TermTable.foldBatch(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), tag = "d1")
+    val vAfter = graft.sources.AtomicSink
+      .latestManifest(fs, new org.apache.hadoop.fs.Path(root)).get.version
+    assert(vAfter == vBefore, "a replayed batch published a new version")
+    assert(rows() == oneShot, "a replayed batch changed the table")
+  }
+
   test("concurrent first builds settle on one table, both callers read it") {
     val scratch = java.nio.file.Files.createTempDirectory("graft_tt_race").toString
     java.nio.file.Files.copy(
