@@ -24,9 +24,9 @@ for spec in sys.argv[3:]:
     # oracles that never ran to completion (brute-force definitions
     # exceeding the cap at large SF) — these queries were NOT compared,
     # and the artifact must say so rather than fold them into ALL MATCH
-    m = re.search(r"ORACLE-TIMEOUT \(\d+, cap (\d+)s\): (\[.*?\])\n", txt, re.S)
+    m = re.search(r"ORACLE-TIMEOUT \(\d+, cap ([\d.]+)s\): (\[.*?\])\n", txt, re.S)
     if m:
-        sec["oracle_timeout_cap_sec"] = int(m.group(1))
+        sec["oracle_timeout_cap_sec"] = float(m.group(1))
         sec["oracle_timeouts"] = [
             {"query": q, "spark_rows": n} for q, n in ast.literal_eval(m.group(2))]
     else:
