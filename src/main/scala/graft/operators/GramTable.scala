@@ -57,14 +57,17 @@ object GramTable {
     * ≥ N-token filter keeps the kernel's whole-text fallback arm out
     * of the universe (matching the consumers' no-ELSE explode form,
     * where a short document contributes no grams at all). */
-  private def build(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private[graft] def shingle(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), lower(col("text")).as("lt"))
       .filter(size(split(col("lt"), " ")) >= N)
       .select(col("doc_id"), col("source"),
         explode(graft.functions.HashExprs.wordShingleHashPairs(col("lt"), N)).as("g"))
       .select(col("doc_id"), col("source"),
         col("g.h1").as("h1"), col("g.h2").as("h2"))
+
+  private def build(s: SparkSession, dir: String): DataFrame =
+    shingle(Tables.documents(s, dir))
 
   private[graft] def tableRoot(s: SparkSession, dir: String): Path =
     PassCache.tableRoot(s, dir, s"gram$N", s"h$HasherVersion-n$N")
@@ -74,4 +77,25 @@ object GramTable {
     * and reused by every family member. */
   def docGrams(s: SparkSession, dir: String): DataFrame =
     PassCache.materialized(s, tableRoot(s, dir))(build(s, dir))
+
+  // ------------------------------------------------- maintained fold
+
+  /** C13 ∘ A15 at gram grain — the [[TermTable.foldBatch]] argument
+    * applied to this pass: each ingest day shingles ONLY its delta and
+    * folds it as a transactional `graft-atomic` append (new batches
+    * carry new doc_ids, so the per-doc gram rows are disjoint and no
+    * corpus re-shingling ever happens); a re-delivered batch rides the
+    * idempotence tag and publishes nothing; a crash mid-fold leaves
+    * the previous committed version visible. The E86 gate pins the
+    * folded table query-equivalent to the one-shot full-corpus
+    * shingling bit-for-bit. */
+  def foldBatch(s: SparkSession, root: String, docs: DataFrame,
+                tag: String): Unit =
+    shingle(docs)
+      .write.format("graft-atomic").option("graft.tag", tag)
+      .mode("append").save(root)
+
+  /** The maintained table's committed rows (doc_id, source, h1, h2). */
+  def foldedDocGrams(s: SparkSession, root: String): DataFrame =
+    graft.sources.AtomicSink.readCommitted(s, root)
 }

@@ -505,6 +505,43 @@ object TrainingQueries {
 
   val termTableFoldGateSql: String = topTermsSql
 
+  // ----------------------------------------------------------- E86
+  /** Incrementally-maintained GRAM table gate — E85's discipline at
+    * shingle grain: three "days" fold one at a time through
+    * [[GramTable.foldBatch]] (each shingles only its delta), day 1
+    * re-delivers with its original tag (must publish nothing), and the
+    * emitted per-document distinct-gram counts off the maintained
+    * table must equal the one-shot full-corpus shingling's — the
+    * output is hash-free (doc_id, n_grams), so the string-resolving
+    * oracle recomputes it exactly and any dropped batch, double-folded
+    * replay, or hash-collision effect surfaces as a count mismatch. */
+  def gramTableFoldGate(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/gram_table_fold"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true) // fresh fold every run: the gate IS the maintenance
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    (0 until 3).foreach { day =>
+      GramTable.foldBatch(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === day),
+        tag = s"day-$day")
+    }
+    GramTable.foldBatch(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      tag = "day-1") // replayed delivery: the tag makes it fold NOTHING
+    GramTable.foldedDocGrams(s, root)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+  }
+
+  val gramTableFoldGateSql: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4])) AS gram
+      |  FROM d WHERE len(toks) >= 5)
+      |SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- E22
   /** TF-IDF top-3 terms per document. tf and df are exact integers;
     * only the final score multiplies through ln() — ranked by
