@@ -99,6 +99,33 @@ class TermTableSpec extends SparkSpec {
     assert(rows() == oneShot, "a replayed batch changed the table")
   }
 
+  test("gram-table fold equals the one-shot shingling bit-for-bit; replay folds nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gt_fold").toString + "/t"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text"))
+    (0 until 3).foreach { day =>
+      graft.operators.GramTable.foldBatch(spark, root,
+        docs.filter(pmod(col("doc_id"), lit(3)) === day), tag = s"d$day")
+    }
+    def rows() = graft.operators.GramTable.foldedDocGrams(spark, root)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val folded = rows()
+    val oneShot = graft.operators.GramTable.docGrams(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(folded == oneShot, s"fold diverged: ${(folded -- oneShot).take(3)} / " +
+      s"${(oneShot -- folded).take(3)}")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vBefore = graft.sources.AtomicSink
+      .latestManifest(fs, new org.apache.hadoop.fs.Path(root)).get.version
+    graft.operators.GramTable.foldBatch(spark, root,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), tag = "d1")
+    val vAfter = graft.sources.AtomicSink
+      .latestManifest(fs, new org.apache.hadoop.fs.Path(root)).get.version
+    assert(vAfter == vBefore, "a replayed batch published a new version")
+    assert(rows() == oneShot, "a replayed batch changed the table")
+  }
+
   test("concurrent first builds settle on one table, both callers read it") {
     val scratch = java.nio.file.Files.createTempDirectory("graft_tt_race").toString
     java.nio.file.Files.copy(
