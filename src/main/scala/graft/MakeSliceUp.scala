@@ -60,8 +60,29 @@ object MakeSliceUp {
     val reps = spark.range(0, k).select(col("id").as("__r"))
 
     /** Replicate and shift the named key columns by __r·stride, keeping
-      * each key's original data type. */
+      * each key's original data type. The cast back to the source type
+      * would WRAP silently if replica·stride overflows a 32-bit key
+      * (aliasing keys across replicas — corrupted FK joins and dup
+      * counts with no error), so every shifted column first proves that
+      * its worst case, (stride−1) + (K−1)·stride = K·stride − 1, fits
+      * the original type. Key columns are ≤ stride−1 by construction
+      * (stride = max key + 1 of the referenced table). */
     def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      shifts.foreach { case (c, s) =>
+        val typeMax: Long = df.schema(c).dataType match {
+          case org.apache.spark.sql.types.ByteType    => Byte.MaxValue.toLong
+          case org.apache.spark.sql.types.ShortType   => Short.MaxValue.toLong
+          case org.apache.spark.sql.types.IntegerType => Int.MaxValue.toLong
+          case org.apache.spark.sql.types.LongType    => Long.MaxValue
+          case other => sys.error(s"replicate: non-integral key column $c: $other")
+        }
+        val worst = try math.subtractExact(math.multiplyExact(k.toLong, s), 1L)
+          catch { case _: ArithmeticException => Long.MaxValue }
+        require(worst <= typeMax,
+          s"replicate: shifted key $c would overflow ${df.schema(c).dataType} " +
+            s"at K=$k (max shifted value $worst > $typeMax) — regenerate the " +
+            "source with a wider key type or lower K")
+      }
       val shifted = shifts.foldLeft(df.crossJoin(broadcast(reps))) {
         case (d, (c, s)) =>
           d.withColumn(c, (col(c).cast("long") + col("__r") * s)
@@ -110,6 +131,19 @@ object MakeSliceUp {
     write("events", replicate(raw("events"),
       "event_id" -> stride("evt"), "user_id" -> stride("user")))
 
+    // Token-disjointness of replicas assumes no SOURCE token already
+    // contains the '·' separator: a source token 'foo·1' (verbatim in
+    // replica 0) would equal replica 1's suffixed 'foo', creating the
+    // exact cross-replica gram/dup pairs the design promises cannot
+    // exist. One cheap pass proves the assumption on this corpus.
+    if (k > 1) {
+      val tainted = raw("documents")
+        .filter(col("text").contains("·")).limit(1).count()
+      require(tainted == 0L,
+        "MakeSliceUp: source corpus contains the replica separator '·' — " +
+          "token-disjointness would be violated; pick a separator absent " +
+          "from the corpus alphabet")
+    }
     val docs = raw("documents").crossJoin(broadcast(reps))
       .withColumn("doc_id", (col("doc_id").cast("long") + col("__r") * stride("doc"))
         .cast(raw("documents").schema("doc_id").dataType))

@@ -580,57 +580,26 @@ object Analytics {
 
   // --------------------------------------------------------------- D61
   /** Interpolated (percentile_cont / type-7) quantiles, distributed:
-    * h = (n−1)·p picks bracketing ranks ⌊h⌋+1 and min(⌊h⌋+2, n); the
-    * ranks come from `Relational.globalRank` (range repartition +
-    * offset lifting — D19's machinery), so no group ever funnels
-    * through one reducer. The two bracket rows per (group, p) are
-    * selected by rank equality and folded with one conditional
-    * aggregation; the interpolation arithmetic runs once per output
-    * row, with the frac=0 case short-circuited so a top-rank bracket
-    * (hi undefined) cannot null the result. Exact-rank selection
+    * h = (n−1)·p picks bracketing ranks ⌊h⌋+1 and min(⌊h⌋+2, n); both
+    * brackets of every p come from ONE two-phase binned selection
+    * ([[binnedRankInterp]] — a histogram pass + a crossing-bin
+    * resolve, r19, replacing the GlobalRank formulation whose
+    * full-relation range exchange + sort was this query's floor, the
+    * same move that halved the weighted family in r18). Nothing
+    * data-sized is sorted or exchanged; the interpolation arithmetic
+    * runs once per output row with the frac=0 case short-circuited,
+    * oracle-mirrored expression for expression. Exact-rank selection
     * (D19) stays the bit-stable default; this is the SQL-standard
-    * PERCENTILE_CONT counterpart, oracle-mirrored expression for
-    * expression. */
+    * PERCENTILE_CONT counterpart. Values are non-null by schema here;
+    * on a nullable column the binned core skips nulls from both rank
+    * space and n (the oracle's COUNT(*) would not — see the core's
+    * contract). */
   def quantilesInterp(s: SparkSession, dir: String,
-                      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
-    def loR(rn: Column, n: Column, p: Double): Column =
-      floor((n - 1) * p).cast("long") + 1L
-    def hiR(rn: Column, n: Column, p: Double): Column =
-      least(loR(rn, n, p) + 1L, n)
-    // bracket selection rides INSIDE the rank operator (the D19
-    // discipline): only the ~2·|ps| bracket rows per group are ever
-    // projected out of the sort pass — the array/explode tagging below
-    // runs over dozens of rows, not the full ranked table
-    val ranked = Relational.globalRank(
+                      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    binnedRankInterp(
       Tables.lineitem(s, dir)
         .select(col("l_linestatus"), col("l_extendedprice").as("value")),
-      groupCols = Seq("l_linestatus"), sortCols = Seq("value"),
-      rankFilter = Some((rn, n) =>
-        ps.map(p => rn === loR(rn, n, p) || rn === hiR(rn, n, p)).reduce(_ || _)))
-    def loRank(p: Double): Column = floor((col("n") - 1) * p).cast("long") + 1L
-    def hiRank(p: Double): Column = least(loRank(p) + 1L, col("n"))
-    // one row per matched (p, side); a row can serve several ps
-    val tagged = ranked
-      .select(col("l_linestatus"), col("rn"), col("n"), col("value"),
-        explode(filter(array(ps.map(p =>
-          when(col("rn") === loRank(p) || col("rn") === hiRank(p), lit(p))): _*),
-          x => x.isNotNull)).as("p"))
-    val h = (col("n") - 1) * col("p")
-    val frac = h - floor(h)
-    val lo = col("lo"); val hi = col("hi")
-    tagged
-      .groupBy(col("l_linestatus"), col("p"))
-      .agg(max(col("n")).as("n"),
-        min(when(col("rn") === floor((col("n") - 1) * col("p")).cast("long") + 1L,
-          col("value"))).as("lo"),
-        min(when(col("rn") ===
-          least(floor((col("n") - 1) * col("p")).cast("long") + 2L, col("n")),
-          col("value"))).as("hi"))
-      .select(col("l_linestatus"), col("p"),
-        round(when(frac === 0.0, lo).otherwise(lo + frac * (hi - lo)), 6)
-          .as("value"))
-  }
+      "l_linestatus", "value", ps)
 
   // --------------------------------------------------------------- D64
   /** Period-over-period comparison: month-over-month revenue deltas.
@@ -1195,11 +1164,38 @@ object Analytics {
     * receives the crossing bins as a LITERAL value-range disjunction,
     * so the predicate reaches the parquet reader (PushedFilters) — on
     * a value-sorted/z-ordered table at 100 TB the second scan reads
-    * only the crossing row-groups. */
+    * only the crossing row-groups.
+    *
+    * '''Execution + input contract (read before calling):'''
+    *
+    *  - '''Eagerly executes''' the histogram job AT DATAFRAME
+    *    CONSTRUCTION TIME (the bounded crossing-bin collect) — calling
+    *    this, or [[weightedMedianOf]]/[[weightedQuantileBracketsOf]],
+    *    runs a Spark job as a side effect; do not assume laziness.
+    *  - The resolve pass re-derives `base` from `df` in a SECOND
+    *    independent job, so `df` must be '''deterministic and stable'''
+    *    across the two jobs: no rand/sample/monotonically_increasing_id
+    *    in its lineage (guarded below), and the underlying files must
+    *    not change between the histogram job and the resolve job — a
+    *    mutated input would silently drop crossing rows from the
+    *    value-range filter and vanish groups from the output. Callers
+    *    reading a moving table should snapshot (cache/checkpoint or a
+    *    committed-manifest read) first.
+    *  - Rows with a '''null value''' contribute nothing — not even to
+    *    `total_weight` (they have no place in the value-ordered
+    *    multiset, mirroring how ORDER BY-based oracles skip them from
+    *    cumulative sums); on nullable value columns, totals therefore
+    *    differ from a count(*)-style weight sum. Weights must be
+    *    positive integers (non-positive/null weights drop, see below). */
   private[operators] def binnedWeightedSelect(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String,
       ps: Seq[(Long, Long, String)], shift: Int = 44): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.queryExecution.analyzed.exists(_.expressions.exists(e =>
+        e.exists(!_.deterministic))),
+      "binnedWeightedSelect input must be deterministic: the histogram and " +
+        "resolve passes scan it in two independent jobs, and a " +
+        "rand/sample/monotonic-id lineage would make them disagree silently")
     // Contract: weights are strictly positive integers. Non-positive or
     // null weights are dropped HERE, identically to how the expanded-
     // multiset definition treats them (a zero weight contributes no
@@ -1269,6 +1265,102 @@ object Analytics {
         (col("__cw") - col("__vw")) * col("__den") < col("__tw") * col("__num"))
       .select(col("__g").as(groupCol), col("p"), col("__v").as("value"),
         col("__tw").as("total_weight"))
+  }
+
+  /** Two-phase BINNED rank-bracket selection — the D61 interpolated
+    * quantile's core, sibling of [[binnedWeightedSelect]] (same
+    * histogram → crossing-bin → resolve shape, same eager-execution and
+    * deterministic/stable-input contract, same non-null-value rule),
+    * specialised to ROW-RANK targets instead of weight rationals: for
+    * each p it selects BOTH bracket ranks of the type-7 interpolation,
+    * lo = ⌊(n−1)·p⌋+1 and hi = min(lo+1, n), in one pass. The rank
+    * targets depend on the per-group count n, so they are computed ON
+    * the histogram (where n = Σ bin counts is already in hand) rather
+    * than passed in as constants — ⌊(n−1)·p⌋ in double, mirroring the
+    * oracle's FLOOR((n-1)*p) expression for bit-identical bracket
+    * choice (n ≪ 2^53 always holds for row counts).
+    *
+    * This replaces the r18 GlobalRank formulation whose full-relation
+    * range exchange + sort was the query's floor (2.69× the DuckDB
+    * cohort floor — the last >2× anywhere): here nothing data-sized is
+    * ever sorted or range-exchanged; the resolve scan reads only the
+    * ≤ 2·|ps|·|groups| crossing bins' value ranges (PushedFilters).
+    * Returns one row per (group, p): `(groupCol, p, value)` with the
+    * interpolated value rounded to 6 decimals. */
+  private[operators] def binnedRankInterp(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double], shift: Int = 44): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    require(!df.queryExecution.analyzed.exists(_.expressions.exists(e =>
+        e.exists(!_.deterministic))),
+      "binnedRankInterp input must be deterministic: the histogram and " +
+        "resolve passes scan it in two independent jobs")
+    val base = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(!col(valueCol).isNull)
+      .withColumn("__bin", shiftright(
+        graft.functions.SelectExprs.sortableDoubleBits(
+          when(col("__v").cast("double") === 0.0, lit(0.0))
+            .otherwise(col("__v").cast("double"))),
+        shift))
+    val hist = base.groupBy(col("__g"), col("__bin"))
+      .agg(count(lit(1)).as("__bw"))
+    val cumw = Window.partitionBy(col("__g")).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cb", sum(col("__bw")).over(cumw))
+      .withColumn("__tw", sum(col("__bw")).over(Window.partitionBy(col("__g"))))
+    // both brackets of every p, each carrying its own target rank
+    val qs = explode(array(ps.flatMap { p =>
+      val loR = floor((col("__tw").cast("double") - 1.0) * lit(p))
+        .cast("long") + 1L
+      val hiR = least(loR + 1L, col("__tw"))
+      Seq(struct(lit(p).as("p"), lit("lo").as("side"), loR.as("r")),
+        struct(lit(p).as("p"), lit("hi").as("side"), hiR.as("r")))
+    }: _*)).as("__q")
+    val crossBins = cum.select(col("__g").as("__cg"), col("__bin").as("__cbin"),
+        (col("__cb") - col("__bw")).as("__before"), col("__cb"), col("__tw"), qs)
+      .filter(col("__cb") >= col("__q.r") && col("__before") < col("__q.r"))
+      .select(col("__cg"), col("__cbin"), col("__q.p").as("p"),
+        col("__q.side").as("__side"), col("__q.r").as("__r"),
+        col("__before"), col("__tw"))
+    // bounded: ≤ 2·|ps|·|groups| rows (see binnedWeightedSelect — same
+    // LocalRelation hand-back so the broadcast side is free, same
+    // literal value-range pushdown for the resolve scan)
+    val crossRows = crossBins.collect()
+    val crossLocal = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(crossRows: _*), crossBins.schema)
+    val ranges = crossRows.map { r =>
+      val b = r.getLong(r.fieldIndex("__cbin"))
+      def unsortable(k: Long): Double =
+        java.lang.Double.longBitsToDouble(k ^ ((k >> 63) & 0x7fffffffffffffffL))
+      (unsortable(b << shift), unsortable((b << shift) | ((1L << shift) - 1)))
+    }
+    val rangeFilter = ranges.map { case (lo, hi) =>
+      if (lo.isNaN || hi.isNaN) lit(true)
+      else col("__v").cast("double") >= lo && col("__v").cast("double") <= hi
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val cand = base.filter(rangeFilter).join(broadcast(crossLocal),
+      col("__g") === col("__cg") && col("__bin") === col("__cbin"))
+    val inBin = Window.partitionBy(col("__g"), col("p"), col("__side"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = cand
+      .groupBy(col("__g"), col("p"), col("__side"), col("__r"),
+        col("__before"), col("__tw"), col("__v"))
+      .agg(count(lit(1)).as("__vw"))
+      .withColumn("__cw", col("__before") + sum(col("__vw")).over(inBin))
+      .filter(col("__cw") >= col("__r") &&
+        (col("__cw") - col("__vw")) < col("__r"))
+    val h = (col("__tw").cast("double") - 1.0) * col("p")
+    val frac = h - floor(h)
+    picked
+      .groupBy(col("__g"), col("p"), col("__tw"))
+      .agg(min(when(col("__side") === "lo", col("__v"))).as("lo"),
+        min(when(col("__side") === "hi", col("__v"))).as("hi"))
+      .select(col("__g").as(groupCol), col("p"),
+        round(when(frac === 0.0, col("lo"))
+          .otherwise(col("lo") + frac * (col("hi") - col("lo"))), 6)
+          .as("value"))
   }
 
   def weightedMedianOf(df: DataFrame, groupCol: String, valueCol: String,

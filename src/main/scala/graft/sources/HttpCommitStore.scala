@@ -53,8 +53,25 @@ class HttpConditionalPutCommitStore extends ConditionalPutCommitStore {
           s"'${HttpConditionalPutCommitStore.EndpointKey}' (the object " +
           "endpoint base URL) to claim manifest versions"))
     val key = fs.makeQualified(dst).toUri.getPath
-    val req = HttpRequest.newBuilder(URI.create(endpoint.stripSuffix("/") + key))
+    // Build the target through the multi-arg URI constructor so a key
+    // with URI-special characters (spaces, '%', non-ASCII partition
+    // values) is percent-encoded instead of blowing up URI.create with
+    // an IllegalArgumentException mid-commit-loop. Malformed endpoint
+    // conf still surfaces, but as a clean IOException.
+    val target =
+      try {
+        val base = URI.create(endpoint.stripSuffix("/"))
+        new URI(base.getScheme, base.getAuthority,
+          base.getPath.stripSuffix("/") + key, null, null)
+      } catch {
+        case e @ (_: java.net.URISyntaxException | _: IllegalArgumentException) =>
+          throw new IOException(
+            s"cannot build conditional-PUT target from endpoint '$endpoint' " +
+              s"and key '$key'", e)
+      }
+    val req = HttpRequest.newBuilder(target)
       .header("If-None-Match", "*")
+      .timeout(HttpConditionalPutCommitStore.RequestTimeout)
       .PUT(HttpRequest.BodyPublishers.ofByteArray(content))
       .build()
     val resp =
@@ -78,5 +95,11 @@ class HttpConditionalPutCommitStore extends ConditionalPutCommitStore {
 object HttpConditionalPutCommitStore {
   /** Hadoop conf key: base URL of the conditional-PUT object endpoint. */
   val EndpointKey = "graft.atomic.commitStore.http.endpoint"
-  private lazy val client: HttpClient = HttpClient.newHttpClient()
+  /** Bounded connect + per-request deadlines: a stalled endpoint must
+    * surface as an IOException (HttpTimeoutException) the claim loop
+    * classifies as environmental — never hang the commit forever. */
+  private[sources] val ConnectTimeout = java.time.Duration.ofSeconds(10)
+  private[sources] val RequestTimeout = java.time.Duration.ofSeconds(60)
+  private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(ConnectTimeout).build()
 }

@@ -174,16 +174,17 @@ class AnalyticsSpec extends SparkSpec {
     ours.foreach { case (k, v) =>
       assert(math.abs(v - builtin(k)) < 1e-4, s"$k: $v vs ${builtin(k)}")
     }
-    // the distributed plan: ranks ride the native GlobalRank operator
-    // over a visible range repartition, with NO per-group
-    // single-reducer sort anywhere
+    // the distributed plan (r19, binnedRankInterp): a histogram hash
+    // aggregate + crossing-bin resolve — NO data-sized sort or range
+    // exchange anywhere, and the resolve scan's value-range predicate
+    // reaches the parquet reader
     val plan = Analytics.quantilesInterp(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("GlobalRank"), plan)
-    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
-    // any window left runs over per-(partition, group) COUNT rows —
-    // never over the value column
-    assert(!"windowspecdefinition\\([^)]*value".r.findAllIn(plan).hasNext, plan)
+    assert(!plan.contains("GlobalRank"), plan)
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_extendedprice"
+      .r.findAllIn(plan).hasNext, plan)
     assert(!plan.contains("row_number"), plan)
   }
 
