@@ -10,7 +10,8 @@ object Bench {
     "upsert_gate", "exactly_once_jdbc_gate", "zorder_gate",
     "agg_maintain_gate", "dpp_gate", "exchange_reuse_gate",
     "bucketed_join_gate", "csv_quarantine_gate", "schema_evolved_gate",
-    "ann_ivf_persist_gate", "join_view_maintain_gate",
+    "ann_ivf_persist_gate", "ann_ivf_fold_gate", "atomic_read_prune_gate",
+    "join_view_maintain_gate",
     "multi_publish_gate", "quarantine_replay_gate",
     "join_reorder_rewrite_gate")
 

@@ -1015,6 +1015,82 @@ object EtlQueries {
       |  TRUE AS scan_pruned, TRUE AS stats_exact
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- A19
+  /** Manifest-stats FILE SKIPPING for the `graft-atomic` read (r19):
+    * the commit path already records per-file audit counts; now it
+    * also records per-file column min/max, and the DSv2 scan enforces
+    * pushed comparisons against them
+    * ([[graft.sources.AtomicStatsSkip]]) — a predicated read opens
+    * only the files whose interval can satisfy it, decided from
+    * manifest metadata alone (the parquet row-group-stats move at
+    * manifest grain; at 100 TB the filter chooses the file SET with
+    * zero data I/O). The table is written range-partitioned on the
+    * filter column so files carry disjoint key intervals, then a
+    * bottom-decile predicate must (a) plan a STRICT SUBSET of the
+    * committed files (from the executed scan's own inputPartitions,
+    * the A14b/r14 idiom), (b) return rows oracle-exact, and (c) agree
+    * row-for-row with the unpruned readCommitted scan — skipping must
+    * be pure pruning, never a semantics change. */
+  def atomicReadPruneGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val out = scratchDir(dir, "atomic_prune")
+    try {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("double").as("l_quantity"))
+      li.repartitionByRange(4, col("l_orderkey"))
+        .write.format("graft-atomic").mode("append").save(out)
+      val mm = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+      val emptyIn = mm.isNullAt(0)
+      val thresh =
+        if (emptyIn) 0L else mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 10L
+      val filtered = s.read.format("graft-atomic").load(out)
+        .filter(col("l_orderkey") <= thresh)
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      // execute THIS queryExecution, then read ITS planned partitions (a
+      // separate action would plan and meter a different physical tree)
+      val row = filtered.head()
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        p +: kids.flatMap(nodes)
+      }
+      val planned = nodes(filtered.queryExecution.executedPlan)
+        .collectFirst { case b: BatchScanExec => b }
+        .map(_.inputPartitions.length.toLong)
+        .getOrElse(-1L)
+      val rootPath = new org.apache.hadoop.fs.Path(out)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val total = graft.sources.AtomicSink.latestManifest(fs, rootPath)
+        .map(_.entries.length.toLong).getOrElse(0L)
+      val strictSubset = emptyIn || (planned >= 1L && planned < total)
+      // pruning must be invisible to semantics: the unpruned helper
+      // read filtered row-level agrees exactly
+      val unpruned = graft.sources.AtomicSink.readCommitted(s, out)
+        .filter(col("l_orderkey") <= thresh).count()
+      Seq(("atomic_read_prune", row.getLong(0), row.getDouble(1), total,
+          strictSubset, row.getLong(0) == unpruned))
+        .toDF("metric", "n_rows", "sum_qty", "files_total",
+          "pruned_strict_subset", "no_false_drop")
+    } finally dropScratch(s, out)
+  }
+
+  val atomicReadPruneGateSql: String =
+    """WITH t AS (SELECT MIN(l_orderkey) +
+      |    (MAX(l_orderkey) - MIN(l_orderkey)) // 10 AS th FROM lineitem)
+      |SELECT 'atomic_read_prune' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+      |    AS sum_qty,
+      |  CAST(4 AS BIGINT) AS files_total,
+      |  TRUE AS pruned_strict_subset, TRUE AS no_false_drop
+      |FROM lineitem, t WHERE l_orderkey <= t.th""".stripMargin
+
   // ----------------------------------------------------------- A16
   /** Runtime-filtering (DPP) proof for the `graft-catalog` source:
     * the one-day pruning of A14b, but with the day decided AT RUNTIME

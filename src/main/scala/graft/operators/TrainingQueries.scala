@@ -895,6 +895,72 @@ object TrainingQueries {
       |  TRUE AS persisted_matches_memory
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  // ----------------------------------------------------------- E87
+  /** Incrementally-maintained IVF index gate (C13 ∘ A15 at index
+    * grain — the E85/E86 discipline applied to the third shared
+    * asset): the corpus arrives as three disjoint "days"; day 0 trains
+    * the coarse quantizer and folds as the initial batch
+    * ([[IvfIndex.build]]), days 1-2 fold at |Δ| cost (centroids
+    * FROZEN — one broadcast argmax per delta, no corpus rescan,
+    * transactional append), then day 1 RE-DELIVERS with its original
+    * tag and must publish nothing. Pinned exactly: (a) search over the
+    * folded index equals search over a one-shot in-memory assignment
+    * of the full corpus to the same quantizer (multiset equality on
+    * (q_id, vec_id, cos, rn) — a dropped batch, a double-folded
+    * replay, a torn fold, or a lossy quantizer round-trip all break
+    * it); (b) the replay added zero assignment rows; (c) recall@10 of
+    * the folded index vs exact brute force stays ≥ 0.7 (the E7b
+    * operating point — probe count derived from the committed cell
+    * count). The drift trigger that bounds how long folding onto a
+    * frozen quantizer is legal is spec-pinned separately
+    * (IvfIndexSpec: planted out-of-distribution delta fires
+    * [[IvfIndex.drifted]]; an in-distribution delta does not). */
+  def annIvfFoldGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = s"/tmp/graft_sink/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/ivf_fold"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true) // fresh fold every run: the gate IS the maintenance
+    val e = Tables.embeddings(s, dir)
+    def day(i: Int) = e.filter(pmod(col("vec_id"), lit(3)) === i)
+    IvfIndex.build(s, root, day(0))
+    IvfIndex.foldBatch(s, root, day(1), tag = "day-1")
+    IvfIndex.foldBatch(s, root, day(2), tag = "day-2")
+    val nBefore = IvfIndex.assignments(s, root).count()
+    IvfIndex.foldBatch(s, root, day(1), tag = "day-1") // replayed delivery
+    val nAfter = IvfIndex.assignments(s, root).count()
+    val queries = e.filter(col("vec_id") < 5)
+    val cents = IvfIndex.centroids(s, root)
+    val probe = math.max(4, ((cents.count() + 1) / 2).toInt)
+    val folded = IvfIndex.search(s, root, e, queries, k = 10, nProbe = probe)
+    val batch = Similarity.ivfSearch(queries, cents,
+      Similarity.assignCells(e.select(col("vec_id"), col("embedding")), cents)
+        .withColumn("c_nrm", Similarity.norm("embedding")),
+      k = 10, nProbe = probe)
+    val matches = folded.exceptAll(batch).isEmpty &&
+      batch.exceptAll(folded).isEmpty
+    val exact = Similarity.bruteForceTopK(queries, e, k = 10)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(
+        folded.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_expected"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits")).head()
+    val recallOk = hits.getLong(1) >= hits.getLong(0) * 0.7
+    Seq(("ann_ivf_fold", queries.count(), folded.count(), matches,
+        nBefore == nAfter, recallOk))
+      .toDF("metric", "n_queries", "n_results", "folded_matches_batch",
+        "replay_noop", "recall_ok")
+  }
+
+  val annIvfFoldGateSql: String =
+    """SELECT 'ann_ivf_fold' AS metric,
+      |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(10 * COUNT(*) AS BIGINT) AS n_results,
+      |  TRUE AS folded_matches_batch, TRUE AS replay_noop,
+      |  TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
+
   // ----------------------------------------------------------- E12
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.toMediaRows(s, Tables.documents(s, dir), "doc_id", "text")

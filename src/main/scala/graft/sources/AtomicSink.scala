@@ -106,10 +106,18 @@ object AtomicSink {
 
   /** One committed table version: schema DDL, the exact files visible
     * (name, rows, bytes), the idempotence tags already applied in this
-    * chain, and the committer id the CAS verification checks. */
+    * chain, and the committer id the CAS verification checks.
+    * `stats` (r19, A19) carries optional per-file column min/max —
+    * fileName → (column, min, max) triples, values as the exact
+    * round-tripping `toString` of the column's native type — recorded
+    * at commit time for numeric columns and enforced by the DSv2
+    * scan's file skipping; a file absent from the map (pre-stats
+    * manifests) or a column absent from a file's triples is simply
+    * never skipped. */
   case class Manifest(version: Long, ddl: String,
       entries: Seq[(String, Long, Long)], tags: Set[String],
-      committerId: String)
+      committerId: String,
+      stats: Map[String, Seq[(String, String, String)]] = Map.empty)
 
   private[sources] def supportedType(t: DataType): Boolean = t match {
     case StringType | LongType | IntegerType | DoubleType | FloatType |
@@ -202,12 +210,16 @@ object AtomicSink {
     (kept, deleted)
   }
 
-  /** Manifest format: line 1 = schema DDL; one `name\trows\tbytes`
-    * line per committed file; zero or more `#TAG <tag>` lines; final
-    * line `#COMMIT <entryCount> <committerId>`. The footer makes a
-    * manifest self-validating: a torn write has no footer (or a count
-    * that disagrees) and is treated as never committed. Hand-parsed —
-    * no JSON dependency. Returns None for invalid/vanished files. */
+  /** Manifest format: line 1 = schema DDL; one
+    * `name\trows\tbytes[\tcol:min:max;col:min:max…]` line per
+    * committed file (the 4th field is the optional per-file column
+    * stats — pre-stats readers split on tab and take the first three,
+    * so the format is forward/backward compatible); zero or more
+    * `#TAG <tag>` lines; final line `#COMMIT <entryCount>
+    * <committerId>`. The footer makes a manifest self-validating: a
+    * torn write has no footer (or a count that disagrees) and is
+    * treated as never committed. Hand-parsed — no JSON dependency.
+    * Returns None for invalid/vanished files. */
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       mf: Path, version: Long): Option[Manifest] = try {
     parseManifest(fs.open(mf), version)
@@ -244,6 +256,7 @@ object AtomicSink {
       val ddl = in.readLine()
       if (ddl == null) return None
       val entries = Seq.newBuilder[(String, Long, Long)]
+      val stats = Map.newBuilder[String, Seq[(String, String, String)]]
       val tags = Set.newBuilder[String]
       var footer: Option[(Long, String)] = None
       var line = in.readLine()
@@ -256,12 +269,17 @@ object AtomicSink {
         } else if (line.nonEmpty) {
           val p = line.split("\t")
           entries += ((p(0), p(1).toLong, p(2).toLong))
+          if (p.length > 3 && p(3).nonEmpty)
+            stats += p(0) -> p(3).split(";").toSeq.map { t =>
+              val c = t.split(":")
+              (c(0), c(1), c(2))
+            }
         }
         line = in.readLine()
       }
       val es = entries.result()
       footer.collect { case (count, qid) if count == es.length =>
-        Manifest(version, ddl, es, tags.result(), qid)
+        Manifest(version, ddl, es, tags.result(), qid, stats.result())
       }
     } finally in.close()
   }
@@ -280,12 +298,18 @@ object AtomicSink {
       store: graft.sources.ManifestCommitStore,
       root: Path, version: Long, ddl: String,
       entries: Seq[(String, Long, Long)], tags: Set[String],
-      committerId: String, attempt: Int): Boolean = {
+      committerId: String, attempt: Int,
+      stats: Map[String, Seq[(String, String, String)]]): Boolean = {
     val tmp = new Path(root, s"_MANIFEST.tmp.$committerId.$attempt")
     val out = new OutputStreamWriter(fs.create(tmp, true), StandardCharsets.UTF_8)
     try {
       out.write(ddl + "\n")
-      entries.foreach { case (n, r, b) => out.write(s"$n\t$r\t$b\n") }
+      entries.foreach { case (n, r, b) =>
+        val st = stats.getOrElse(n, Nil)
+        if (st.isEmpty) out.write(s"$n\t$r\t$b\n")
+        else out.write(s"$n\t$r\t$b\t" +
+          st.map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";") + "\n")
+      }
       tags.toSeq.sorted.foreach(t => out.write(s"#TAG $t\n"))
       out.write(s"#COMMIT ${entries.length} $committerId\n")
     } finally out.close()
@@ -303,7 +327,8 @@ object AtomicSink {
     * replay. */
   private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, ddl: String, fresh: Seq[(String, Long, Long)],
-      truncate: Boolean, tag: Option[String], committerId: String): Long = {
+      truncate: Boolean, tag: Option[String], committerId: String,
+      freshStats: Map[String, Seq[(String, String, String)]] = Map.empty): Long = {
     // resolve the claim primitive FIRST: an unsafe scheme must refuse
     // before any manifest state is touched, not after a partial fold
     val store = graft.sources.AtomicCommitStores.forFileSystem(fs, fs.getConf)
@@ -329,6 +354,8 @@ object AtomicSink {
             s"writer has [$ddl]; use overwrite to replace")
       }
       val entries = (if (truncate) Nil else cur.map(_.entries).getOrElse(Nil)) ++ fresh
+      val stats = (if (truncate) Map.empty[String, Seq[(String, String, String)]]
+                   else cur.map(_.stats).getOrElse(Map.empty)) ++ freshStats
       val tags = (if (truncate) Set.empty[String]
                   else cur.map(_.tags).getOrElse(Set.empty)) ++ tag
       // next version clears every CLAIMED name (valid or garbage) so a
@@ -337,7 +364,7 @@ object AtomicSink {
       val next = math.max(claimed.headOption.getOrElse(0L),
         cur.map(_.version).getOrElse(0L)) + 1L
       if (tryPublishVersion(fs, store, root, next, ddl, entries, tags,
-          committerId, attempt)) return next
+          committerId, attempt, stats)) return next
       attempt += 1 // lost the CAS — re-read the new latest and re-fold
     }
     throw new java.io.IOException(
@@ -382,6 +409,25 @@ private object AtomicSink2Util {
   def rootOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-atomic requires a path"))
+
+  /** Field indexes whose min/max the writer records: the numeric
+    * columns (the only types with a total order the skip logic can
+    * compare against filter literals exactly), optionally restricted
+    * by the writer's `graft.statsColumns` (comma-separated) — a
+    * declared stats set keeps per-row tracking off columns nobody
+    * filters on. Names containing the stats-encoding separators are
+    * excluded rather than escaped. */
+  def statsFieldIndexes(schema: StructType,
+      statsCols: Option[String]): Array[Int] = {
+    val declared = statsCols.map(_.split(",").map(_.trim).toSet)
+    schema.fields.zipWithIndex.collect {
+      case (f, i)
+        if (f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == DoubleType || f.dataType == FloatType) &&
+          !f.name.contains(":") && !f.name.contains(";") &&
+          declared.forall(_.contains(f.name)) => i
+    }
+  }
 }
 
 class AtomicTable(root: String, tschema: StructType)
@@ -393,35 +439,42 @@ class AtomicTable(root: String, tschema: StructType)
       TableCapability.BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AtomicWriteBuilder(root, info.schema(), info.queryId(),
-      Option(info.options.get("graft.tag")))
+      Option(info.options.get("graft.tag")),
+      Option(info.options.get("graft.statsColumns")))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AtomicScanBuilder(root, tschema)
 }
 
 class AtomicWriteBuilder(root: String, schema: StructType, queryId: String,
-    tag: Option[String]) extends WriteBuilder with SupportsTruncate {
+    tag: Option[String], statsCols: Option[String] = None)
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
       val conf = new SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration)
-      new AtomicBatchWrite(root, schema, queryId, doTruncate, tag, conf)
+      new AtomicBatchWrite(root, schema, queryId, doTruncate, tag, conf,
+        statsCols)
     }
   }
 }
 
 /** Per-file commit message: file name + audit counts (the manifest
-  * doubles as a C8-style row-accounting record). */
-private case class AtomicFileCommit(name: String, rows: Long, bytes: Long)
+  * doubles as a C8-style row-accounting record) + the per-column
+  * min/max stats the manifest records for reader-side file skipping. */
+private case class AtomicFileCommit(name: String, rows: Long, bytes: Long,
+    stats: Seq[(String, String, String)] = Nil)
     extends WriterCommitMessage
 
 class AtomicBatchWrite(root: String, schema: StructType, queryId: String,
-    truncate: Boolean, tag: Option[String], conf: SerializableConfiguration)
+    truncate: Boolean, tag: Option[String], conf: SerializableConfiguration,
+    statsCols: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AtomicWriterFactory(root, schema, queryId, conf)
+    new AtomicWriterFactory(root, schema, queryId, conf,
+      AtomicSink2Util.statsFieldIndexes(schema, statsCols))
 
   // default useCommitCoordinator() = true: one winning attempt per task
 
@@ -429,14 +482,18 @@ class AtomicBatchWrite(root: String, schema: StructType, queryId: String,
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf.value)
     fs.mkdirs(rootPath)
-    val fresh = messages.toSeq.map { case AtomicFileCommit(n, r, b) => (n, r, b) }
+    val fresh = messages.toSeq.map { case AtomicFileCommit(n, r, b, _) => (n, r, b) }
+    val freshStats = messages.toSeq.collect {
+      case AtomicFileCommit(n, _, _, st) if st.nonEmpty => n -> st
+    }.toMap
     // DDL is stored as-nullable: a CSV cell can always be empty, and the
     // readback schema (file source) forces nullable anyway — keeping the
     // writer's NOT NULL would make the DSv2 scan's schema disagree with
     // readCommitted's for the same table
     val nullableDdl =
       StructType(schema.fields.map(_.copy(nullable = true))).toDDL
-    AtomicSink.publish(fs, rootPath, nullableDdl, fresh, truncate, tag, queryId)
+    AtomicSink.publish(fs, rootPath, nullableDdl, fresh, truncate, tag,
+      queryId, freshStats)
     // previous-generation files are NOT deleted here: versioned readers
     // may still hold them, and vacuum (retention-guarded) is the single
     // reclamation point
@@ -448,20 +505,23 @@ class AtomicBatchWrite(root: String, schema: StructType, queryId: String,
     // job still failed. The manifest was never touched.
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf.value)
-    messages.collect { case AtomicFileCommit(n, _, _) =>
+    messages.collect { case AtomicFileCommit(n, _, _, _) =>
       fs.delete(new Path(rootPath, n), false)
     }
   }
 }
 
 class AtomicWriterFactory(root: String, schema: StructType, queryId: String,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration, statsIdx: Array[Int] = Array.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AtomicDataWriter(root, schema, queryId, partitionId, taskId, conf)
+    new AtomicDataWriter(root, schema, queryId, partitionId, taskId, conf,
+      statsIdx)
 }
 
 class AtomicDataWriter(root: String, schema: StructType, queryId: String,
-    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration,
+    statsIdx: Array[Int] = Array.empty)
     extends DataWriter[InternalRow] {
   // taskId (the TID) is unique PER ATTEMPT, so a retried task never
   // collides with its predecessor's file
@@ -473,8 +533,61 @@ class AtomicDataWriter(root: String, schema: StructType, queryId: String,
     new OutputStreamWriter(fs.create(path, true), StandardCharsets.UTF_8)
   }
   private var rows = 0L
+  // per-stats-column running min/max over NON-NULL values, as the
+  // native numeric type (long for int/long, double for float/double —
+  // float widens to double exactly). A NaN poisons its column's stats
+  // for this file: Spark orders NaN ABOVE every double, so a max that
+  // ignored NaN could wrongly skip a file whose only matching rows are
+  // NaN under `col > x`.
+  private val stLongMin = Array.fill(statsIdx.length)(Long.MaxValue)
+  private val stLongMax = Array.fill(statsIdx.length)(Long.MinValue)
+  private val stDblMin = Array.fill(statsIdx.length)(Double.PositiveInfinity)
+  private val stDblMax = Array.fill(statsIdx.length)(Double.NegativeInfinity)
+  private val stSeen = Array.fill(statsIdx.length)(false)
+  private val stNaN = Array.fill(statsIdx.length)(false)
+
+  private def trackStats(record: InternalRow): Unit = {
+    var j = 0
+    while (j < statsIdx.length) {
+      val i = statsIdx(j)
+      if (!record.isNullAt(i)) {
+        schema.fields(i).dataType match {
+          case LongType | IntegerType =>
+            val v = if (schema.fields(i).dataType == LongType) record.getLong(i)
+                    else record.getInt(i).toLong
+            if (v < stLongMin(j)) stLongMin(j) = v
+            if (v > stLongMax(j)) stLongMax(j) = v
+          case _ =>
+            val v = if (schema.fields(i).dataType == DoubleType) record.getDouble(i)
+                    else record.getFloat(i).toDouble
+            if (v.isNaN) stNaN(j) = true
+            else {
+              if (v < stDblMin(j)) stDblMin(j) = v
+              if (v > stDblMax(j)) stDblMax(j) = v
+            }
+        }
+        stSeen(j) = true
+      }
+      j += 1
+    }
+  }
+
+  private def statsResult: Seq[(String, String, String)] =
+    statsIdx.indices.collect {
+      case j if stSeen(j) && !stNaN(j) =>
+        val i = statsIdx(j)
+        schema.fields(i).dataType match {
+          case LongType | IntegerType =>
+            (schema.fields(i).name, stLongMin(j).toString, stLongMax(j).toString)
+          case _ =>
+            // Double.toString round-trips the exact double; the scan
+            // parses it back before comparing, so no decimal drift
+            (schema.fields(i).name, stDblMin(j).toString, stDblMax(j).toString)
+        }
+    }.toSeq
 
   override def write(record: InternalRow): Unit = {
+    trackStats(record)
     val cells = schema.fields.iterator.zipWithIndex.map { case (f, i) =>
       if (record.isNullAt(i)) ""
       else AtomicSink.csvCell(f.dataType match {
@@ -494,7 +607,7 @@ class AtomicDataWriter(root: String, schema: StructType, queryId: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    AtomicFileCommit(name, rows, fs.getFileStatus(path).getLen)
+    AtomicFileCommit(name, rows, fs.getFileStatus(path).getLen, statsResult)
   }
 
   override def abort(): Unit = {
@@ -510,16 +623,111 @@ class AtomicDataWriter(root: String, schema: StructType, queryId: String,
 /** Column-pruning scan builder: Spark hands the required schema after
   * optimizer pruning; only those fields are CONVERTED by the decoder
   * (every CSV cell is still tokenized — the format is row-major — but
-  * string/number materialization happens per required column only). */
+  * string/number materialization happens per required column only).
+  *
+  * Filter pushdown (r19, A19) is FILE-GRAIN, against the manifest's
+  * per-file column stats: the five null-rejecting comparisons on
+  * numeric columns are accepted and used to SKIP whole files whose
+  * [min,max] cannot satisfy the conjunction — the parquet
+  * row-group-stats move at manifest grain, with zero data I/O spent
+  * deciding. Every filter is also returned as residual (Spark
+  * re-evaluates row-level), so skipping is pure pruning: a file
+  * without stats for a column is simply never skipped on it. */
 class AtomicScanBuilder(root: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
   private var required: StructType = full
+  private var usable: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    usable = filters.filter(AtomicStatsSkip.usable(full, _))
+    filters // all residual: file skipping never substitutes row filtering
+  }
+  override def pushedFilters(): Array[Filter] = usable
   override def build(): Scan = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    new AtomicScan(root, full, required, conf)
+    new AtomicScan(root, full, required, conf, usable)
+  }
+}
+
+/** Manifest-stats file skipping: interval tests of the pushed
+  * comparisons against each file's recorded [min, max]. Comparisons
+  * run in exact BigDecimal — stats strings parse back to the exact
+  * native value (Long directly; Double/Float via the round-tripping
+  * parse), and both sides convert to BigDecimal losslessly, so a
+  * half-ulp decimal-rendering drift can never skip a boundary file.
+  * All five accepted predicates are null-rejecting, so files whose
+  * matching rows could only be NULL are correctly skippable — but the
+  * writer never records stats for all-null columns anyway, and
+  * no-stats means no skip. */
+private[sources] object AtomicStatsSkip {
+  import org.apache.spark.sql.sources._
+
+  private def numericField(full: StructType, name: String): Option[DataType] =
+    full.fields.find(_.name == name).map(_.dataType).filter {
+      case LongType | IntegerType | DoubleType | FloatType => true
+      case _ => false
+    }
+
+  private def toBig(v: Any): Option[java.math.BigDecimal] = v match {
+    case n: java.lang.Long => Some(java.math.BigDecimal.valueOf(n))
+    case n: java.lang.Integer => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Short => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Byte => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Double if !n.isNaN && !n.isInfinite =>
+      Some(new java.math.BigDecimal(n))
+    case n: java.lang.Float if !n.isNaN && !n.isInfinite =>
+      Some(new java.math.BigDecimal(n.doubleValue))
+    case n: java.math.BigDecimal => Some(n)
+    case n: scala.math.BigDecimal => Some(n.bigDecimal)
+    case _ => None
+  }
+
+  private def attrValue(f: Filter): Option[(String, Any)] = f match {
+    case EqualTo(a, v) => Some((a, v))
+    case GreaterThan(a, v) => Some((a, v))
+    case GreaterThanOrEqual(a, v) => Some((a, v))
+    case LessThan(a, v) => Some((a, v))
+    case LessThanOrEqual(a, v) => Some((a, v))
+    case _ => None
+  }
+
+  def usable(full: StructType, f: Filter): Boolean =
+    attrValue(f).exists { case (a, v) =>
+      v != null && numericField(full, a).isDefined && toBig(v).isDefined
+    }
+
+  /** Decode a stored stat string back to the exact committed value. */
+  private def statBig(dt: DataType, s: String): java.math.BigDecimal = dt match {
+    case LongType | IntegerType => new java.math.BigDecimal(s)
+    case _ => new java.math.BigDecimal(java.lang.Double.parseDouble(s))
+  }
+
+  /** True iff the file MIGHT contain a matching row (keep). */
+  def mightMatch(full: StructType,
+      stats: Seq[(String, String, String)], f: Filter): Boolean = {
+    val byCol = stats.map(t => t._1 -> (t._2, t._3)).toMap
+    attrValue(f) match {
+      case Some((a, v)) =>
+        (numericField(full, a), byCol.get(a), toBig(v)) match {
+          case (Some(dt), Some((loS, hiS)), Some(value)) =>
+            val lo = statBig(dt, loS); val hi = statBig(dt, hiS)
+            f match {
+              case _: EqualTo =>
+                lo.compareTo(value) <= 0 && hi.compareTo(value) >= 0
+              case _: GreaterThan => hi.compareTo(value) > 0
+              case _: GreaterThanOrEqual => hi.compareTo(value) >= 0
+              case _: LessThan => lo.compareTo(value) < 0
+              case _: LessThanOrEqual => lo.compareTo(value) <= 0
+              case _ => true
+            }
+          case _ => true // no stats for this column: never skip on it
+        }
+      case None => true
+    }
   }
 }
 
@@ -527,7 +735,8 @@ private case class AtomicFilePartition(root: String, name: String, rows: Long)
     extends InputPartition
 
 class AtomicScan(root: String, full: StructType, required: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Resolved ONCE per scan: the snapshot this query reads. Every task
@@ -538,27 +747,44 @@ class AtomicScan(root: String, full: StructType, required: StructType,
     AtomicSink.latestManifest(rootPath.getFileSystem(conf.value), rootPath)
   }
 
+  /** The manifest entries this scan actually opens: files whose
+    * recorded column stats cannot satisfy the pushed conjunction are
+    * skipped HERE, before any InputPartition exists — at 100 TB the
+    * predicate decides file-set membership from manifest metadata
+    * alone, no data I/O. */
+  private lazy val visibleEntries: Seq[(String, Long, Long)] =
+    manifest.map { m =>
+      if (filters.isEmpty) m.entries
+      else m.entries.filter { case (n, _, _) =>
+        val st = m.stats.getOrElse(n, Nil)
+        filters.forall(f => AtomicStatsSkip.mightMatch(full, st, f))
+      }
+    }.getOrElse(Nil)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-atomic root=$root cols=[${required.fieldNames.mkString(",")}]"
+    s"graft-atomic root=$root cols=[${required.fieldNames.mkString(",")}]" +
+      (if (filters.isEmpty) ""
+       else s" statsFilters=[${filters.mkString(",")}]")
 
   override def planInputPartitions(): Array[InputPartition] =
-    manifest.map(_.entries.map { case (n, r, _) =>
+    visibleEntries.map { case (n, r, _) =>
       AtomicFilePartition(root, n, r): InputPartition
-    }.toArray).getOrElse(Array.empty)
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AtomicReaderFactory(conf, full, required.fieldNames)
 
-  /** Exact stats straight from the manifest — no listing, no sampling.
-    * Bytes are scaled by the required-column fraction so a pruned scan
-    * advertises the smaller width (what lets Catalyst broadcast a thin
-    * projection of a wide table). */
+  /** Exact stats straight from the manifest — no listing, no sampling
+    * — over the SKIP-SURVIVING files, so the optimizer sizes joins on
+    * what will actually be read. Bytes are scaled by the
+    * required-column fraction so a pruned scan advertises the smaller
+    * width (what lets Catalyst broadcast a thin projection of a wide
+    * table). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val (rows, bytes) = manifest
-      .map(m => (m.entries.map(_._2).sum, m.entries.map(_._3).sum))
-      .getOrElse((0L, 0L))
+    private val (rows, bytes) =
+      (visibleEntries.map(_._2).sum, visibleEntries.map(_._3).sum)
     private val frac =
       if (full.fields.isEmpty) 1.0
       else required.fields.length.toDouble / full.fields.length

@@ -318,4 +318,123 @@ class AtomicSinkSpec extends SparkSpec {
         s"manifest row stats missing: ${rel.computeStats()}")
     } finally fs(out).delete(new Path(out), true)
   }
+
+  // ------------------------------------------------- A19 manifest stats
+
+  test("manifest stats: numeric min/max recorded, nulls excluded, NaN poisons, strings skipped") {
+    import spark.implicits._
+    val out = scratch("stats")
+    try {
+      Seq(
+        (5L, Some(1.5), "x"),
+        (2L, None, "y"),
+        (9L, Some(-3.25), "z"))
+        .toDF("k", "d", "s")
+        .coalesce(1)
+        .write.format("graft-atomic").mode("append").save(out)
+      val m = latest(out)
+      val st = m.stats(m.entries.head._1).map(t => t._1 -> (t._2, t._3)).toMap
+      assert(st("k") == ("2", "9"))
+      assert(st("d") == ("-3.25", "1.5")) // nulls contribute nothing
+      assert(!st.contains("s")) // strings have no comparable stats
+      // NaN in a double column drops that column's stats for the file
+      val out2 = scratch("stats_nan")
+      try {
+        Seq((1L, Double.NaN), (2L, 7.0)).toDF("k", "d")
+          .coalesce(1)
+          .write.format("graft-atomic").mode("append").save(out2)
+        val m2 = latest(out2)
+        val st2 = m2.stats(m2.entries.head._1).map(_._1).toSet
+        assert(st2 == Set("k"), st2)
+      } finally fs(out2).delete(new org.apache.hadoop.fs.Path(out2), true)
+    } finally fs(out).delete(new org.apache.hadoop.fs.Path(out), true)
+  }
+
+  test("stats skipping: filtered DSv2 scan plans only interval-matching files, rows unchanged") {
+    import spark.implicits._
+    val out = scratch("skip")
+    try {
+      // three files with disjoint key ranges
+      (0 until 3).foreach { b =>
+        Seq.tabulate(10)(i => (b * 100L + i, s"v$b$i"))
+          .toDF("k", "v").coalesce(1)
+          .write.format("graft-atomic").mode("append").save(out)
+      }
+      assert(latest(out).entries.length == 3)
+      def planned(df: org.apache.spark.sql.DataFrame): Int = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        df.collect()
+        def nodes(p: SparkPlan): Seq[SparkPlan] = {
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case _ => p.children
+          }
+          p +: kids.flatMap(nodes)
+        }
+        nodes(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.executedPlan)
+          .collectFirst { case b: BatchScanExec => b }
+          .map(_.inputPartitions.length).getOrElse(-1)
+      }
+      val mid = spark.read.format("graft-atomic").load(out)
+        .filter(col("k") >= 100L && col("k") <= 109L)
+      assert(planned(mid) == 1)
+      assert(mid.count() == 10)
+      val edge = spark.read.format("graft-atomic").load(out)
+        .filter(col("k") === 200L) // exact boundary value must keep its file
+      assert(planned(edge) == 1)
+      assert(edge.count() == 1)
+      val none = spark.read.format("graft-atomic").load(out)
+        .filter(col("k") > 500L)
+      assert(planned(none) == 0)
+      assert(none.count() == 0)
+      // a filter on a stats-less (string) column never skips
+      val str = spark.read.format("graft-atomic").load(out)
+        .filter(col("v") === "v00")
+      assert(planned(str) == 3)
+      assert(str.count() == 1)
+    } finally fs(out).delete(new org.apache.hadoop.fs.Path(out), true)
+  }
+
+  test("pre-stats manifests still parse and are never skipped") {
+    import spark.implicits._
+    val out = scratch("prestats")
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "w").coalesce(1)
+        .write.format("graft-atomic").mode("append").save(out)
+      val m = latest(out)
+      // rewrite the manifest WITHOUT the stats field (the pre-r19 wire
+      // format) under the next version
+      val root = new org.apache.hadoop.fs.Path(out)
+      val mf = AtomicSink.manifestPath(root, m.version + 1)
+      val outS = new java.io.OutputStreamWriter(
+        fs(out).create(mf, true), java.nio.charset.StandardCharsets.UTF_8)
+      outS.write(m.ddl + "\n")
+      m.entries.foreach { case (n, r, b) => outS.write(s"$n\t$r\t$b\n") }
+      outS.write(s"#COMMIT ${m.entries.length} legacy\n")
+      outS.close()
+      val m2 = latest(out)
+      assert(m2.version == m.version + 1 && m2.stats.isEmpty)
+      val filtered = spark.read.format("graft-atomic").load(out)
+        .filter(col("k") > 100L) // would skip under stats; must NOT here
+      assert(filtered.count() == 0) // row filter still applies
+      // and the scan planned every file (no stats = no skip)
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      filtered.collect()
+      val n = filtered.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+        .orElse {
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          filtered.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.executedPlan.collectFirst {
+              case a: AdaptiveSparkPlanExec => a
+            }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b })
+        }
+        .map(_.inputPartitions.length).getOrElse(-1)
+      assert(n == m.entries.length, s"planned $n of ${m.entries.length}")
+    } finally fs(out).delete(new org.apache.hadoop.fs.Path(out), true)
+  }
 }
