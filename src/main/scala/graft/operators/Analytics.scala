@@ -1363,6 +1363,25 @@ object Analytics {
           .as("value"))
   }
 
+  /** Exact rank-selected quantiles — the value at rank ⌈p·n⌉ per group
+    * for each p = num/den — via the two-phase binned selection with
+    * UNIT weights (r19): with w ≡ 1 the weighted crossing condition
+    * den·cw ≥ num·tw picks exactly the smallest value whose cumulative
+    * COUNT reaches p·n, i.e. the rank-⌈p·n⌉ value, in exact BIGINT
+    * arithmetic. Replaces the GlobalRank full-relation range exchange +
+    * sort for D19 `q_quantile` and E52 `iqr_outliers` (the same move
+    * that halved the weighted family in r18 and D61 in r19): nothing
+    * data-sized is sorted or exchanged — one histogram hash-aggregate
+    * plus a crossing-bin resolve scan whose value-range predicate
+    * reaches the parquet reader. Output: (groupCol, p: double, value),
+    * one row per (group, p). Same eager-execution and deterministic/
+    * stable-input contract as [[binnedWeightedSelect]]. */
+  private[operators] def binnedRankQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[(Long, Long, String)]): DataFrame =
+    binnedWeightedSelect(df.withColumn("__unit", lit(1L)),
+        groupCol, valueCol, "__unit", ps)
+      .select(col(groupCol), col("p").cast("double").as("p"), col("value"))
+
   def weightedMedianOf(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String): DataFrame =
     binnedWeightedSelect(df, groupCol, valueCol, weightCol,

@@ -56,12 +56,20 @@ object Dedup {
     * the default truncates and is the permissive 100 TB mode. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
-                            maxBucket: Int = 64, strict: Boolean = false): DataFrame = {
-    val sig = docs
-      .select(col(idCol).as("id"), wordShingles(textCol, n).as("sh"))
-      .select(col("id"),
-        posexplode(graft.functions.HashExprs.minhashBandKeys(col("sh"), bands, rowsPerBand))
-          .as(Seq("band", "key")))
+                            maxBucket: Int = 64, strict: Boolean = false): DataFrame =
+    pairsWithinBuckets(
+      docs
+        .select(col(idCol).as("id"), wordShingles(textCol, n).as("sh"))
+        .select(col("id"),
+          posexplode(graft.functions.HashExprs.minhashBandKeys(col("sh"), bands, rowsPerBand))
+            .as(Seq("band", "key"))),
+      maxBucket, strict)
+
+  /** Bucket-bounded pair emission shared by [[minhashCandidatePairs]]
+    * and [[minhashNearDuplicates]]: group the (id, band, key) stream by
+    * bucket, emit each bucket's ordered pairs. */
+  private def pairsWithinBuckets(sig: DataFrame, maxBucket: Int,
+                                 strict: Boolean): DataFrame = {
     val guarded =
       if (strict)
         when(size(col("ids")) > maxBucket, expr(
@@ -85,32 +93,64 @@ object Dedup {
 
   /** Attach exact n-gram Jaccard to candidate pairs (E4): join the
     * shingle sets back (only for candidates) and compute
-    * |∩| / |∪| as an integer-ratio double. */
+    * |∩| / |∪| as an integer-ratio double.
+    *
+    * Shingle identity travels as 8-byte `xxhash64(gram)` keys, never
+    * strings (the E55/E77 discipline — r19): the two verify joins
+    * exchange long arrays instead of the full gram text, and the
+    * intersect/union loops compare longs. Distinctness is preserved up
+    * to hash collision (P ≈ |sh|²/2⁶⁵ per pair — the string-gram
+    * DuckDB oracles would fail the compare on one, so the hash compare
+    * pins absence of collisions on every tested corpus). */
   def withJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
-                  textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), wordShingles(textCol, n).as("sh"))
+                  textCol: String, n: Int = 3): DataFrame =
+    joinJaccard(pairs,
+      docs.select(col(idCol).as("id"),
+        hashedShingles(textCol, n).as("sh")))
+
+  /** Distinct word n-gram shingles reduced to 8-byte xxhash64 keys
+    * (seed 42 — the identical per-gram h1 the minhash kernel uses). */
+  private def hashedShingles(textCol: String, n: Int): Column =
+    transform(wordShingles(textCol, n), g => xxhash64(g))
+
+  /** Verify-join core over a prepared (id, sh: array<long>) frame. */
+  private def joinJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .drop("sh_a", "sh_b")
-  }
 
   /** Full MinHash near-dup pipeline: candidates → verify → threshold.
     * With bands=32 × rows=4, a pair at J=0.8 is missed with
     * probability (1-0.8⁴)³² ≈ 5e-8 — thresholds ≥ 0.8 are safe to
     * hold to exact recall; lower thresholds should be treated as
-    * probabilistic (use more bands or rows=3). */
+    * probabilistic (use more bands or rows=3).
+    *
+    * One shingle projection feeds BOTH the band-key pipeline and the
+    * two verify joins (r19 — previously the split+slice+concat shingle
+    * projection ran once for the candidate pass and once per verify
+    * side, 3× the dominant per-row cost; the E77 lesson applied).
+    * `localCheckpoint` cuts the projection so no consumer recomputes
+    * it — note this EXECUTES a job at DataFrame-construction time. */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, n: Int = 3,
                             bands: Int = 32, rowsPerBand: Int = 4,
-                            maxBucket: Int = 64, strict: Boolean = false): DataFrame =
-    withJaccard(
-      minhashCandidatePairs(docs, idCol, textCol, n, bands, rowsPerBand, maxBucket, strict),
-      docs, idCol, textCol, n)
+                            maxBucket: Int = 64, strict: Boolean = false): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), wordShingles(textCol, n).as("shs"))
+      .select(col("id"),
+        graft.functions.HashExprs.minhashBandKeys(col("shs"), bands, rowsPerBand).as("bk"),
+        expr("transform(shs, g -> xxhash64(g))").as("sh"))
+      .localCheckpoint()
+    val sig = sh.select(col("id"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    joinJaccard(pairsWithinBuckets(sig, maxBucket, strict),
+        sh.select(col("id"), col("sh")))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Connected components over a near-dup pair graph (E21) — the
     * clustering step after candidate verification: every document in a
@@ -136,11 +176,17 @@ object Dedup {
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // fused round 1 (r19): with identity labels, the first round's
+    // neighbor-min is simply min(src) over each node's incoming edges,
+    // so initialization IS round 1 — one groupBy replaces the previous
+    // distinct-init job plus the first join round (every node appears
+    // as dst because `edges` carries both directions)
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("component"))
       .localCheckpoint()
     var converged = false
-    var round = 0
+    var round = 1
     while (!converged && round < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("component").as("src_comp")), "src")

@@ -761,13 +761,15 @@ object Relational {
     * status): the value at rank ⌈p·n⌉ — rank selection, not
     * interpolation, so the result is a value from the data and is
     * bit-identical in any engine (no float interpolation drift).
-    * Ranks come from [[rankedByGroup]]'s distributed rank selection,
-    * so the plan survives groups with billions of rows. */
+    * Selection rides the two-phase binned core
+    * ([[Analytics.binnedRankQuantiles]] — r19, replacing the
+    * GlobalRank full-relation range exchange + sort; p as exact
+    * rationals, so the crossing test is pure BIGINT arithmetic). */
   def quantiles(s: SparkSession, dir: String): DataFrame =
-    exactQuantiles(
+    Analytics.binnedRankQuantiles(
       Tables.lineitem(s, dir)
         .select(col("l_linestatus"), col("l_extendedprice").as("value")),
-      groupCols = Seq("l_linestatus"), valueCol = "value", ps = Seq(0.5, 0.9))
+      "l_linestatus", "value", Seq((1L, 2L, "0.5"), (9L, 10L, "0.9")))
 
   val quantilesSql: String =
     """WITH w AS (SELECT l_linestatus, l_extendedprice,

@@ -208,18 +208,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("exact quantiles rank in parallel — no per-group global sort") {
-    for (df <- Seq(Relational.quantiles(spark, sf),
-                   Relational.approxQuantileGate(spark, sf))) {
-      val p = plan(df).split("== Initial Plan ==")(0)
-      // ranks ride the native GlobalRank operator over a visible range
-      // repartition (PropertySpec pins rank correctness)
-      assert(p.contains("GlobalRank"), p)
-      assert(p.toLowerCase.contains("rangepartitioning"), p)
-      // no window orders raw values within a 3-partition group — any
-      // window left runs over the tiny per-(partition, group) counts
-      assert(!"windowspecdefinition\\([^)]*value".r.findAllIn(p).hasNext, p)
-      assert(!p.contains("row_number"), p)
-    }
+    // q_quantile (r19): the two-phase binned selection — a histogram
+    // hash aggregate + crossing-bin resolve, NO data-sized sort or
+    // range exchange anywhere, resolve predicate pushed to the scan
+    val pq = plan(Relational.quantiles(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!pq.contains("GlobalRank"), pq)
+    assert(!pq.toLowerCase.contains("rangepartitioning"), pq)
+    assert(pq.contains("HashAggregate"), pq)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_extendedprice"
+      .r.findAllIn(pq).hasNext, pq)
+    assert(!pq.contains("row_number"), pq)
+    // the approx gate's exact side still rides the native GlobalRank
+    // operator over a visible range repartition (PropertySpec pins
+    // rank correctness)
+    val pg = plan(Relational.approxQuantileGate(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(pg.contains("GlobalRank"), pg)
+    assert(pg.toLowerCase.contains("rangepartitioning"), pg)
+    assert(!"windowspecdefinition\\([^)]*value".r.findAllIn(pg).hasNext, pg)
+    assert(!pg.contains("row_number"), pg)
   }
 
   test("tfidf top-3 prunes map-side with bounded top-k, no window sort") {
