@@ -992,11 +992,17 @@ object CorpusAnalytics {
       .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // deg rides each edge as an iteration-INVARIANT column (r19): the
+    // per-iteration contrib join previously re-joined deg every round —
+    // attaching it once removes one join (and deg's exchange) from each
+    // of the `iters` unrolled rounds; r/deg is the identical division
+    val edgesDeg = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
     var rank = deg.select(col("src").as("node"), lit(1.0).as("r"))
     (1 to iters).foreach { _ =>
-      val contrib = edges
+      val contrib = edgesDeg
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"),
           (col("r") / col("deg").cast("double")).cast(DecimalType(28, 12)).as("c"))
       rank = contrib.groupBy(col("node"))
@@ -1581,13 +1587,23 @@ object CorpusAnalytics {
     val planted = base.filter(col("doc_id") % 10 === 0 && size(col("t")) >= 15)
       .select((col("doc_id") + 20000L).as("doc_id"),
         expr("slice(t, size(t) div 3 + 1, size(t) div 3)").as("t"))
+    // gram keys hash the 5 token slots DIRECTLY (r19): the previous
+    // form built a concat_ws gram STRING per position only to hash it —
+    // pure allocation+copy; tokens contain no spaces, so the multi-arg
+    // hash defines the identical equivalence classes. The frame is cut
+    // once: it feeds the doc-frequency pass, the duplicated-position
+    // join AND the per-doc gram totals — three separately-planned jobs
+    // that otherwise each re-run the positional explode.
     val grams = base.unionByName(planted).filter(size(col("t")) >= 5)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, size(t) - 5),
-          |  i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))"""
-          .stripMargin)).as(Seq("pos", "gram")))
+          |  i -> struct(
+          |    xxhash64(t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS h1,
+          |    xxhash64(7, t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS h2))"""
+          .stripMargin)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"),
-        xxhash64(col("gram")).as("h1"), xxhash64(lit(7), col("gram")).as("h2"))
+        col("g.h1").as("h1"), col("g.h2").as("h2"))
+      .localCheckpoint()
     val docFreq = grams.select(col("doc_id"), col("h1"), col("h2")).distinct()
       .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("n_docs"))
     val dup = grams.join(docFreq.filter(col("n_docs") >= 2), Seq("h1", "h2"))

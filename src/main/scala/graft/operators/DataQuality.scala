@@ -87,14 +87,19 @@ object DataQuality {
     // distinct keys per edge, orders of magnitude smaller than rows.
     val edgeName = (ct: String, fk: String, pt: String, pk: String) =>
       s"$ct.$fk->$pt.$pk"
+    // the edge travels as a 4-byte ORDINAL through the key-grain
+    // shuffles (r19, guide-§2.3 narrower types): the ~35-char edge name
+    // on every one of the millions of (edge, fk) rows was pure exchange
+    // payload — names re-attach onto the 7-row report at the end
+    val edgeId: ((String, String, String, String, Seq[Long])) => Int =
+      fkEdges.zipWithIndex.toMap
     val childKeys = fkEdges.groupBy(_._1).map { case (ct, edges) =>
-      table(ct).select(explode(array(edges.map { case (_, fk, pt, pk, _) =>
-        struct(lit(edgeName(ct, fk, pt, pk)).as("edge"),
-          col(fk).cast("long").as("fk"))
+      table(ct).select(explode(array(edges.map { case e @ (_, fk, _, _, _) =>
+        struct(lit(edgeId(e)).as("edge"), col(fk).cast("long").as("fk"))
       }: _*)).as("e")).select(col("e.edge").as("edge"), col("e.fk").as("fk"))
     }.reduce(_.unionByName(_))
-    val planted = fkEdges.flatMap { case (ct, fk, pt, pk, keys) =>
-      keys.map(k => (edgeName(ct, fk, pt, pk), k))
+    val planted = fkEdges.flatMap { case e @ (_, _, _, _, keys) =>
+      keys.map(k => (edgeId(e), k))
     }.toDF("edge", "fk")
     val perKey = childKeys.unionByName(planted)
       .groupBy(col("edge"), col("fk")).agg(count(lit(1)).as("n_rows"))
@@ -104,8 +109,8 @@ object DataQuality {
     // (edge, key) equi-key, hash-partitioned and skew-free. Both
     // report halves are then #edges-sized aggregates of the reduced
     // frames; the final join is 7 rows against 7 rows.
-    val parents = fkEdges.map { case (ct, fk, pt, pk, _) =>
-      table(pt).select(lit(edgeName(ct, fk, pt, pk)).as("edge"),
+    val parents = fkEdges.map { case e @ (_, _, pt, pk, _) =>
+      table(pt).select(lit(edgeId(e)).as("edge"),
         col(pk).cast("long").as("pk"))
     }.reduce(_.unionByName(_))
     val orphans = perKey.join(parents,
@@ -117,8 +122,13 @@ object DataQuality {
     val orp = orphans.groupBy(col("edge"))
       .agg(count(lit(1)).as("n_orphan_keys"),
         sum(col("n_rows")).as("n_orphan_rows"))
+    val names = fkEdges.map { case e @ (ct, fk, pt, pk, _) =>
+      (edgeId(e), edgeName(ct, fk, pt, pk))
+    }.toDF("edge", "edge_name")
     tot.join(orp, Seq("edge"), "left")
-      .select(col("edge"), col("n_child_rows"), col("n_child_keys"),
+      .join(broadcast(names), Seq("edge"))
+      .select(col("edge_name").as("edge"),
+        col("n_child_rows"), col("n_child_keys"),
         coalesce(col("n_orphan_keys"), lit(0L)).as("n_orphan_keys"),
         coalesce(col("n_orphan_rows"), lit(0L)).as("n_orphan_rows"))
   }

@@ -226,8 +226,19 @@ object Dedup {
     * dropping pairs. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3, maxBucket: Int = 64,
+                            strict: Boolean = false): DataFrame =
+    simhashNearDuplicatesFromSigs(
+      docs.select(col(idCol).as("id"), simhash(textCol).as("sim")),
+      maxHamming, maxBucket, strict)
+
+  /** [[simhashNearDuplicates]] over an already-computed signature frame
+    * (id, sim) — split out (r19) so callers that need the signatures
+    * for their own audit (E3's recall gate measures planted-pair
+    * Hamming distances from the same sigs) compute the corpus SimHash
+    * pass once instead of once per consumer. */
+  def simhashNearDuplicatesFromSigs(sigs: DataFrame,
+                            maxHamming: Int = 3, maxBucket: Int = 64,
                             strict: Boolean = false): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(textCol).as("sim"))
     val banded = sigs.select(col("id"), col("sim"), explode(expr(
       "transform(sequence(0, 3), c -> named_struct('chunk', c, 'key', (sim >> (c * 16)) & 65535))")).as("ck"))
     val guarded =

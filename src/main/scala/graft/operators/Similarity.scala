@@ -462,12 +462,22 @@ object Similarity {
                targetCellSize: Long = 256L, maxCellSize: Long = 4096L,
                iters: Int = 3, nCells: Int = 0): DataFrame = {
     val base = vecs.select(col("vec_id"), col("embedding"))
+    // cut the exact-dup pre-pass ONCE (r19): `reps` feeds the count,
+    // every Lloyd iteration, the final assignment and the pair stage —
+    // without the cut each of those jobs re-runs the corpus-sized
+    // group-by-embedding shuffle (shuffle files are not reused across
+    // separately-planned jobs)
     val reps = base.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
     val nReps = reps.count()
     val k = if (nCells > 0) nCells else cellCount(nReps, targetCellSize)
+    // cut once: `assigned` feeds both pair-join sides AND the final
+    // anti-join — three separately-planned jobs otherwise re-run the
+    // whole broadcast-argmax assignment pipeline
     val assigned =
       semAssign(reps, kmeansCentroids(reps, k, iters, n = nReps), maxCellSize)
+        .localCheckpoint()
     val a = assigned.select(col("cell"), col("subcell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("subcell"), col("vec_id").as("id_b"),

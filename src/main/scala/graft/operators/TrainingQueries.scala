@@ -183,14 +183,18 @@ object TrainingQueries {
     * the verdict is oracle-compared. */
   def dedupSimhashRecall(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithMutations(s, dir)
+    // ONE SimHash pass (r19): the signature frame previously computed
+    // three times (both planted-join sides + inside the near-dup
+    // pipeline) is cut once and shared by all three consumers
     val sigs = docs.select(col("doc_id").as("id"), Dedup.simhash("text").as("sim"))
+      .localCheckpoint()
     val planted = sigs.filter(col("id") < 10000)
       .join(sigs.filter(col("id") >= 10000)
         .select((col("id") - 10000).as("id"), col("sim").as("sim_m")), "id")
       .select(col("id").as("id_a"), (col("id") + 10000).as("id_b"),
         expr("bit_count(sim ^ sim_m)").as("hamming"))
     val guaranteed = planted.filter(col("hamming") <= 3)
-    val found = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+    val found = Dedup.simhashNearDuplicatesFromSigs(sigs,
         maxHamming = 3, maxBucket = 4096, strict = true)
       .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
     guaranteed.join(found, Seq("id_a", "id_b"), "left")
@@ -879,9 +883,15 @@ object TrainingQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     cents.write.mode("overwrite").parquet(s"$root/centroids")
     indexed.write.mode("overwrite").parquet(s"$root/index")
+    // cut both |Q|·k-row search results ONCE (r19): every comparison
+    // below previously re-ran the full search lineage — the two
+    // exceptAll jobs and the result count each recomputed BOTH searches
     val persisted = Similarity.ivfSearch(queries,
-      s.read.parquet(s"$root/centroids"), s.read.parquet(s"$root/index"), k = 10)
+        s.read.parquet(s"$root/centroids"), s.read.parquet(s"$root/index"),
+        k = 10)
+      .localCheckpoint()
     val inMemory = Similarity.ivfSearch(queries, cents, indexed, k = 10)
+      .localCheckpoint()
     val matches = persisted.exceptAll(inMemory).isEmpty &&
       inMemory.exceptAll(persisted).isEmpty
     Seq(("ann_ivf_persist", queries.count(), persisted.count(), matches))
@@ -930,13 +940,20 @@ object TrainingQueries {
     IvfIndex.foldBatch(s, root, day(1), tag = "day-1") // replayed delivery
     val nAfter = IvfIndex.assignments(s, root).count()
     val queries = e.filter(col("vec_id") < 5)
-    val cents = IvfIndex.centroids(s, root)
+    // k-row quantizer frame, reused by probe sizing and the batch
+    // search — cut once instead of re-reading + reassembling per use
+    val cents = IvfIndex.centroids(s, root).localCheckpoint()
     val probe = math.max(4, ((cents.count() + 1) / 2).toInt)
+    // cut both |Q|·k-row search results ONCE (r19): the two exceptAll
+    // jobs, the recall join and the result count each previously re-ran
+    // the full folded-index AND batch search lineages from scratch
     val folded = IvfIndex.search(s, root, e, queries, k = 10, nProbe = probe)
+      .localCheckpoint()
     val batch = Similarity.ivfSearch(queries, cents,
       Similarity.assignCells(e.select(col("vec_id"), col("embedding")), cents)
         .withColumn("c_nrm", Similarity.norm("embedding")),
       k = 10, nProbe = probe)
+      .localCheckpoint()
     val matches = folded.exceptAll(batch).isEmpty &&
       batch.exceptAll(folded).isEmpty
     val exact = Similarity.bruteForceTopK(queries, e, k = 10)

@@ -390,7 +390,12 @@ object SinkGates {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    Sinks.writeParquet(ev, table, partitionBy = Seq("day"))
+    // cluster by the partition column before the partitioned write
+    // (guide §6 small-files): without it every task writes a sliver of
+    // every day — tasks × days tiny files whose listing/rewrite costs
+    // dominate the gate; with it each day lands as one right-sized file
+    Sinks.writeParquet(ev.repartition(col("day")), table,
+      partitionBy = Seq("day"))
     def partFiles(): Map[String, Set[String]] =
       fs.listStatus(new org.apache.hadoop.fs.Path(table))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
@@ -413,11 +418,17 @@ object SinkGates {
     val untouchedIntact = filesBefore.keySet.forall { d =>
       affectedDays.contains(d) || filesBefore(d) == filesAfter(d)
     }
-    val back = s.read.parquet(table)
-    val leak = back.filter(col("user_id").isin(purge: _*)).count()
-    Seq(("purge_keys", back.count(), removed, affectedDays.size.toLong,
+    // one read-back scan answers both audit questions (leak count and
+    // total rows) — previously three separate full-scan jobs of the
+    // rewritten table sat on the gate's critical path
+    val backAgg = s.read.parquet(table).agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("user_id").isin(purge: _*), 1L)
+          .otherwise(0L)), lit(0L)).as("leak")).head()
+    val backCount = backAgg.getLong(0)
+    val leak = backAgg.getLong(1)
+    Seq(("purge_keys", backCount, removed, affectedDays.size.toLong,
         leak == 0L && untouchedIntact &&
-          back.count() + removed == ev.count()))
+          backCount + removed == ev.count()))
       .toDF("metric", "n_rows_after", "n_rows_removed", "n_days_affected",
         "purge_scoped_and_complete")
   }
@@ -464,15 +475,19 @@ object SinkGates {
     val ver2 = Sinks.versionedPublish(v2df, table)
     val asOf1 = Sinks.readVersion(s, table, ver1)
     val latest = Sinks.readVersion(s, table)
-    val v1Intact = asOf1.count() == v1df.count() &&
+    // one scan per frame (r19): count + checksum ride one aggregate,
+    // and each count lands in a val — the per-use re-count previously
+    // put three extra full-scan jobs on the gate's critical path
+    val agg1 = asOf1.agg(count(lit(1)).as("n"), checksum(col("c_custkey")).as("ck")).head()
+    val latestCount = latest.count()
+    val v1Intact = agg1.getLong(0) == v1df.count() &&
       asOf1.join(v1df.withColumnRenamed("bal", "bal0"), Seq("c_custkey"))
         .filter(col("bal") =!= col("bal0")).count() == 0
     val latestIsV2 =
-      latest.count() == v2df.count() &&
+      latestCount == v2df.count() &&
         latest.join(v2df.withColumnRenamed("bal", "bal2"), Seq("c_custkey"))
           .filter(col("bal") =!= col("bal2")).count() == 0
-    val agg1 = asOf1.agg(count(lit(1)).as("n"), checksum(col("c_custkey")).as("ck")).head()
-    Seq(("time_travel", agg1.getLong(0), agg1.getLong(1), latest.count(),
+    Seq(("time_travel", agg1.getLong(0), agg1.getLong(1), latestCount,
         ver1 == 1 && ver2 == 2 && v1Intact && latestIsV2))
       .toDF("metric", "n_rows_v1", "key_checksum_v1", "n_rows_latest",
         "versions_isolated")

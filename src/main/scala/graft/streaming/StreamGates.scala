@@ -157,9 +157,15 @@ object StreamGates {
     q
   }
 
-  /** Exact multiset equality of two bounded frames. */
-  private def setEqual(a: DataFrame, b: DataFrame): Boolean =
-    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+  /** Exact multiset equality of two bounded frames. Both sides are cut
+    * once (r19): the two exceptAll jobs each recompute BOTH input
+    * lineages, and the batch-recompute side of a gate comparison is a
+    * full aggregation pipeline — previously executed twice per gate. */
+  private def setEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val ac = a.localCheckpoint()
+    val bc = b.localCheckpoint()
+    ac.exceptAll(bc).isEmpty && bc.exceptAll(ac).isEmpty
+  }
 
   private def uniq(name: String): String =
     name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
