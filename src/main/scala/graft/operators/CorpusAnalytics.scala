@@ -534,17 +534,19 @@ object CorpusAnalytics {
     * the boolean flips. */
   def compressionGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val real = docs.select(
-      graft.functions.CompressExprs.deflateRatio(col("text")).as("ratio"))
-    val planted = docs.select(
-      graft.functions.CompressExprs.deflateRatio(
-        concat_ws(" ", array_repeat(split(col("text"), " ").getItem(0), 100)))
-        .as("ratio"))
-    val r = real.agg(count(lit(1)).as("n"), min(col("ratio")).as("mn")).head()
-    val p = planted.agg(count(lit(1)).as("n"), max(col("ratio")).as("mx")).head()
+    // both ratios in ONE corpus scan (r19): the real and planted
+    // deflate passes previously ran as two separate jobs over the
+    // same documents
+    val a = docs.select(
+        graft.functions.CompressExprs.deflateRatio(col("text")).as("r_real"),
+        graft.functions.CompressExprs.deflateRatio(
+          concat_ws(" ", array_repeat(split(col("text"), " ").getItem(0), 100)))
+          .as("r_planted"))
+      .agg(count(lit(1)).as("n"), min(col("r_real")).as("mn"),
+        max(col("r_planted")).as("mx")).head()
     import s.implicits._
-    Seq(("compression_separation", r.getLong(0), p.getLong(0),
-        p.getDouble(1) < r.getDouble(1)))
+    Seq(("compression_separation", a.getLong(0), a.getLong(0),
+        a.getDouble(2) < a.getDouble(1)))
       .toDF("metric", "n_real", "n_planted", "separable")
   }
 

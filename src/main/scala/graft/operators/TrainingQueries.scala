@@ -1686,10 +1686,15 @@ object TrainingQueries {
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(lit("EDIT-"), col("doc_id"), lit(": "), col("text")).as("text"))
     val all = base.union(planted)
+    // cut the chunking pass once (r19): the gear-hash kernel walks
+    // every corpus byte, and this frame feeds the coverage check, the
+    // shared-bytes pipeline and the resilience filter — three
+    // separately-planned actions that each re-chunked the corpus
     val chunked = all.select(col("doc_id"),
       octet_length(col("text")).as("blen"),
       cdcChunks(col("text"), maskBits = 4, minLen = 8, maxLen = 128)
         .as("chunks"))
+      .localCheckpoint()
     val coverageExact = chunked
       .filter(expr("aggregate(chunks, 0L, (a, c) -> a + c.chunk_len)") =!=
         col("blen").cast("long")).isEmpty
