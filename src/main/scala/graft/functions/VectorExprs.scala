@@ -34,6 +34,19 @@ object VectorExprs {
     * dimension instead of silently degenerating to one bucket. */
   def hyperplaneBucket(emb: Column, planes: Array[Array[Double]]): Column =
     col(HyperplaneBucket(expr(emb), planes))
+
+  /** Nearest-centroid argmax as ONE codegen expression (r20): over a
+    * per-row `array<struct<cell:long, half:double, centroid:array<float>>>`
+    * (in practice a broadcast one-row centroid table attached by a
+    * cross join), returns the `cell` maximizing `emb·centroid − half`
+    * (≡ min L2 when half = |c|²/2), ties to the LOWER cell id — the
+    * identical score expression and tie-break as the former
+    * broadcast-join + `max(struct(s, −cell))` aggregate shape, with no
+    * k-way row fan-out, no hash aggregation and NO exchange. Throws on
+    * a dimension mismatch; null if `emb` or the centroid array is null
+    * or empty. */
+  def nearestCell(emb: Column, cents: Column): Column =
+    col(NearestCellArgmax(expr(emb), expr(cents)))
 }
 
 case class FloatVecDot(left: Expression, right: Expression)
@@ -86,6 +99,120 @@ case class FloatVecDot(left: Expression, right: Expression)
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Tight-loop nearest-centroid selection: for each centroid struct
+  * `(cell, half, centroid)` compute s = Σ embᵢ·centroidᵢ − half
+  * (floats promoted to double, products accumulated in array order —
+  * bit-identical to [[FloatVecDot]] minus `half`) and return the cell
+  * with the greatest s, ties to the lower cell id. The centroid count
+  * k is bounded (a coarse quantizer), so the k·dim multiply-adds per
+  * row replace what was a k-way join fan-out plus an argmax aggregate
+  * whose exchange carried one full embedding per input row. */
+case class NearestCellArgmax(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cell_argmax"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(
+          org.apache.spark.sql.types.StructType(Array(c, h, v)), _))
+        if c.dataType == LongType && h.dataType == DoubleType &&
+          v.dataType.isInstanceOf[ArrayType] &&
+          v.dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "nearest_cell_argmax expects (ARRAY<FLOAT>, " +
+          "ARRAY<STRUCT<cell: BIGINT, half: DOUBLE, centroid: ARRAY<FLOAT>>>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    if (k == 0) return null
+    val dim = emb.numElements()
+    var bestS = 0.0
+    var bestC = 0L
+    var found = false
+    var j = 0
+    while (j < k) {
+      val c = cents.getStruct(j, 3)
+      val cell = c.getLong(0)
+      val half = c.getDouble(1)
+      val cv = c.getArray(2)
+      if (cv.numElements() != dim) throw new IllegalArgumentException(
+        s"nearest_cell_argmax: centroid dim ${cv.numElements()} != embedding dim $dim")
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += emb.getFloat(i).toDouble * cv.getFloat(i).toDouble
+        i += 1
+      }
+      val s = acc - half
+      if (!found || s > bestS || (s == bestS && cell < bestC)) {
+        bestS = s; bestC = cell; found = true
+      }
+      j += 1
+    }
+    bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k")
+      val dim = ctx.freshName("dim")
+      val bestS = ctx.freshName("bestS")
+      val bestC = ctx.freshName("bestC")
+      val found = ctx.freshName("found")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cell = ctx.freshName("cell")
+      val half = ctx.freshName("half")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $k = $b.numElements();
+         |if ($k == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $dim = $a.numElements();
+         |  double $bestS = 0.0;
+         |  long $bestC = 0L;
+         |  boolean $found = false;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    org.apache.spark.sql.catalyst.InternalRow $c = $b.getStruct($j, 3);
+         |    long $cell = $c.getLong(0);
+         |    double $half = $c.getDouble(1);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(2);
+         |    if ($cv.numElements() != $dim) {
+         |      throw new IllegalArgumentException(
+         |        "nearest_cell_argmax: centroid dim " + $cv.numElements() +
+         |          " != embedding dim " + $dim);
+         |    }
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $acc += ((double) $a.getFloat($i)) * ((double) $cv.getFloat($i));
+         |    }
+         |    double $s = $acc - $half;
+         |    if (!$found || $s > $bestS || ($s == $bestS && $cell < $bestC)) {
+         |      $bestS = $s; $bestC = $cell; $found = true;
+         |    }
+         |  }
+         |  ${ev.value} = $bestC;
          |}
        """.stripMargin
     })

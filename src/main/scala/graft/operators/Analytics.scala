@@ -1363,6 +1363,82 @@ object Analytics {
           .as("value"))
   }
 
+  /** Exact value-at-rank selection at ARBITRARY rank targets — the
+    * [[binnedRankInterp]] machinery with caller-supplied rank
+    * expressions instead of the type-7 brackets (r20, built for the GK
+    * gate's error-bound ranks ⌈p·n⌉ ± ε(n)): each labelled target maps
+    * the per-group row count `n` (a Column) to a 1-based rank in
+    * [1, n], and the returned row is the value AT that rank — the same
+    * histogram pass + crossing-bin resolve, nothing data-sized sorted
+    * or range-exchanged. Equivalent to `max(value) FILTER (rn ≤ r)` /
+    * `min(value) FILTER (rn ≥ r)` over a globally ranked frame:
+    * values are non-decreasing in rank, so both reduce to the value at
+    * the boundary rank, which is what the crossing selects. Output:
+    * (groupCol, lbl, value), one row per (group, target). Same
+    * eager-execution and deterministic/stable-input contract as the
+    * siblings. */
+  private[graft] def binnedRankAt(df: DataFrame, groupCol: String,
+      valueCol: String, targets: Seq[(String, Column => Column)],
+      shift: Int = 44): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targets.nonEmpty)
+    require(!df.queryExecution.analyzed.exists(_.expressions.exists(e =>
+        e.exists(!_.deterministic))),
+      "binnedRankAt input must be deterministic: the histogram and " +
+        "resolve passes scan it in two independent jobs")
+    val base = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(!col(valueCol).isNull)
+      .withColumn("__bin", shiftright(
+        graft.functions.SelectExprs.sortableDoubleBits(
+          when(col("__v").cast("double") === 0.0, lit(0.0))
+            .otherwise(col("__v").cast("double"))),
+        shift))
+    val hist = base.groupBy(col("__g"), col("__bin"))
+      .agg(count(lit(1)).as("__bw"))
+    val cumw = Window.partitionBy(col("__g")).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cb", sum(col("__bw")).over(cumw))
+      .withColumn("__tw", sum(col("__bw")).over(Window.partitionBy(col("__g"))))
+    val qs = explode(array(targets.map { case (lbl, f) =>
+      struct(lit(lbl).as("lbl"), f(col("__tw")).cast("long").as("r"))
+    }: _*)).as("__q")
+    val crossBins = cum.select(col("__g").as("__cg"), col("__bin").as("__cbin"),
+        (col("__cb") - col("__bw")).as("__before"), col("__cb"), col("__tw"), qs)
+      .filter(col("__cb") >= col("__q.r") && col("__before") < col("__q.r"))
+      .select(col("__cg"), col("__cbin"), col("__q.lbl").as("__lbl"),
+        col("__q.r").as("__r"), col("__before"), col("__tw"))
+    // bounded: ≤ |targets|·|groups| rows — same LocalRelation hand-back
+    // and literal value-range pushdown as the sibling cores
+    val crossRows = crossBins.collect()
+    val crossLocal = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(crossRows: _*), crossBins.schema)
+    val ranges = crossRows.map { r =>
+      val b = r.getLong(r.fieldIndex("__cbin"))
+      def unsortable(k: Long): Double =
+        java.lang.Double.longBitsToDouble(k ^ ((k >> 63) & 0x7fffffffffffffffL))
+      (unsortable(b << shift), unsortable((b << shift) | ((1L << shift) - 1)))
+    }
+    val rangeFilter = ranges.map { case (lo, hi) =>
+      if (lo.isNaN || hi.isNaN) lit(true)
+      else col("__v").cast("double") >= lo && col("__v").cast("double") <= hi
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val cand = base.filter(rangeFilter).join(broadcast(crossLocal),
+      col("__g") === col("__cg") && col("__bin") === col("__cbin"))
+    val inBin = Window.partitionBy(col("__g"), col("__lbl"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand
+      .groupBy(col("__g"), col("__lbl"), col("__r"),
+        col("__before"), col("__tw"), col("__v"))
+      .agg(count(lit(1)).as("__vw"))
+      .withColumn("__cw", col("__before") + sum(col("__vw")).over(inBin))
+      .filter(col("__cw") >= col("__r") &&
+        (col("__cw") - col("__vw")) < col("__r"))
+      .select(col("__g").as(groupCol), col("__lbl").as("lbl"),
+        col("__v").as("value"))
+  }
+
   /** Exact rank-selected quantiles — the value at rank ⌈p·n⌉ per group
     * for each p = num/den — via the two-phase binned selection with
     * UNIT weights (r19): with w ≡ 1 the weighted crossing condition

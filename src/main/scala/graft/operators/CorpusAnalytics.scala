@@ -858,16 +858,25 @@ object CorpusAnalytics {
     * drag the whole corpus through one reducer. Budget and running sum
     * are exact longs; ties in score break on doc_id (total order). */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    // ONE documents pass for the scoring projection (r20): the range
+    // exchange's boundary SAMPLING re-evaluates its child in full, so
+    // the regex-heavy qualityScore projection previously ran twice
+    // (sample + shuffle map side) — the localCheckpoint cut feeds the
+    // sampler and the exchange from materialized narrow rows instead.
+    // The budget (an exact integer sum over the same rows) rides the
+    // checkpoint job as an observe metric, replacing a second full
+    // documents scan + crossJoin.
+    val obs = org.apache.spark.sql.Observation("token_budget_seed")
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
         TextAnalysis.qualityScore(col("text")).as("score"))
       .withColumn("nscore", -col("score"))
-    val ranked = Relational.globalRunningSum(scored, Nil,
-      Seq("nscore", "doc_id"), "n_chars")
-    val budget = Tables.documents(s, dir)
-      .agg(expr("sum(n_chars) div 2").as("budget"))
-    ranked.crossJoin(broadcast(budget))
-      .filter(col("run_sum") <= col("budget"))
+      .observe(obs, expr("sum(n_chars) div 2").as("budget"))
+      .localCheckpoint()
+    val budget = obs.get("budget").asInstanceOf[Long]
+    Relational.globalRunningSum(scored, Nil,
+        Seq("nscore", "doc_id"), "n_chars")
+      .filter(col("run_sum") <= lit(budget))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_kept"))
   }
@@ -1761,6 +1770,13 @@ object CorpusAnalytics {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    // NOTE (r20, tried and REVERTED): fusing the top-1 job into the
+    // merge-application job (broadcast limit(1) subframe + observe
+    // metrics, halving the action count per step) measured SLOWER —
+    // 1.11→1.58 s bpe_learn, 1.58→1.83 s bpe_learn_gate on same-box
+    // subset pairs: the broadcast-built TakeOrdered stage plus the
+    // cross join serialized worse than the two small jobs they
+    // replaced. The r19 two-job per-step shape stays.
     while (step <= steps && !exhausted) {
       val top = vocab
         .select(col("freq"), explode(expr(

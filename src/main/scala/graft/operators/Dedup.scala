@@ -138,18 +138,36 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, n: Int = 3,
                             bands: Int = 32, rowsPerBand: Int = 4,
-                            maxBucket: Int = 64, strict: Boolean = false): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), wordShingles(textCol, n).as("shs"))
-      .select(col("id"),
+                            maxBucket: Int = 64, strict: Boolean = false): DataFrame =
+    minhashNearDuplicatesWithSig(docs, idCol, textCol, threshold, n,
+      bands, rowsPerBand, maxBucket, strict)._1
+
+  /** As [[minhashNearDuplicates]], additionally returning the cut
+    * signature frame `(id, bk, sh, meta…)` so callers that need more
+    * per-document columns (canonical selection needs doc lengths) ride
+    * the SAME corpus projection/checkpoint instead of paying a second
+    * full text scan (r20). `meta` columns are evaluated in the one
+    * shingle projection and must be aliased. With `meta = Nil` the
+    * plan is byte-identical to [[minhashNearDuplicates]]'s. */
+  def minhashNearDuplicatesWithSig(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, n: Int = 3,
+                            bands: Int = 32, rowsPerBand: Int = 4,
+                            maxBucket: Int = 64, strict: Boolean = false,
+                            meta: Seq[Column] = Nil): (DataFrame, DataFrame) = {
+    val projected = docs.select(
+      Seq(col(idCol).as("id"), wordShingles(textCol, n).as("shs")) ++ meta: _*)
+    val metaNames = projected.columns.drop(2).toSeq
+    val sh = projected
+      .select(Seq(col("id"),
         graft.functions.HashExprs.minhashBandKeys(col("shs"), bands, rowsPerBand).as("bk"),
-        expr("transform(shs, g -> xxhash64(g))").as("sh"))
+        expr("transform(shs, g -> xxhash64(g))").as("sh")) ++ metaNames.map(col): _*)
       .localCheckpoint()
     val sig = sh.select(col("id"),
       posexplode(col("bk")).as(Seq("band", "key")))
-    joinJaccard(pairsWithinBuckets(sig, maxBucket, strict),
+    val pairs = joinJaccard(pairsWithinBuckets(sig, maxBucket, strict),
         sh.select(col("id"), col("sh")))
       .filter(col("jaccard") >= threshold)
+    (pairs, sh)
   }
 
   /** Connected components over a near-dup pair graph (E21) — the
@@ -165,11 +183,24 @@ object Dedup {
     * round is one join + one groupBy (two shuffles) and the lineage is
     * cut with `localCheckpoint` so the plan doesn't grow per round.
     * Throws if `maxIter` rounds don't converge rather than returning
-    * partial clusters.
+    * partial clusters; maxIter must be ≥ 2 (the fused init counts as
+    * round 1 and cannot observe its own convergence — ADVICE r19).
+    *
+    * NOTE (r20, tried and REVERTED): chaining TWO propagation rounds
+    * per job (the second doubling as the convergence proof, so the
+    * planted-pair family would finish in one job instead of two)
+    * measured ~0.85-0.9× on fresh-JVM probes (dedup_clusters steady
+    * 2.25-2.4 s → 2.5-2.6 s): the un-materialized round-k labels
+    * appear twice in the fused plan (neighbor-min side + node side),
+    * and the duplicated subtree's extra stages cost more than the one
+    * removed job-floor. The one-round-per-job shape stays.
     *
     * Output: (id, component) for every id in `pairs`, component = min
     * id in the connected component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 2,
+      "connectedComponents: the fused init round cannot observe its own " +
+        "convergence; maxIter must be >= 2")
     // materialize the (possibly expensive) pair pipeline ONCE — the
     // symmetric edge union would otherwise evaluate everything above
     // the last exchange in `pairs` once per branch

@@ -922,7 +922,9 @@ object EtlQueries {
       docs.filter(col("doc_id") % 2 =!= 0)
         .write.format("graft-atomic").mode("append").save(out)
       val back = graft.sources.AtomicSink.readCommitted(s, out)
-      val rowDiff = back.except(docs).count() + docs.except(back).count()
+      // one-job symmetric diff (r20, [[graft.DfCompare]]): each side is
+      // scanned once instead of twice per except direction
+      val rowDiff = graft.DfCompare.symmetricExceptCount(back, docs)
       val agg = back.agg(count(lit(1)).as("n"),
         dsum(col("n_chars").cast("double")).as("sum_chars"),
         countDistinct(col("source")).as("n_sources")).head()
@@ -940,7 +942,7 @@ object EtlQueries {
         } catch { case _: Exception => true }
       val after = graft.sources.AtomicSink.readCommitted(s, out)
       val unchanged = aborted &&
-        after.except(docs).count() == 0 && docs.except(after).count() == 0
+        graft.DfCompare.symmetricExceptCount(after, docs) == 0L
       // after a zero-retention vacuum (test-scoped: no concurrent
       // writers here), the physical listing == the LATEST manifest's
       // files + that manifest itself, nothing else — aborted residue
@@ -988,7 +990,8 @@ object EtlQueries {
       docs.write.format("graft-atomic").mode("append").save(out)
       val scan = s.read.format("graft-atomic").load(out)
       val helper = graft.sources.AtomicSink.readCommitted(s, out)
-      val rowDiff = scan.exceptAll(helper).count() + helper.exceptAll(scan).count()
+      // one-job symmetric diff (r20, [[graft.DfCompare]])
+      val rowDiff = graft.DfCompare.symmetricDiffAllCount(scan, helper)
       val pruned = scan.select(col("doc_id"), col("n_chars"))
       val rel = pruned.queryExecution.optimizedPlan.collect {
         case r: DataSourceV2ScanRelation => r

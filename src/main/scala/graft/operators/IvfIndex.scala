@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   *    duplicating 100 TB of floats.
   *
   * A fold assigns ONLY the delta's vectors to the existing cells
-  * (centroids frozen — one broadcast hash join + argmax over |Δ|
-  * rows) and appends them atomically. Assignment is per-vector pure,
+  * (centroids frozen — one broadcast-centroid-array argmax projection
+  * over |Δ| rows, r20) and appends them atomically. Assignment is per-vector pure,
   * so fold(Δ₁)∘fold(Δ₂)∘… equals the one-shot assignment of ∪Δᵢ
   * exactly — the `ann_ivf_fold_gate` pins that search-for-search, plus
   * replay no-op, plus recall@10 ≥ 0.7 vs brute force.

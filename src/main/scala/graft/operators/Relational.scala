@@ -631,20 +631,46 @@ object Relational {
   /** Driver-checkable gate for the GK sketch: each approximate
     * quantile must lie between the exact values at ranks
     * ⌈p·n⌉ ± (⌈n/accuracy⌉ + 1) — the sketch's rank-error guarantee
-    * with one rank of slack for boundary-definition differences. The
-    * bound values come from the same distributed rank frame as
-    * `quantiles` (conditional max/min per group over global ranks —
-    * no per-group single-reducer sort). */
+    * with one rank of slack for boundary-definition differences.
+    *
+    * The four bound values are value-at-rank selections (values are
+    * non-decreasing in rank, so `max(value | rn ≤ K)` IS the value at
+    * rank K, and `min(value | rn ≥ K)` the value at rank K; both rank
+    * targets provably land in [1, n]) — since r20 they ride the binned
+    * selection core ([[Analytics.binnedRankAt]], the identical rank
+    * expressions evaluated on the histogram's group count) instead of
+    * the GlobalRank full-relation range exchange + sort this family
+    * left in r18/r19. */
   def approxQuantileGate(s: SparkSession, dir: String): DataFrame = {
-    val ranked = rankedByGroup(s, dir)
-    val eps = ceil(col("n") / lit(10000)) + lit(1)
-    def lo(p: Double) = max(when(
-      col("rn") <= greatest(lit(1), ceil(col("n") * p) - eps), col("value")))
-    def hi(p: Double) = min(when(
-      col("rn") >= least(col("n"), ceil(col("n") * p) + eps), col("value")))
-    val bounds = ranked.groupBy(col("l_linestatus")).agg(
-      lo(0.5).as("lo_50"), hi(0.5).as("hi_50"),
-      lo(0.9).as("lo_90"), hi(0.9).as("hi_90"))
+    def eps(n: Column) = ceil(n / lit(10000)) + lit(1)
+    def loR(p: Double)(n: Column) =
+      greatest(lit(1), ceil(n * p) - eps(n))
+    def hiR(p: Double)(n: Column) =
+      least(n, ceil(n * p) + eps(n))
+    val src = Tables.lineitem(s, dir)
+      .select(col("l_linestatus"), col("l_extendedprice").as("value"))
+    // same size dispatch (and the same provably-equal-arms argument)
+    // as exactQuantiles: the identical rank expressions evaluate on
+    // either the histogram's group count or the ranked frame's n
+    val bounds =
+      if (inputLeafBytes(src) > binnedMinBytes(src)) {
+        val at = Analytics.binnedRankAt(src, "l_linestatus", "value",
+          Seq[(String, Column => Column)](
+            "lo_50" -> loR(0.5) _, "hi_50" -> hiR(0.5) _,
+            "lo_90" -> loR(0.9) _, "hi_90" -> hiR(0.9) _))
+        at.groupBy(col("l_linestatus")).agg(
+          max(when(col("lbl") === "lo_50", col("value"))).as("lo_50"),
+          max(when(col("lbl") === "hi_50", col("value"))).as("hi_50"),
+          max(when(col("lbl") === "lo_90", col("value"))).as("lo_90"),
+          max(when(col("lbl") === "hi_90", col("value"))).as("hi_90"))
+      } else {
+        val ranked = globalRank(src, Seq("l_linestatus"), Seq("value"))
+        def lo(p: Double) = max(when(col("rn") <= loR(p)(col("n")), col("value")))
+        def hi(p: Double) = min(when(col("rn") >= hiR(p)(col("n")), col("value")))
+        ranked.groupBy(col("l_linestatus")).agg(
+          lo(0.5).as("lo_50"), hi(0.5).as("hi_50"),
+          lo(0.9).as("lo_90"), hi(0.9).as("hi_90"))
+      }
     approxQuantiles(s, dir).join(bounds, "l_linestatus")
       .select(col("l_linestatus"), col("p"),
         when(col("p") === 0.5, col("value").between(col("lo_50"), col("hi_50")))
@@ -725,37 +751,95 @@ object Relational {
       rankCol, countCol, sumCol = Some(sumCol), runCol = runCol)
   }
 
-  /** Exact per-group quantiles by rank selection over [[globalRank]]:
-    * for each p in `ps`, the value at rank ⌈p·n⌉ within its group —
-    * a value FROM the data (no interpolation drift), computed without
-    * any per-group single-reducer sort, so it survives groups with
-    * billions of rows. Output: groupCols ++ (p, value). Ties share a
-    * rank neighborhood and the VALUE at any rank is unique regardless
-    * of tie order, so the result is exact and deterministic. */
+  /** Exact per-group quantiles by rank selection: for each p in `ps`,
+    * the value at rank ⌈p·n⌉ within its group — a value FROM the data
+    * (no interpolation drift), computed without any per-group
+    * single-reducer sort, so it survives groups with billions of rows.
+    * Output: groupCols ++ (p, value). Ties share a rank neighborhood
+    * and the VALUE at any rank is unique regardless of tie order, so
+    * the result is exact and deterministic.
+    *
+    * SIZE-ADAPTIVE dispatch (r20): two provably-equal arms.
+    *
+    *  - Small inputs ride [[globalRank]] (one range exchange + sort +
+    *    in-operator rank-bracket selection) — at bench-local sizes the
+    *    sort is partition-local and cheaper than the binned core's
+    *    fixed second job (measured r19: 0.42 s vs 0.96 s at sf0.1 on
+    *    the 20 k-row iqr input, which is why r19 reverted the
+    *    unconditional binned form).
+    *  - Inputs whose plan-statistics size exceeds
+    *    `spark.graft.select.binnedMinBytes` (default 256 MB — where a
+    *    full-relation range exchange + sort becomes the query's floor;
+    *    production keeps the default, the knob exists for measurement
+    *    and tests) take the two-phase binned selection
+    *    ([[Analytics.binnedRankQuantiles]]): one histogram aggregate +
+    *    a crossing-bin resolve scan with value-range pushdown —
+    *    NOTHING data-sized is sorted or range-exchanged, the r18/r19
+    *    shape that already carries the weighted family and D19.
+    *
+    * Equality of the arms: the binned arm selects the smallest value
+    * whose cumulative count cw satisfies den·cw ≥ num·n, i.e. the
+    * value at rank ⌈(num/den)·n⌉; the dispatch only takes it when
+    * every p is a small DYADIC rational (den a power of two ≤ 1024),
+    * where n·p in double arithmetic is exact for every row count the
+    * rank arm could see — so ⌈n·p⌉ (rank arm) ≡ ⌈n·num/den⌉ (binned
+    * arm) for ALL n, not just tested ones (ExactQuantileDispatchSpec
+    * pins both arms row-identical). Non-dyadic p or multi-column
+    * groups always take the rank arm. */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      ps: Seq[Double], nParts: Int = -1): DataFrame = {
-    // the bracket selection rides INSIDE the rank operator: only rows
-    // at a wanted rank are ever projected out of the sort pass
-    val ranked = globalRank(df.select((groupCols :+ valueCol).map(col(_)): _*),
-      groupCols, Seq(valueCol), nParts,
-      rankFilter = Some((rn, n) =>
-        ps.map(p => rn === ceil(n * p).cast("long")).reduce(_ || _)))
-    val matched = array(ps.map(p =>
-      when(col("rn") === ceil(col("n") * p).cast("long"), lit(p))): _*)
-    ranked.select((groupCols.map(col(_)) :+
-      explode(filter(matched, x => x.isNotNull)).as("p") :+
-      col(valueCol).as("value")): _*)
+    val rationals = ps.map(smallDyadic)
+    if (groupCols.size == 1 && rationals.forall(_.isDefined) &&
+        inputLeafBytes(df) > binnedMinBytes(df)) {
+      Analytics.binnedRankQuantiles(
+        df.select((groupCols :+ valueCol).map(col(_)): _*),
+        groupCols.head, valueCol, rationals.map(_.get))
+        .select((groupCols.map(col(_)) :+ col("p") :+ col("value")): _*)
+    } else {
+      // the bracket selection rides INSIDE the rank operator: only rows
+      // at a wanted rank are ever projected out of the sort pass
+      val ranked = globalRank(df.select((groupCols :+ valueCol).map(col(_)): _*),
+        groupCols, Seq(valueCol), nParts,
+        rankFilter = Some((rn, n) =>
+          ps.map(p => rn === ceil(n * p).cast("long")).reduce(_ || _)))
+      val matched = array(ps.map(p =>
+        when(col("rn") === ceil(col("n") * p).cast("long"), lit(p))): _*)
+      ranked.select((groupCols.map(col(_)) :+
+        explode(filter(matched, x => x.isNotNull)).as("p") :+
+        col(valueCol).as("value")): _*)
+    }
   }
 
-  /** Globally-ranked (l_linestatus, value) rows for the quantile
-    * family, via [[globalRank]]: rn = 1-based value-ascending rank
-    * within line status, n = group size. */
-  private[operators] def rankedByGroup(s: SparkSession, dir: String,
-                                       nParts: Int = -1): DataFrame =
-    globalRank(
-      Tables.lineitem(s, dir)
-        .select(col("l_linestatus"), col("l_extendedprice").as("value")),
-      groupCols = Seq("l_linestatus"), sortCols = Seq("value"), nParts = nParts)
+  /** The size-dispatch threshold (see [[exactQuantiles]]). */
+  private def binnedMinBytes(df: DataFrame): BigInt =
+    BigInt(df.sparkSession.conf
+      .get("spark.graft.select.binnedMinBytes", (256L * 1024 * 1024).toString))
+
+  /** Source size from LEAF-relation statistics only (file sizes for
+    * parquet scans) — the analyzed plan's leaves, never the optimizer:
+    * an `optimizedPlan.stats` probe re-runs the whole optimizer on the
+    * input subtree at DataFrame-construction time, which measured as a
+    * ~0.1 s driver-side regression on iqr_outliers when this dispatch
+    * first landed. */
+  private def inputLeafBytes(df: DataFrame): BigInt =
+    df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+
+  /** p as an exact small dyadic rational (num, den = 2^k ≤ 1024, label
+    * whose double cast reproduces p), or None. For such p, n·p is
+    * exact in double arithmetic for any realistic row count, which is
+    * what makes the two [[exactQuantiles]] arms provably equal. */
+  private def smallDyadic(p: Double): Option[(Long, Long, String)] = {
+    var den = 1L
+    while (den <= 1024L) {
+      val num = p * den
+      if (num == math.rint(num) && num >= 0.0 && num <= den.toDouble &&
+          num.toLong.toDouble / den.toDouble == p)
+        return Some((num.toLong, den, p.toString))
+      den *= 2
+    }
+    None
+  }
 
   /** Exact quantiles by rank (p50/p90 of extended price per line
     * status): the value at rank ⌈p·n⌉ — rank selection, not

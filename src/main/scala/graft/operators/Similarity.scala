@@ -282,7 +282,8 @@ object Similarity {
     * deterministic uniform sample, immune to sorted/clustered id
     * layouts that made lowest-id seeding degenerate. Each Lloyd step
     * is fully distributed: assignment via [[assignCells]] (broadcast
-    * hash join + map-side-collapsing argmax), the new means aggregated
+    * centroid array + codegen argmax projection — no exchange, r20),
+    * the new means aggregated
     * per (cell, dimension) into a k-row frame that is
     * `localCheckpoint`ed to break the iterative lineage. Cells that
     * lose every member keep their previous centroid.
@@ -329,32 +330,32 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment, distributed end to end: fan each
-    * vector out against the broadcast centroid frame on a constant
-    * join key (a broadcast HASH join — never a nested loop), score
-    * with max (v·c − |c|²/2) ≡ min L2, and collapse the k-way fan-out
-    * with an argmax aggregate. The partial aggregate runs before the
-    * exchange (the broadcast join preserves the streamed side's
-    * partitioning), so the shuffle carries ONE row per vector, not k.
-    * Ties break to the lower cell id. Input must carry (vec_id,
-    * embCol); output is (vec_id, embCol, cell). */
+  /** Nearest-centroid assignment as a pure PROJECTION (r20): the
+    * centroid table is collapsed (on executors) into one row holding a
+    * cell-sorted `array<struct<cell, half, centroid>>`, cross-joined in
+    * as a broadcast, and each vector picks its cell with the codegen
+    * argmax loop [[graft.functions.VectorExprs.nearestCell]] — the
+    * same score max (v·c − |c|²/2) ≡ min L2 and the same lower-cell-id
+    * tie-break as the former broadcast-join + argmax-aggregate shape,
+    * but with NO exchange at all: the old plan's `groupBy(vec_id)`
+    * shuffled one row per vector WITH its embedding (a full-corpus
+    * exchange on the final IVF/semdedup assignment pass) purely to
+    * collapse the k-way join fan-out this formulation never creates.
+    * Broadcast footprint is unchanged — the old shape broadcast the
+    * same k·dim centroid values as a hashed relation; the driver still
+    * never materializes them as API output. Input must carry (vec_id,
+    * embCol) with non-null float embeddings; output is
+    * (vec_id, embCol, cell). */
   def assignCells(vecs: DataFrame, centroids: DataFrame,
                   embCol: String = "embedding"): DataFrame = {
-    // the constant key is built from a column (pmod(hash, 1) ≡ 0) so the
-    // optimizer cannot fold the equi-condition away and degrade the
-    // broadcast HASH join into a nested loop
-    val cents = centroids.select(col("cell").as("__cell"), col("centroid"),
-        (VectorExprs.floatDot(col("centroid"), col("centroid")) / lit(2.0)).as("__half"))
-      .withColumn("__one", pmod(xxhash64(col("__cell")), lit(1L)))
+    val centsRow = centroids.agg(
+      array_sort(collect_list(struct(col("cell"),
+        (VectorExprs.floatDot(col("centroid"), col("centroid")) / lit(2.0)).as("half"),
+        col("centroid")))).as("__cents"))
     vecs.select(col("vec_id"), col(embCol))
-      .withColumn("__one", pmod(xxhash64(col("vec_id")), lit(1L)))
-      .join(broadcast(cents), Seq("__one"))
-      .withColumn("__s", VectorExprs.floatDot(col(embCol), col("centroid")) - col("__half"))
-      .groupBy(col("vec_id"))
-      .agg(first(col(embCol)).as(embCol),
-        max(struct(col("__s").as("s"), (-col("__cell")).as("neg_cell"))).as("__b"))
+      .crossJoin(broadcast(centsRow))
       .select(col("vec_id"), col(embCol),
-        (-col("__b").getField("neg_cell")).cast("long").as("cell"))
+        VectorExprs.nearestCell(col(embCol), col("__cents")).as("cell"))
   }
 
   /** IVF ANN (E7 scale path): coarse-quantize the corpus into k-means

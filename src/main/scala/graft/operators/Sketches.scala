@@ -123,8 +123,16 @@ object Sketches {
     import org.apache.datasketches.memory.Memory
     import org.apache.datasketches.theta.{SetOperation, Sketches => Th}
     import graft.functions.SketchFns._
+    // ONE events scan (r20): the distinct audience table feeds BOTH the
+    // sketch path and the exact self-join — previously each path ran its
+    // own full scan+projection of events. Feeding the sketches DISTINCT
+    // rows is value-identical: a Theta update with an already-retained
+    // hash is a no-op, so the per-shard sketch state is a function of
+    // the (user, day) SET, which dedup does not change.
     val audience = Tables.events(s, dir)
       .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint()
     // the sketched item is the (user, day) pair, folded to one stable
     // 64-bit key (xxhash64 is fixed-seed; collisions at ~n²/2^64 are
     // far inside `tol`) — Theta updates take scalars, not structs
@@ -148,7 +156,7 @@ object Sketches {
     }
     import s.implicits._
     val estDf = ests.toDF("type_a", "type_b", "est")
-    val d = audience.distinct()
+    val d = audience
     val exact = d.as("a").join(d.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
           col("a.event_type") < col("b.event_type"))

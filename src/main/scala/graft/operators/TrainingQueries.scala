@@ -100,11 +100,19 @@ object TrainingQueries {
     * keep-best policy real corpus dedup applies instead of
     * keep-lowest-id, since near-dups usually differ by truncation.
     * One argmax aggregate per component (max over a (length, −id)
-    * struct — no window over members), lengths joined from the corpus. */
+    * struct — no window over members); lengths ride the dedup
+    * pipeline's OWN shingle projection as a carried meta column
+    * (r20, [[Dedup.minhashNearDuplicatesWithSig]]) instead of a second
+    * full text scan of the mutated corpus. */
   def canonicalDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithMutations(s, dir)
-      .select(col("doc_id"), length(col("text")).as("doc_len"))
-    val clusters = dedupClusters(s, dir)
+    val (pairs, sig) = Dedup.minhashNearDuplicatesWithSig(
+      docsWithMutations(s, dir), "doc_id", "text",
+      threshold = 0.8, maxBucket = 4096, strict = true,
+      meta = Seq(length(col("text")).as("doc_len")))
+    val clusters = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("component"))
+    val docs = sig.select(col("id").as("doc_id"), col("doc_len"))
     clusters.join(docs, "doc_id")
       .groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -883,18 +891,17 @@ object TrainingQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     cents.write.mode("overwrite").parquet(s"$root/centroids")
     indexed.write.mode("overwrite").parquet(s"$root/index")
-    // cut both |Q|·k-row search results ONCE (r19): every comparison
-    // below previously re-ran the full search lineage — the two
-    // exceptAll jobs and the result count each recomputed BOTH searches
+    // ONE comparison job (r20, [[graft.DfCompare]]): the ±1-tag
+    // union/group multiset equality evaluates each search lineage
+    // exactly once and its observe metrics carry the result count —
+    // replacing r19's 2 localCheckpoints + 2 exceptAll jobs + count
     val persisted = Similarity.ivfSearch(queries,
         s.read.parquet(s"$root/centroids"), s.read.parquet(s"$root/index"),
         k = 10)
-      .localCheckpoint()
     val inMemory = Similarity.ivfSearch(queries, cents, indexed, k = 10)
-      .localCheckpoint()
-    val matches = persisted.exceptAll(inMemory).isEmpty &&
-      inMemory.exceptAll(persisted).isEmpty
-    Seq(("ann_ivf_persist", queries.count(), persisted.count(), matches))
+    val (matches, nResults, _) =
+      graft.DfCompare.multisetEqualCounts(persisted, inMemory)
+    Seq(("ann_ivf_persist", queries.count(), nResults, matches))
       .toDF("metric", "n_queries", "n_results", "persisted_matches_memory")
   }
 
@@ -944,18 +951,20 @@ object TrainingQueries {
     // search — cut once instead of re-reading + reassembling per use
     val cents = IvfIndex.centroids(s, root).localCheckpoint()
     val probe = math.max(4, ((cents.count() + 1) / 2).toInt)
-    // cut both |Q|·k-row search results ONCE (r19): the two exceptAll
-    // jobs, the recall join and the result count each previously re-ran
-    // the full folded-index AND batch search lineages from scratch
+    // the folded search result is cut ONCE (r19) — it still has two
+    // consumers (the equality check and the recall join); the batch
+    // search is NOT cut (r20): the one-job ±1-tag comparison
+    // ([[graft.DfCompare]]) evaluates each side exactly once and its
+    // observe metrics carry the folded result count, replacing r19's
+    // second checkpoint + 2 exceptAll jobs + count
     val folded = IvfIndex.search(s, root, e, queries, k = 10, nProbe = probe)
       .localCheckpoint()
     val batch = Similarity.ivfSearch(queries, cents,
       Similarity.assignCells(e.select(col("vec_id"), col("embedding")), cents)
         .withColumn("c_nrm", Similarity.norm("embedding")),
       k = 10, nProbe = probe)
-      .localCheckpoint()
-    val matches = folded.exceptAll(batch).isEmpty &&
-      batch.exceptAll(folded).isEmpty
+    val (matches, nResults, _) =
+      graft.DfCompare.multisetEqualCounts(folded, batch)
     val exact = Similarity.bruteForceTopK(queries, e, k = 10)
       .select(col("q_id"), col("vec_id"))
     val hits = exact.join(
@@ -964,7 +973,7 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_expected"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hits")).head()
     val recallOk = hits.getLong(1) >= hits.getLong(0) * 0.7
-    Seq(("ann_ivf_fold", queries.count(), folded.count(), matches,
+    Seq(("ann_ivf_fold", queries.count(), nResults, matches,
         nBefore == nAfter, recallOk))
       .toDF("metric", "n_queries", "n_results", "folded_matches_batch",
         "replay_noop", "recall_ok")

@@ -393,9 +393,21 @@ object SinkGates {
     // cluster by the partition column before the partitioned write
     // (guide §6 small-files): without it every task writes a sliver of
     // every day — tasks × days tiny files whose listing/rewrite costs
-    // dominate the gate; with it each day lands as one right-sized file
-    Sinks.writeParquet(ev.repartition(col("day")), table,
-      partitionBy = Seq("day"))
+    // dominate the gate; with it each day lands as one right-sized file.
+    // The seed total and the purge keys' day set ride the SAME write job
+    // as observe metrics (r20) — previously each was its own full events
+    // scan (`ev.count()` at the end, the affected-days distinct here).
+    val seedObs = org.apache.spark.sql.Observation("purge_seed")
+    Sinks.writeParquet(
+      ev.observe(seedObs, count(lit(1)).as("n_total"),
+          collect_set(when(col("user_id").isin(purge: _*), col("day")))
+            .as("affected_days"))
+        .repartition(col("day")),
+      table, partitionBy = Seq("day"))
+    val seedMetrics = seedObs.get
+    val seedTotal = seedMetrics("n_total").asInstanceOf[Long]
+    val affectedDays = seedMetrics("affected_days").asInstanceOf[Seq[String]]
+      .map("day=" + _).toSet
     def partFiles(): Map[String, Set[String]] =
       fs.listStatus(new org.apache.hadoop.fs.Path(table))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
@@ -405,9 +417,6 @@ object SinkGates {
               .filter(_.endsWith(".parquet")).toSet
         }.toMap
     val filesBefore = partFiles()
-    val affectedDays = ev.filter(col("user_id").isin(purge: _*))
-      .select(col("day")).distinct().collect().map(_.getString(0))
-      .map("day=" + _).toSet
     val audit = Sinks.purgeKeys(s, table, "user_id", purge, "day")
     // null-safe: on a dataset where no row carries a purge key (e.g. a
     // MakeSlice dir whose user_id % m filter drops users 7 and 42) the
@@ -428,7 +437,7 @@ object SinkGates {
     val leak = backAgg.getLong(1)
     Seq(("purge_keys", backCount, removed, affectedDays.size.toLong,
         leak == 0L && untouchedIntact &&
-          backCount + removed == ev.count()))
+          backCount + removed == seedTotal))
       .toDF("metric", "n_rows_after", "n_rows_removed", "n_days_affected",
         "purge_scoped_and_complete")
   }

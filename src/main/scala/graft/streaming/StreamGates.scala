@@ -157,15 +157,13 @@ object StreamGates {
     q
   }
 
-  /** Exact multiset equality of two bounded frames. Both sides are cut
-    * once (r19): the two exceptAll jobs each recompute BOTH input
-    * lineages, and the batch-recompute side of a gate comparison is a
-    * full aggregation pipeline — previously executed twice per gate. */
-  private def setEqual(a: DataFrame, b: DataFrame): Boolean = {
-    val ac = a.localCheckpoint()
-    val bc = b.localCheckpoint()
-    ac.exceptAll(bc).isEmpty && bc.exceptAll(ac).isEmpty
-  }
+  /** Exact multiset equality of two bounded frames — ONE job (r20,
+    * [[graft.DfCompare]]): the ±1-tag union/group formulation evaluates
+    * each input lineage exactly once inside a single aggregate,
+    * replacing the r19 shape's 4 jobs per gate (2 localCheckpoints +
+    * 2 exceptAll actions) with 1. */
+  private def setEqual(a: DataFrame, b: DataFrame): Boolean =
+    graft.DfCompare.multisetEqual(a, b)
 
   private def uniq(name: String): String =
     name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")

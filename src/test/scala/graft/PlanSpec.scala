@@ -219,15 +219,30 @@ class PlanSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_extendedprice"
       .r.findAllIn(pq).hasNext, pq)
     assert(!pq.contains("row_number"), pq)
-    // the approx gate's exact side still rides the native GlobalRank
-    // operator over a visible range repartition (PropertySpec pins
-    // rank correctness)
+    // the approx gate's exact rank bounds are size-dispatched since
+    // r20 (the exactQuantiles discipline): GlobalRank below the
+    // threshold, the binned selection core (Analytics.binnedRankAt —
+    // no range exchange, no data-sized sort) above it, where the bound
+    // ranks resolve off the histogram (ExactQuantileDispatchSpec pins
+    // the value-at-rank math)
     val pg = plan(Relational.approxQuantileGate(spark, sf))
       .split("== Initial Plan ==")(0)
     assert(pg.contains("GlobalRank"), pg)
-    assert(pg.toLowerCase.contains("rangepartitioning"), pg)
     assert(!"windowspecdefinition\\([^)]*value".r.findAllIn(pg).hasNext, pg)
     assert(!pg.contains("row_number"), pg)
+    val key = "spark.graft.select.binnedMinBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try {
+      val pb = plan(Relational.approxQuantileGate(spark, sf))
+        .split("== Initial Plan ==")(0)
+      assert(!pb.contains("GlobalRank"), pb)
+      assert(!pb.toLowerCase.contains("rangepartitioning"), pb)
+      assert(!pb.contains("row_number"), pb)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("tfidf top-3 prunes map-side with bounded top-k, no window sort") {

@@ -165,20 +165,56 @@ class SimilaritySpec extends SparkSpec {
       100 * Similarity.cellCount(256L * 50L, 256L))
   }
 
-  test("kmeans centroids stay a DataFrame end to end; assignment is a broadcast HASH join") {
+  test("kmeans centroids stay a DataFrame end to end; assignment is an exchange-free projection") {
     val cents = Similarity.kmeansCentroids(vecs, k = 8, iters = 2)
     assert(cents.columns.toSeq == Seq("cell", "centroid"))
     assert(cents.count() == 8)
     val assigned = Similarity.assignCells(vecs, cents)
     val p = assigned.queryExecution.executedPlan.toString
-    // the centroid fan-out must be a broadcast hash join — never a
-    // nested loop / cartesian, and k·dim never funnels through a
-    // driver-side literal (a collected literal would show as no join)
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // r20 shape: the codegen argmax projection over the broadcast
+    // centroid array — the vector side is never exchanged (the old
+    // shape's groupBy(vec_id) shuffled one full embedding per vector),
+    // and k·dim still travels as a broadcast relation, not a
+    // driver-side literal
+    assert(p.contains("nearest_cell_argmax"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("hashpartitioning(vec_id"), p)
     // every vector lands in exactly one existing cell
     assert(assigned.count() == vecs.count())
     assert(assigned.select("cell").distinct().count() <= 8)
+  }
+
+  test("assignCells argmax projection ≡ the join+max(struct) formulation, ties to lower cell") {
+    import spark.implicits._
+    // hand-built centroids including an EXACT tie for vector [1, 0]:
+    // cells 2 and 3 both score 0 − 0.5; the lower cell id must win
+    val cents = Seq(
+      (0L, Array(1f, 0f)),   // s([1,0]) = 1 − 0.5 = 0.5  (winner)
+      (1L, Array(0.5f, 0.5f)),
+      (2L, Array(0f, 1f)),   // tie pair for [0, 0]
+      (3L, Array(0f, -1f))
+    ).toDF("cell", "centroid")
+    val vs = Seq(
+      (10L, Array(1f, 0f)),  // clear winner: cell 0
+      (11L, Array(0f, 0f)),  // all dots 0 → argmax by −half → cell 1 (half 0.25)
+      (12L, Array(-1f, 0f))  // dots: −1, −0.5, 0, 0 → cells 2,3 tie at −0.5 → 2
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.assignCells(vs, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // reference: the pre-r20 broadcast-join + max(struct(s, −cell)) shape
+    val centsP = cents.select(col("cell").as("__cell"), col("centroid"),
+        (graft.functions.VectorExprs.floatDot(col("centroid"), col("centroid")) / lit(2.0)).as("__half"))
+      .withColumn("__one", lit(0L))
+    val ref = vs.withColumn("__one", lit(0L))
+      .join(broadcast(centsP), Seq("__one"))
+      .withColumn("__s",
+        graft.functions.VectorExprs.floatDot(col("embedding"), col("centroid")) - col("__half"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("__s").as("s"), (-col("__cell")).as("neg_cell"))).as("__b"))
+      .select(col("vec_id"), (-col("__b").getField("neg_cell")).cast("long").as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref, s"got $got vs ref $ref")
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 2L))
   }
 
   test("kmeans trains on a bounded hash-sample when the corpus exceeds maxTrain") {
