@@ -15,10 +15,19 @@ import org.apache.spark.sql.SparkSession
   * and are not meaningful here — pass pure-compute queries only. */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: ExplainDump <sfDir> <outDir> <suffix> <query> [query ...]\n" +
+          "  optional: SPARK_GRAFT_EXPLAIN_CONF=k=v[;k=v...] extra session confs")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val outDir = args(1)
-    val suffix = args(2) // "before" | "after"
+    val suffix = args(2) // "before" | "after" | a variant label
     val names = args.drop(3)
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — valid names are SparkEntry.queries keys")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,6 +35,11 @@ object ExplainDump {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
+    // variant dumps (e.g. forcing the large arm of a size dispatch)
+    sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>

@@ -214,6 +214,15 @@ object Similarity {
           val n = math.sqrt(p.map(x => x * x).sum)
           p.map(x => (x / n).toFloat)
         }
+        // NOTE (r20, tried and REVERTED): computing norms/heads/band
+        // coordinates ONCE into a localCheckpoint cut shared by both
+        // sides measured 0.99→1.15 s on dedup_embedding same-box pairs
+        // — the materialization job costs more than the duplicated
+        // 1000-row scan it saves at bench scale. At very large corpora
+        // the one-scan form wins on scan volume but trades executor
+        // block-storage footprint (the ADVICE r19 localCheckpoint
+        // note); with the local number negative on a declared query,
+        // the two-projection shape stays.
         def side(sfx: String): DataFrame = {
           val e = col("embedding")
           val withCols = base

@@ -478,15 +478,32 @@ object Sinks {
       .agg(count(lit(1)).as("rows_removed"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val affectedVals = affectedRows.map(_._1)
-    // filter on the NATIVE column (literals coerce) so partition
-    // pruning survives; only the grouped output is cast for the collect
-    val beforeRows = t.filter(col(partCol).isin(affectedVals: _*))
-      .groupBy(col(partCol).cast("string").as(partCol))
-      .agg(count(lit(1)).as("rows_before"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val staging = tablePath + "_graft_purge_tmp"
-    t.filter(col(partCol).isin(affectedVals: _*) && !col(keyCol).isin(keys: _*))
-      .write.mode(SaveMode.Overwrite).parquet(staging)
+    // filter on the NATIVE column (literals coerce) so partition
+    // pruning survives
+    val survivors = t.filter(
+      col(partCol).isin(affectedVals: _*) && !col(keyCol).isin(keys: _*))
+    // rows_before = survivors + removed, both exact integers: the
+    // per-partition survivor counts ride the staging WRITE as observe
+    // metrics (one counter per affected partition — a bounded literal
+    // set), replacing what was a separate full scan of the affected
+    // partitions (r20)
+    val beforeRows: Map[String, Long] =
+      if (affectedRows.isEmpty) {
+        survivors.write.mode(SaveMode.Overwrite).parquet(staging)
+        Map.empty
+      } else {
+        val obs = org.apache.spark.sql.Observation()
+        val counters = affectedRows.zipWithIndex.map { case ((v, _), i) =>
+          count(when(col(partCol).cast("string") === v, lit(1))).as(s"__s$i")
+        }
+        survivors.observe(obs, counters.head, counters.tail.toIndexedSeq: _*)
+          .write.mode(SaveMode.Overwrite).parquet(staging)
+        val m = obs.get
+        affectedRows.zipWithIndex.map { case ((v, removed), i) =>
+          v -> (m(s"__s$i").asInstanceOf[Long] + removed)
+        }.toMap
+      }
     writeParquetIdempotent(spark.read.parquet(staging), tablePath, Seq(partCol))
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

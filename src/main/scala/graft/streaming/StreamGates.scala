@@ -168,6 +168,29 @@ object StreamGates {
   private def uniq(name: String): String =
     name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** Run `body` on the RocksDB state-store provider, restoring the
+    * conf after (shared by the three RocksDB gates — r20 refactor of
+    * their copied set/try/finally blocks).
+    *
+    * NOTE (r20, tried and REVERTED): enabling
+    * `stateStore.rocksdb.changelogCheckpointing` here measured SLOWER
+    * on all three gates (same-box 3-gate subset pairs: stream_asof_enrich
+    * 3.87→5.08 s, stream_near_dup 2.99→3.15, stream_totals 1.64→1.74):
+    * at the gates' constant 2000-row state, zipping the tiny snapshot
+    * is cheaper than the extra per-batch changelog file the feature
+    * writes. Changelog checkpointing is a large-state production knob,
+    * not a micro-state one — left OFF. */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provider)
+    s.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(provider, v)
+      case None => s.conf.unset(provider)
+    }
+  }
+
   // ------------------------------------------------------------- F1
   /** Tumbling-window aggregation: the streaming
     * [[EventStream.windowedCounts]] drained over the staged slice must
@@ -368,19 +391,13 @@ object StreamGates {
     val in = tempDir("graft_sg_neardup_in")
     stage(docs, in, nFiles = 2)
     val out = tempDir("graft_sg_neardup_out") + "/flags"
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb(s) {
       drain(EventStream.nearDupDocs(fileStream(s, in, docs.schema)).toDF()
         .writeStream.foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             batch.write.mode("append").parquet(out)
         }.outputMode(OutputMode.Update)
         .option("checkpointLocation", tempDir("graft_sg_neardup_ck")))
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     val got = s.read.parquet(out).select(col("doc_id")).distinct()
     // batch formulation over the same signatures: per band bucket,
@@ -824,19 +841,13 @@ object StreamGates {
     val ev = slice(s, dir).select(col("user_id"), col("ts"), col("value"))
     val in = stagedOnce(dir, "uts3x2")(d => stage(ev, d, nFiles = 2))
     val qn = uniq("sg_twstate")
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb(s) {
       drain(EventStream.runningTotals(
           fileStream(s, in, ev.schema).as[EventStream.Ev])
         .toDF()
         .writeStream.format("memory").queryName(qn)
         .outputMode(OutputMode.Update)
         .option("checkpointLocation", tempDir("graft_sg_twstate_ck")))
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     s.table(qn).groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("sum_value"))).as("f"))
@@ -1129,15 +1140,10 @@ object StreamGates {
     val schema = org.apache.spark.sql.Encoders.product[EventStream.AsOfRow].schema
     val enriched = EventStream.asOfEnrichStream(
       fileStream(s, in, schema).as[EventStream.AsOfRow])
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try drain(EventStream.foreachBatchSink(enriched.toDF(), uniq("sg_sasof")) {
+    withRocksDb(s) {
+      drain(EventStream.foreachBatchSink(enriched.toDF(), uniq("sg_sasof")) {
         (batch, _) => batch.write.mode("append").parquet(out)
       }.option("checkpointLocation", tempDir("graft_sg_sasof_ck")))
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     val got = s.read.parquet(out)
       .select(col("event_id"), col("user_id"), col("us"), col("tier"))
